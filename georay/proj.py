@@ -135,9 +135,10 @@ _EPSG_FIXED = {
     23700: "+proj=somerc +lat_0=47.14439372222222 +lon_0=19.04857177777778 "
     "+k_0=0.99993 +x_0=650000 +y_0=200000 +ellps=GRS67 "
     "+towgs84=52.17,-71.82,-14.9,0,0,0,0 +units=m +no_defs",
-    # NAD83(HARN) / Michigan South (m) — lcc  (fixture simple_points_epsg_2834)
-    2834: "+proj=lcc +lat_1=43.66666666666666 +lat_2=42.1 "
-    "+lat_0=41.5 +lon_0=-84.36666666666666 +x_0=4000000 +y_0=0 "
+    # NAD83(HARN) / Ohio North (m) — lcc (fixture simple_points_epsg_2834;
+    # golden proj4 in es6-test/unit/shapefile.js:45-54)
+    2834: "+proj=lcc +lat_1=41.7 +lat_2=40.43333333333333 "
+    "+lat_0=39.66666666666666 +lon_0=-82.5 +x_0=600000 +y_0=0 "
     "+ellps=GRS80 +towgs84=0,0,0 +units=m +no_defs",
 }
 
