@@ -1,0 +1,154 @@
+"""Common-Crawl-style pages table: deterministic synthesis + the text
+extractor whose output must be byte-identical per url (the graft
+input contract from BASELINE.json `input_hint`):
+
+    url:string, warc_ts:timestamp, html:binary, text:string, lang:string
+
+Synthesis is pure f(url, seed): the `text` column IS what
+``extract_text(html)`` returns, every page gets a deterministic
+coordinate in the test bbox for the spatial stages, and every
+``PAYLOAD_EVERY``-th page embeds a geo payload (format rotating over
+GeoJSON/KML/KMZ/zipped-shapefile) inside its html so the decoders are
+exercised in-pipeline. No external data.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from .fixtures import BBOX, build_payload
+
+SEED = 42
+PAYLOAD_EVERY = 100
+LANGS = ["en", "es", "de", "fr", "pt"]
+EPOCH = 1_500_000_000_000_000  # microseconds
+
+_WORDS = (
+    "data stream layer polygon vector raster tile index shard batch "
+    "arrow ray crawl page graph query merge spill shuffle actor block "
+    "schema column row group cell ring point line join scan read write"
+).split()
+
+
+def _h64(s: str) -> int:
+    return int.from_bytes(hashlib.sha256(s.encode()).digest()[:8], "big")
+
+
+def page_url(i: int) -> str:
+    return f"https://host-{i % 997}.example/{i}"
+
+
+def page_coords(url: str):
+    """Deterministic page coordinate, uniform over the test bbox."""
+    h = _h64("coord:" + url)
+    minx, miny, maxx, maxy = BBOX
+    fx = (h & 0xFFFFFFFF) / 2**32
+    fy = (h >> 32) / 2**32
+    return minx + fx * (maxx - minx), miny + fy * (maxy - miny)
+
+
+def page_text(url: str, seed: int = SEED) -> str:
+    """The byte-identical-per-url invariant text: pure f(url, seed)."""
+    h = _h64(f"text:{seed}:{url}")
+    rng = np.random.default_rng(h)
+    n_par = 2 + int(rng.integers(0, 3))
+    paragraphs = []
+    for _ in range(n_par):
+        n_words = 6 + int(rng.integers(0, 18))
+        words = [_WORDS[int(w)] for w in rng.integers(0, len(_WORDS), n_words)]
+        paragraphs.append(" ".join(words))
+    return "\n".join(paragraphs)
+
+
+def page_html(i: int, url: str, text: str) -> bytes:
+    paras = "".join(f"<p>{p}</p>" for p in text.split("\n"))
+    payload_tag = ""
+    if i % PAYLOAD_EVERY == 0:
+        name, blob = build_payload(i // PAYLOAD_EVERY)
+        b64 = base64.b64encode(blob).decode()
+        payload_tag = f'<script type="application/x-geo" data-filename="{name}">{b64}</script>'
+    return (
+        f"<html><head><title>page {i}</title></head>"
+        f"<body>{paras}{payload_tag}</body></html>"
+    ).encode()
+
+
+_P_TAG = re.compile(rb"<p>(.*?)</p>", re.S)
+_GEO_TAG = re.compile(
+    rb'<script type="application/x-geo" data-filename="([^"]+)">([^<]*)</script>'
+)
+
+
+def extract_text(html: bytes) -> str:
+    """Extract the visible text from a page — frozen: its output is the
+    byte-identical-per-url invariant the driver verifies."""
+    return b"\n".join(m.group(1) for m in _P_TAG.finditer(html)).decode("utf-8")
+
+
+def extract_geo_payload(html: bytes):
+    """-> (filename, payload bytes) or None. Cheap reject for the 99%
+    of pages with no payload (substring scan, no parse)."""
+    m = _GEO_TAG.search(html)
+    if not m:
+        return None
+    return m.group(1).decode(), base64.b64decode(m.group(2))
+
+
+def pages_batch(start: int, count: int, seed: int = SEED) -> pa.Table:
+    urls, ts, htmls, texts, langs = [], [], [], [], []
+    for i in range(start, start + count):
+        url = page_url(i)
+        text = page_text(url, seed)
+        urls.append(url)
+        ts.append(EPOCH + i * 1_000_000)
+        htmls.append(page_html(i, url, text))
+        texts.append(text)
+        langs.append(LANGS[i % len(LANGS)])
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(ts, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
+
+
+def synthesize_pages_parquet(out_dir: str, n: int, seed: int = SEED, rows_per_file: int = 20_000):
+    """Write the deterministic pages corpus as a directory of parquet
+    files (one per shard, resumable layout)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    done_marker = os.path.join(out_dir, f"_DONE_{n}_{seed}")
+    if os.path.exists(done_marker):
+        return out_dir
+    for start in range(0, n, rows_per_file):
+        count = min(rows_per_file, n - start)
+        path = os.path.join(out_dir, f"pages-{start:012d}.parquet")
+        pq.write_table(pages_batch(start, count, seed), path)
+    with open(done_marker, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+def sf_page_count(sf_dir: str) -> int:
+    """Map a testdata sf dir to the pages-corpus size used by queries()
+    and bench (sf0.001 -> 1k, sf0.01 -> 10k, sf0.1 -> 100k)."""
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.001
+    return max(1000, int(sf * 1_000_000))
+
+
+def pages_dir_for(sf_dir: str, base: str = "/tmp/georay_pages") -> str:
+    n = sf_page_count(sf_dir)
+    out = f"{base}/n{n}_seed{SEED}"
+    return synthesize_pages_parquet(out, n)

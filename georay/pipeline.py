@@ -1,0 +1,238 @@
+"""Ray Data pipeline stages: pages -> text extract -> geo-payload decode
+(+ per-blob layer merge) -> normalize/reproject -> per-layer aggregates.
+
+Stage design (SURVEY.md §3.4/§7):
+  - extract / decode / reproject are stateless ``map_batches`` over
+    pyarrow batches (zero-copy from the object store); the per-worker
+    compiled state (regexes at import, pyproj-equivalent Transformer
+    cache) amortizes across batches
+  - the reference's Merger runs SEQUENTIALLY PER BLOB inside the decode
+    task (one import job == one shapeblob; exact arrival-order
+    semantics, zero shuffle — see merge.py)
+  - per-(blob, layer) count/bbox rollups are a grouped aggregate over
+    ONLY the decoded feature rows (~1% of pages carry payloads), i.e.
+    the wide step shuffles the small derived stream, never the pages
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Count, Max, Min
+
+from .decode import decode_blob
+from .errors import GeorayError
+from .geometry import wkb_encode
+from .merge import merge_rows
+from .pages import extract_geo_payload, extract_text, page_coords
+from .reproject import reproject_features
+
+# ------------------------------------------------------------ extract
+
+
+def extract_batch(batch: pa.Table) -> pa.Table:
+    """html -> extracted text (the byte-identical invariant) + the
+    deterministic page coordinate + payload flag."""
+    htmls = batch["html"].to_pylist()
+    urls = batch["url"].to_pylist()
+    texts = [extract_text(h) for h in htmls]
+    lons = np.empty(len(urls))
+    lats = np.empty(len(urls))
+    for i, u in enumerate(urls):
+        lons[i], lats[i] = page_coords(u)
+    has_payload = np.array([b"application/x-geo" in h for h in htmls], dtype=bool)
+    return pa.table(
+        {
+            "url": batch["url"],
+            "warc_ts": batch["warc_ts"],
+            "lang": batch["lang"],
+            "text": pa.array(texts, pa.string()),
+            "lon": pa.array(lons),
+            "lat": pa.array(lats),
+            "has_payload": pa.array(has_payload),
+            "html": batch["html"],
+        }
+    )
+
+
+def read_pages(path: str, columns=None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(path, columns=columns)
+
+
+# ------------------------------------------------------------- decode
+
+FEATURE_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("seq", pa.int64()),
+        ("layer_position", pa.int32()),
+        ("layer_name", pa.string()),
+        ("layer_sig", pa.string()),
+        ("crs", pa.string()),
+        ("layer_geom_type", pa.string()),
+        ("geom_type", pa.string()),
+        ("wkb", pa.binary()),
+        ("props_json", pa.string()),
+        ("cols_json", pa.string()),
+        ("decode_error", pa.string()),
+    ]
+)
+
+
+def decode_batch(batch: pa.Table) -> pa.Table:
+    """Decode every geo payload in the batch into feature rows with
+    per-blob layer assignment (exact reference Merger semantics).
+    Pages without payloads contribute nothing. Blob-level decode errors
+    become a single quarantine row with decode_error set (typed error
+    kind), never a crash."""
+    cols = {name: [] for name in FEATURE_SCHEMA.names}
+
+    for url, html in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
+        try:
+            found = extract_geo_payload(html)
+            if not found:
+                continue
+            filename, blob = found
+            result = decode_blob(blob, filename)
+            layers = merge_rows(result.rows, result.default_crs)
+        except Exception as e:
+            for name in FEATURE_SCHEMA.names:
+                cols[name].append(None)
+            cols["url"][-1] = url
+            cols["seq"][-1] = 0
+            cols["decode_error"][-1] = e.kind if isinstance(e, GeorayError) else "decode_crash"
+            continue
+
+        for layer in layers:
+            sig = layer.signature(result.default_crs)
+            crs_string = layer.crs_string(result.default_crs)
+            cols_json = json.dumps(
+                [layer.laundered_names(), layer.ctypes], separators=(",", ":")
+            )
+            geom_ct = layer.geom_ctype() or "null"
+            for row_idx in layer.row_indices:
+                row = result.rows[row_idx]
+                cols["url"].append(url)
+                cols["seq"].append(row_idx)
+                cols["layer_position"].append(layer.position)
+                cols["layer_name"].append(layer.name)
+                cols["layer_sig"].append(sig)
+                cols["crs"].append(crs_string)
+                cols["layer_geom_type"].append(geom_ct)
+                cols["geom_type"].append(row.geom_ctype)
+                cols["wkb"].append(
+                    wkb_encode(row.geom_ctype, row.geom_coords)
+                    if row.geom_ctype != "null" and row.geom_coords is not None
+                    else None
+                )
+                cols["props_json"].append(json.dumps(row.prop_values, separators=(",", ":")))
+                cols["cols_json"].append(cols_json)
+                cols["decode_error"].append(None)
+
+    return pa.Table.from_pydict(cols, schema=FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------- reproject
+
+REPROJECTED_FIELDS = [
+    ("minx", pa.float64()),
+    ("miny", pa.float64()),
+    ("maxx", pa.float64()),
+    ("maxy", pa.float64()),
+]
+
+
+def reproject_batch(batch: pa.Table, fail_on_arity: bool = False) -> pa.Table:
+    """Normalize + reproject feature geometries to EPSG:4326; adds
+    per-row bbox columns (the inputs to the layer bbox aggregate)."""
+    wkbs = batch["wkb"].to_pylist()
+    ctypes = batch["geom_type"].to_pylist()
+    crs_list = batch["crs"].to_pylist()
+    ctypes = [c if c is not None else "null" for c in ctypes]
+    crs_list = [c if c is not None else "+proj=longlat +ellps=WGS84 +no_defs" for c in crs_list]
+    new_wkbs, (minx, miny, maxx, maxy), ok = reproject_features(
+        wkbs, ctypes, crs_list, fail_on_arity=fail_on_arity
+    )
+    out = batch.drop_columns(["wkb"]).append_column("wkb", pa.array(new_wkbs, pa.binary()))
+    for (name, typ), arr in zip(REPROJECTED_FIELDS, (minx, miny, maxx, maxy)):
+        out = out.append_column(name, pa.array(arr, typ))
+    return out.append_column("arity_ok", pa.array(ok))
+
+
+# ------------------------------------------------------------- layers
+
+
+def decode_features(pages: "ray.data.Dataset", reproject: bool = True) -> "ray.data.Dataset":
+    """pages -> reprojected feature rows (payload pages only)."""
+    ds = pages.map_batches(decode_batch, batch_format="pyarrow")
+    if reproject:
+        ds = ds.map_batches(reproject_batch, batch_format="pyarrow")
+    return ds
+
+
+def layer_stats(features: "ray.data.Dataset"):
+    """Per-(blob, layer) manifest rollup: count + bbox via a grouped
+    aggregate (reference G3/G4: layer.js:247, wgs84-reprojector.js:35-41).
+    All non-key manifest fields are constant within a layer so they ride
+    in the key. Returns a Dataset of layer-manifest rows."""
+    import pyarrow.compute as pc
+
+    valid = features.map_batches(
+        lambda t: t.filter(pc.is_null(t["decode_error"])), batch_format="pyarrow"
+    )
+    return valid.groupby(
+        ["url", "layer_position", "layer_name", "layer_sig", "crs", "layer_geom_type", "cols_json"]
+    ).aggregate(
+        Count(alias_name="count"),
+        Min("minx", alias_name="bbox_minx"),
+        Min("miny", alias_name="bbox_miny"),
+        Max("maxx", alias_name="bbox_maxx"),
+        Max("maxy", alias_name="bbox_maxy"),
+    )
+
+
+# ------------------------------------------------- typed layer export
+
+
+_ARROW_TYPES = {
+    "string": pa.string(),
+    "number": pa.float64(),
+    "boolean": pa.bool_(),
+    "date": pa.string(),  # ISO-8601, as the reference upserts
+    "array": pa.string(),  # JSON
+    "null": pa.string(),  # reference reports null columns as text
+}
+
+
+def layer_table(features: "ray.data.Dataset", layer_sig: str) -> pa.Table:
+    """Materialize one schema-class layer as a typed Arrow table:
+    the_geom WKB + laundered, typed property columns (the reference's
+    per-layer upsert payload, as a columnar table).
+
+    Only for small/selected layers — the scalable sink is
+    ``write_features`` (partitioned parquet of the generic rows).
+    """
+    rows = features.filter(expr=f'layer_sig == "{layer_sig}"').take_all()
+    if not rows:
+        return pa.table({})
+    names, ctypes = json.loads(rows[0]["cols_json"])
+    data: dict = {"the_geom": [r["wkb"] for r in rows]}
+    arrays = {n: [] for n in names[1:]}
+    for r in rows:
+        vals = json.loads(r["props_json"])
+        for n, v in zip(names[1:], vals):
+            arrays[n].append(v)
+    out = {"the_geom": pa.array(data["the_geom"], pa.binary())}
+    for n, ct in zip(names[1:], ctypes[1:]):
+        typ = _ARROW_TYPES.get(ct, pa.string())
+        vals = arrays[n]
+        if ct == "array":
+            vals = [json.dumps(v) if v is not None else None for v in vals]
+        if ct == "number":
+            vals = [float(v) if v is not None else None for v in vals]
+        out[n] = pa.array(vals, typ)
+    return pa.table(out)

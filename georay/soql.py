@@ -170,6 +170,7 @@ def coerce_kml_typed(decl_type: str, value: str):
 
 
 def clean_dbf_text(value: str) -> str:
-    """DBF NUL-sentinel cleanup (reference soql/text.js:8-13): a single
-    space NUL placeholder becomes the empty string."""
-    return "" if value == " " else value
+    """DBF NUL-sentinel cleanup (reference soql/text.js:8-16): the
+    shapefile parser yields '\\u0000' for null text values; convert to
+    the empty string."""
+    return "" if value == "\u0000" else value

@@ -1,0 +1,101 @@
+"""End-to-end Ray Data pipeline tests over the synthetic pages corpus."""
+
+import json
+
+import pyarrow as pa
+import pytest
+
+import ray
+
+
+@pytest.fixture(scope="module")
+def pages_ds(ray_session):
+    import ray.data
+
+    from georay.pages import pages_batch
+
+    return ray.data.from_arrow(pages_batch(0, 500))
+
+
+def test_extract_text_byte_identical(pages_ds):
+    from georay.pipeline import extract_batch
+
+    out = pages_ds.map_batches(extract_batch, batch_format="pyarrow")
+    for row in out.take_all():
+        pass
+    # byte-identical invariant: text column was generated as page_text(url)
+    # and extract_batch must reproduce it from html alone
+    tbl = pa.Table.from_pylist(out.take_all())
+    src = pa.Table.from_pylist(pages_ds.take_all())
+    by_url = {u: t for u, t in zip(src["url"].to_pylist(), src["text"].to_pylist())}
+    for u, t in zip(tbl["url"].to_pylist(), tbl["text"].to_pylist()):
+        assert t == by_url[u], "extracted text differs from the frozen invariant"
+
+
+def test_decode_features_and_layers(pages_ds):
+    from georay.fixtures import payload_polygon_ids
+    from georay.pipeline import decode_features, layer_stats
+
+    feats = decode_features(pages_ds)
+    rows = feats.take_all()
+    # 500 pages -> 5 payload blobs x 4 polygons each
+    assert len(rows) == 20
+    assert all(r["decode_error"] is None for r in rows)
+    assert all(r["arity_ok"] for r in rows)
+
+    layers = layer_stats(feats).take_all()
+    assert len(layers) == 5  # one layer per blob (homogeneous schema)
+    for l in layers:
+        assert l["count"] == 4
+        assert l["layer_name"] == "layer_0"
+        names, ctypes = json.loads(l["cols_json"])
+        assert names[0] == "the_geom"
+        assert "polygon_id" in names
+        # all four decode formats must agree on geometry bbox validity
+        assert -122.5 <= l["bbox_minx"] <= l["bbox_maxx"] <= -122.2
+        assert 47.4 <= l["bbox_miny"] <= l["bbox_maxy"] <= 47.8
+
+    # polygon ids round-trip per blob
+    for r in rows:
+        k = int(r["url"].rsplit("/", 1)[1]) // 100
+        expect_ids = payload_polygon_ids(k)
+        props = json.loads(r["props_json"])
+        names, _ = json.loads(r["cols_json"])
+        pid = props[names.index("polygon_id") - 1]
+        assert int(pid) in expect_ids
+
+
+def test_layer_table_typed(pages_ds):
+    from georay.pipeline import decode_features, layer_stats, layer_table
+
+    feats = decode_features(pages_ds)
+    layers = layer_stats(feats).take_all()
+    sig = layers[0]["layer_sig"]
+    tbl = layer_table(feats, sig)
+    assert tbl.num_rows > 0
+    assert tbl.schema.field("the_geom").type == pa.binary()
+    assert tbl.schema.field("polygon_id").type == pa.float64()
+    assert tbl.schema.field("name").type == pa.string()
+
+
+def test_decode_error_quarantine(ray_session):
+    import ray.data
+
+    from georay.pages import pages_batch
+    from georay.pipeline import decode_batch
+
+    tbl = pages_batch(0, 101)
+    # corrupt the payload page's html payload content
+    htmls = tbl["html"].to_pylist()
+    htmls[0] = htmls[0].replace(b'data-filename="grid.geojson">', b'data-filename="grid.geojson">!!notb64')
+    tbl = tbl.set_column(2, "html", pa.array(htmls, pa.binary()))
+    out = ray.data.from_arrow(tbl).map_batches(decode_batch, batch_format="pyarrow").take_all()
+    bad = [r for r in out if r["decode_error"] is not None]
+    good = [r for r in out if r["decode_error"] is None]
+    assert len(bad) == 1 and bad[0]["decode_error"] in (
+        "json_parse",
+        "archive",
+        "unknown_file_type",
+        "decode_crash",
+    )
+    assert len(good) == 4  # page 100's payload still decodes

@@ -77,5 +77,5 @@ def test_kml_guessing():
 
 
 def test_dbf_text():
-    assert clean_dbf_text(" ") == ""
+    assert clean_dbf_text("\u0000") == ""
     assert clean_dbf_text("x ") == "x "
