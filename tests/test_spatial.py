@@ -1,0 +1,216 @@
+"""Spatial operators: cell index, STRtree, ray-casting PIP, joins, kNN,
+tiles — verified against the closed-form grid goldens from
+georay.fixtures."""
+
+import numpy as np
+import pytest
+
+from georay.fixtures import (
+    BBOX,
+    GRID,
+    containing_polygon_id,
+    grid_polygon_rings,
+    has_hole,
+    hole_bounds,
+    grid_cell_bounds,
+    point_in_grid_polygon,
+)
+from georay.spatial.cells import (
+    cell_bounds,
+    cell_encode,
+    cell_parent,
+    cell_to_zxy,
+    cells_covering_bbox,
+    k_ring,
+)
+from georay.spatial.pip import pack_rings, points_in_polygon
+from georay.spatial.strtree import STRtree
+
+
+def test_cell_roundtrip():
+    lons = np.array([-122.4, 0.0, 179.9, -179.9])
+    lats = np.array([47.6, 0.0, 84.0, -84.0])
+    cells = cell_encode(lons, lats, 12)
+    z, x, y = cell_to_zxy(cells)
+    assert (z == 12).all()
+    minlon, minlat, maxlon, maxlat = cell_bounds(cells)
+    assert ((lons >= minlon) & (lons <= maxlon)).all()
+    assert ((lats >= minlat - 1e-9) & (lats <= maxlat + 1e-9)).all()
+
+
+def test_cell_parent():
+    c = cell_encode(np.array([-122.4]), np.array([47.6]), 15)
+    p = cell_parent(c, 10)
+    z, x, y = cell_to_zxy(p)
+    z0, x0, y0 = cell_to_zxy(c)
+    assert z[0] == 10 and x[0] == x0[0] >> 5 and y[0] == y0[0] >> 5
+
+
+def test_k_ring_sizes():
+    c = int(cell_encode(np.array([-122.4]), np.array([47.6]), 10)[0])
+    assert len(k_ring(c, 0)) == 1
+    assert len(k_ring(c, 1)) == 9
+    assert len(k_ring(c, 2)) == 25
+
+
+def test_cells_covering_bbox():
+    cells = cells_covering_bbox(-122.5, 47.4, -122.2, 47.8, 10)
+    assert len(cells) >= 1
+    # every cell intersects the box
+    minlon, minlat, maxlon, maxlat = cell_bounds(cells)
+    assert (maxlon >= -122.5).all() and (minlon <= -122.2).all()
+
+
+def test_pip_square_and_hole():
+    pid = 3  # has a hole (3 % 7 == 3)
+    assert has_hole(pid)
+    coords, offs = pack_rings(grid_polygon_rings(pid))
+    x0, y0, x1, y1 = grid_cell_bounds(pid)
+    hx0, hy0, hx1, hy1 = hole_bounds(pid)
+    pts = np.array(
+        [
+            [(x0 + x1) / 2, y0 + 0.01 * (y1 - y0)],  # inside, below hole
+            [(hx0 + hx1) / 2, (hy0 + hy1) / 2],  # inside the hole -> out
+            [x0 - 1.0, y0],  # far outside
+        ]
+    )
+    got = points_in_polygon(pts, coords, offs)
+    assert got.tolist() == [True, False, False]
+
+
+def test_pip_matches_closed_form_golden():
+    rng = np.random.default_rng(7)
+    lon = BBOX[0] + rng.random(500) * (BBOX[2] - BBOX[0])
+    lat = BBOX[1] + rng.random(500) * (BBOX[3] - BBOX[1])
+    for pid in [0, 3, 17, 100, 255]:
+        coords, offs = pack_rings(grid_polygon_rings(pid))
+        got = points_in_polygon(np.column_stack([lon, lat]), coords, offs)
+        want = np.array([point_in_grid_polygon(pid, x, y) for x, y in zip(lon, lat)])
+        assert (got == want).all()
+
+
+def test_strtree_query():
+    rng = np.random.default_rng(3)
+    centers = rng.random((300, 2)) * 100
+    bboxes = np.column_stack(
+        [centers[:, 0] - 1, centers[:, 1] - 1, centers[:, 0] + 1, centers[:, 1] + 1]
+    )
+    tree = STRtree(bboxes)
+    for q in [(0, 0, 10, 10), (50, 50, 52, 52), (-10, -10, -5, -5), (0, 0, 100, 100)]:
+        got = set(tree.query(*q).tolist())
+        brute = set(
+            np.nonzero(
+                (bboxes[:, 0] <= q[2])
+                & (bboxes[:, 2] >= q[0])
+                & (bboxes[:, 1] <= q[3])
+                & (bboxes[:, 3] >= q[1])
+            )[0].tolist()
+        )
+        assert got == brute
+
+
+def test_strtree_empty():
+    tree = STRtree(np.empty((0, 4)))
+    assert len(tree.query(0, 0, 1, 1)) == 0
+
+
+@pytest.fixture(scope="module")
+def index(ray_session):
+    import ray.data
+
+    from georay.pages import pages_batch
+    from georay.pipeline import decode_features
+    from georay.spatial.index import build_polygon_index
+
+    pages = ray.data.from_arrow(pages_batch(0, 2000))
+    feats = decode_features(pages)
+    return build_polygon_index(feats)
+
+
+def test_polygon_index_build(index):
+    # 2000 pages -> 20 payloads x 4 polygons, dedup by content
+    ids = sorted({int(p["polygon_id"]) for p in index.polygons})
+    assert len(index.polygons) == len(ids)  # content-deduped
+    assert len(ids) == 80
+    assert ids[:4] == [0, 1, 2, 3]
+
+
+def test_pip_join_golden(index, ray_session):
+    import ray
+    import ray.data
+
+    from georay.pages import pages_batch
+    from georay.pipeline import extract_batch
+    from georay.spatial.join import PIPJoiner
+
+    pages = ray.data.from_arrow(pages_batch(0, 2000))
+    pts = pages.map_batches(extract_batch, batch_format="pyarrow").drop_columns(["html"])
+    ref = ray.put(index)
+    joined = pts.map_batches(PIPJoiner, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=2)
+    rows = joined.take_all()
+
+    # golden: closed-form containment for the indexed polygon subset
+    from georay.pages import page_coords, page_url
+
+    known = {int(p["polygon_id"]) for p in index.polygons}
+    expect = {}
+    for i in range(2000):
+        u = page_url(i)
+        lon, lat = page_coords(u)
+        pid = containing_polygon_id(lon, lat)
+        if pid is not None and pid in known:
+            expect[u] = pid
+    got = {r["url"]: int(r["polygon_id"]) for r in rows}
+    assert got == expect
+    assert len(rows) > 0
+
+
+def test_knn_golden(index, ray_session):
+    import ray
+    import ray.data
+
+    from georay.pages import pages_batch
+    from georay.pipeline import extract_batch
+    from georay.spatial.join import KNNJoiner, haversine_m
+
+    pages = ray.data.from_arrow(pages_batch(0, 200))
+    pts = pages.map_batches(extract_batch, batch_format="pyarrow").drop_columns(["html"])
+    ref = ray.put(index)
+    k = 3
+    knn = pts.map_batches(
+        KNNJoiner, fn_constructor_args=(ref, k), batch_format="pyarrow", concurrency=2
+    )
+    rows = knn.take_all()
+    by_url = {}
+    for r in rows:
+        by_url.setdefault(r["url"], []).append(r)
+
+    from georay.pages import page_coords, page_url
+
+    cents = index.centroids
+    for i in range(0, 200, 17):  # sample
+        u = page_url(i)
+        lon, lat = page_coords(u)
+        d = haversine_m(lon, lat, cents[:, 0], cents[:, 1])
+        want = np.sort(d)[:k]
+        got = sorted(r["distance_m"] for r in by_url[u])
+        assert np.allclose(got, want, rtol=1e-9), (u, got, want)
+
+
+def test_tile_assignment_and_counts(index, ray_session):
+    import ray
+    import ray.data
+
+    from georay.pages import pages_batch
+    from georay.pipeline import extract_batch
+    from georay.spatial.tiles import assign_tiles_batch, tile_counts, polygon_tile_table
+
+    pages = ray.data.from_arrow(pages_batch(0, 1000))
+    pts = pages.map_batches(extract_batch, batch_format="pyarrow").drop_columns(["html"])
+    tiled = pts.map_batches(assign_tiles_batch, batch_format="pyarrow")
+    counts = tile_counts(tiled).take_all()
+    assert sum(r["n_pages"] for r in counts) == 1000
+    assert all(r["n_pages"] >= 1 for r in counts)
+
+    cover = polygon_tile_table(index)
+    assert cover.num_rows > len(index.polygons)  # every polygon spans >1 tile at z15
