@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""georay benchmark harness.
+
+Default: runs the headline geotag pipeline (pages -> extract -> decode ->
+reproject -> PIP join -> tile counts) over the deterministic pages corpus
+sized from $GRAFT_SF_DIR (default /root/testdata/sf0.1), plus the
+per-query timings, and prints ONE JSON line:
+
+  {"metric": "geotag_pipeline_sec", "value": N, "unit": "sec",
+   "pages_per_sec": P, "queries": {...}, "sf": ..., "num_cpus": N}
+
+--scaling: runs the headline twice in fresh subprocesses at
+RAY_GRAFT_CPUS=8 and 32 (the sandbox stand-in for N vs 4N nodes) and
+prints throughput at both plus the scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _sf(sf_dir: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.0
+
+
+def run_bench():
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from georay.pages import pages_dir_for
+    from georay.pipelines.flagship import run_headline
+
+    # warm: synthesize corpus (cached across runs) + one untimed read
+    pages_dir = pages_dir_for(SF_DIR)
+    import ray.data
+
+    ray.data.read_parquet(pages_dir).count()
+
+    pages_per_sec, detail = run_headline(SF_DIR)
+
+    queries = {}
+    try:
+        import __ray_entry__ as entry_mod
+
+        qmap = entry_mod.queries()
+        for name in sorted(qmap):
+            t0 = time.perf_counter()
+            res = qmap[name](SF_DIR)
+            if hasattr(res, "count"):
+                res.count()  # consume lazily-built datasets
+            queries[name] = round(time.perf_counter() - t0, 3)
+    except Exception as e:  # bench must still print its line
+        queries["_error"] = str(e)[:200]
+
+    out = {
+        "metric": "geotag_pipeline_sec",
+        "value": detail["wall_sec"],
+        "unit": "sec",
+        "pages_per_sec": round(pages_per_sec, 1),
+        "detail": detail,
+        "queries": queries,
+        "sf": _sf(SF_DIR),
+        "num_cpus": NUM_CPUS,
+    }
+    ray.shutdown()
+    print(json.dumps(out))
+
+
+def run_scaling():
+    """Same headline job at two parallelism levels in fresh processes
+    (sandbox stand-in for the N vs 4N node clusters in the north rule)."""
+
+    def one(ncpu: int):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo_cpus, hi_cpus = 8, 32
+    lo = one(lo_cpus)
+    hi = one(hi_cpus)
+    t_lo, t_hi = lo["value"], hi["value"]
+    speedup = t_lo / t_hi
+    eff = speedup / (hi_cpus / lo_cpus)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "value": round(eff, 3),
+                "unit": "ratio",
+                "sec_8": t_lo,
+                "sec_32": t_hi,
+                "pages_per_sec_8": lo["pages_per_sec"],
+                "pages_per_sec_32": hi["pages_per_sec"],
+                "speedup": round(speedup, 3),
+                "sf": _sf(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        run_bench()
