@@ -1,16 +1,20 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for georay (Ray Data spatial ingest + join + tiling
+engine; see SURVEY.md).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver initialises Ray BEFORE importing this module; nothing here
+(or in georay) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- entry(): flagship geotag pipeline on the sf0.001-sized deterministic
+  pages corpus (BASELINE.json input_hint shape), returns the joined
+  Dataset.
+- queries(): every implemented operator/pipeline; callables take sf_dir.
+- oracle_sql(): DuckDB-equivalent SQL for the SQL-expressible subset
+  (the geo pipelines operate on the synthesized pages corpus, which is
+  not a pre-registered view -> rows-only checks for those; their exact
+  semantics are covered by the pytest golden suites instead).
+
+Aggregated money/value columns are exact integer units (cents / 1e-4 /
+1e-6) on BOTH sides so hashes match regardless of summation order.
 """
 
 from __future__ import annotations
@@ -18,27 +22,355 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+ANN_QUERY_IDS = [0, 1, 2, 3]
+ANN_K = 5
+NGRAM_TAU = 0.8
+EMB_TAU = 0.3
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from georay.pages import pages_dir_for
+    from georay.pipelines.flagship import geotag_pipeline
+
+    pages_path = pages_dir_for("/root/testdata/sf0.001")
+    res = geotag_pipeline(pages_path)
+    return res["joined"]
+
+
+# ------------------------------------------------------------- queries
+
+
+def _docs(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_pricing(sf_dir):
+    from georay.relational import pricing_summary
+
+    return pricing_summary(sf_dir)
+
+
+def _q_top_orders(sf_dir):
+    from georay.relational import top_orders
+
+    return top_orders(sf_dir)
+
+
+def _q_region_revenue(sf_dir):
+    from georay.relational import region_revenue
+
+    return region_revenue(sf_dir)
+
+
+def _q_events_hourly(sf_dir):
+    from georay.relational import events_hourly
+
+    return events_hourly(sf_dir)
+
+
+def _q_orders_filter_sort(sf_dir):
+    from georay.relational import orders_filter_sort
+
+    return orders_filter_sort(sf_dir)
+
+
+def _q_part_stats(sf_dir):
+    from georay.relational import supplier_part_stats
+
+    return supplier_part_stats(sf_dir)
+
+
+def _q_dedup_exact(sf_dir):
+    from georay.textops import dedup_exact
+
+    return dedup_exact(_docs(sf_dir))
+
+
+def _q_token_counts(sf_dir):
+    from georay.textops import token_counts
+
+    return token_counts(_docs(sf_dir))
+
+
+def _q_quality_counts(sf_dir):
+    from georay.textops import quality_counts
+
+    return quality_counts(_docs(sf_dir))
+
+
+def _q_ngram_jaccard(sf_dir):
+    from georay.textops import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(sf_dir), threshold=NGRAM_TAU)
+
+
+def _q_minhash_near_dups(sf_dir):
+    from georay.textops import minhash_near_dups
+
+    return minhash_near_dups(_docs(sf_dir), threshold=NGRAM_TAU)
+
+
+def _q_simhash(sf_dir):
+    from georay.textops import simhash_table
+
+    return simhash_table(_docs(sf_dir))
+
+
+def _q_langid(sf_dir):
+    from georay.textops import langid_table
+
+    return langid_table(_docs(sf_dir))
+
+
+def _q_quality_scores(sf_dir):
+    from georay.textops import quality_scores
+
+    return quality_scores(_docs(sf_dir))
+
+
+def _q_fingerprints(sf_dir):
+    from georay.textops import fingerprint_table
+
+    return fingerprint_table(_docs(sf_dir)).drop_columns(["fingerprints"])
+
+
+def _q_ann_topk(sf_dir):
+    from georay.textops import ann_topk
+
+    return ann_topk(_emb(sf_dir), ANN_QUERY_IDS, k=ANN_K)
+
+
+def _q_emb_near_dups(sf_dir):
+    from georay.textops import embedding_near_dups
+
+    return embedding_near_dups(_emb(sf_dir), threshold=EMB_TAU)
+
+
+# geo pipelines (pages corpus; rows-only checks + pytest goldens)
+
+
+def _geo_features(sf_dir):
+    import ray.data
+
+    from georay.pages import pages_dir_for
+    from georay.pipeline import decode_features
+
+    pages = ray.data.read_parquet(pages_dir_for(sf_dir))
+    return decode_features(pages).drop_columns(["wkb"])
+
+
+def _geo_layers(sf_dir):
+    import ray.data
+
+    from georay.pages import pages_dir_for
+    from georay.pipeline import decode_features, layer_stats
+
+    pages = ray.data.read_parquet(pages_dir_for(sf_dir))
+    return layer_stats(decode_features(pages))
+
+
+def _geo_pip_join(sf_dir):
+    from georay.pages import pages_dir_for
+    from georay.pipelines.flagship import geotag_pipeline
+
+    res = geotag_pipeline(pages_dir_for(sf_dir))
+    return res["joined"]
+
+
+def _geo_tile_counts(sf_dir):
+    from georay.pages import pages_dir_for
+    from georay.pipelines.flagship import geotag_pipeline
+
+    res = geotag_pipeline(pages_dir_for(sf_dir))
+    return res["tiles"]
+
+
+def _geo_knn(sf_dir):
+    from georay.pages import pages_dir_for
+    from georay.pipelines.flagship import geotag_pipeline
+
+    res = geotag_pipeline(pages_dir_for(sf_dir), knn_k=3)
+    return res["knn"]
+
+
+def _geo_extract(sf_dir):
+    import ray.data
+
+    from georay.pages import pages_dir_for
+    from georay.pipeline import extract_batch
+
+    pages = ray.data.read_parquet(pages_dir_for(sf_dir))
+    return pages.map_batches(extract_batch, batch_format="pyarrow").drop_columns(["html"])
+
+
+def _geo_summary(sf_dir):
+    """Schema-only summary of the first geo payload (reference
+    POST /summary semantics, services/summary.js)."""
+    import pandas as pd
+
+    from georay.decode import decode_blob
+    from georay.fixtures import build_payload
+    from georay.merge import summarize_rows
+
+    name, blob = build_payload(0)
+    result = decode_blob(blob, name)
+    layers = summarize_rows(result.rows, result.default_crs)
+    return pd.DataFrame(
+        [
+            {
+                "name": l["name"],
+                "count": l["count"],
+                "geometry": l["geometry"],
+                "n_columns": len(l["columns"]),
+            }
+            for l in layers
+        ]
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "pricing_summary": _q_pricing,
+        "top_orders": _q_top_orders,
+        "region_revenue": _q_region_revenue,
+        "events_hourly": _q_events_hourly,
+        "orders_filter_sort": _q_orders_filter_sort,
+        "part_stats": _q_part_stats,
+        "dedup_exact": _q_dedup_exact,
+        "token_counts": _q_token_counts,
+        "quality_counts": _q_quality_counts,
+        "ngram_jaccard_dups": _q_ngram_jaccard,
+        "minhash_near_dups": _q_minhash_near_dups,
+        "simhash": _q_simhash,
+        "langid": _q_langid,
+        "quality_scores": _q_quality_scores,
+        "fingerprints": _q_fingerprints,
+        "ann_topk": _q_ann_topk,
+        "embedding_near_dups": _q_emb_near_dups,
+        "geo_extract": _geo_extract,
+        "geo_features": _geo_features,
+        "geo_layers": _geo_layers,
+        "geo_pip_join": _geo_pip_join,
+        "geo_tile_counts": _geo_tile_counts,
+        "geo_knn": _geo_knn,
+        "geo_summary": _geo_summary,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------- oracle sql
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty,
+                   SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sum_base_price_cents,
+                   SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS sum_disc_price_em4,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_orders": """
+            SELECT o_orderkey, c_name, o_totalprice
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 10
+        """,
+        "region_revenue": """
+            SELECT r_name,
+                   SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS revenue_em4
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "events_hourly": """
+            SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS window_hour,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   SUM(CAST(ROUND(value*1000000) AS BIGINT)) AS sum_value_em6
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "orders_filter_sort": """
+            SELECT o_orderkey, o_orderdate, o_totalprice
+            FROM orders
+            WHERE o_orderstatus = 'O'
+            ORDER BY o_orderdate ASC, o_orderkey ASC
+            LIMIT 100
+        """,
+        "part_stats": """
+            SELECT p_brand,
+                   COUNT(*) AS n_parts,
+                   SUM(CAST(ROUND(p_retailprice*100) AS BIGINT)) AS sum_price_cents,
+                   MIN(p_size) AS min_size,
+                   MAX(p_size) AS max_size
+            FROM part
+            GROUP BY p_brand
+        """,
+        "dedup_exact": """
+            SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+            FROM documents
+            GROUP BY text
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   CASE WHEN TRIM(text) = '' THEN 0
+                        ELSE LEN(regexp_split_to_array(TRIM(text), '\\s+'))
+                   END AS n_tokens
+            FROM documents
+        """,
+        "quality_counts": """
+            SELECT doc_id,
+                   LENGTH(text) AS n_chars_q,
+                   LENGTH(text) - LENGTH(regexp_replace(text, '[.!?,;:]', '', 'g')) AS n_punct,
+                   LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+                   LENGTH(text) - LENGTH(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper
+            FROM documents
+        """,
+        "ngram_jaccard_dups": f"""
+            WITH t AS (SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') w FROM documents),
+            words AS (SELECT doc_id, i, w[i+1] AS tok FROM t, UNNEST(range(len(w))) AS u(i)),
+            bigrams AS (SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok AS bg
+                        FROM words a JOIN words b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+            cnt AS (SELECT doc_id, COUNT(*) n FROM bigrams GROUP BY 1),
+            inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) i
+                      FROM bigrams x JOIN bigrams y ON x.bg = y.bg AND x.doc_id < y.doc_id
+                      GROUP BY 1, 2)
+            SELECT a, b
+            FROM inter JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
+            WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= {NGRAM_TAU}
+        """,
+        "ann_topk": f"""
+            WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings WHERE vec_id IN (0, 1, 2, 3)),
+            s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS sim
+                  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+            r AS (SELECT query_id, neighbor_id,
+                         ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY sim DESC, neighbor_id ASC) - 1 AS rank
+                  FROM s)
+            SELECT query_id, rank, neighbor_id FROM r WHERE rank < {ANN_K}
+        """,
+        "embedding_near_dups": f"""
+            SELECT a.vec_id AS a, b.vec_id AS b
+            FROM embeddings a
+            JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= {EMB_TAU}
+        """,
+    }

@@ -1,0 +1,237 @@
+"""Relational operators over the TPC-H-ish tables: grouped aggregates,
+broadcast (map-side) joins, an explicit bucketed hash join for
+large x large, filters, multi-key sort + top-k, tumbling-window
+aggregates over the events stream.
+
+These are the engine-breadth operators a user composes with the geo
+stages; each has a DuckDB oracle in __ray_entry__.oracle_sql().
+Patterns: prune at the read (columns=), pre-aggregate inside
+map_batches before every groupby, broadcast the small side of joins
+with ray.put, bucket-hash-join when both sides are large.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------- q1
+
+
+def pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped pricing summary: per (returnflag, linestatus)
+    sums with a pre-aggregation combiner before the groupby.
+
+    Money amounts aggregate in EXACT integer units (cents / basis
+    points) so the result is bit-identical regardless of summation
+    order — the property the oracle hash-compare needs and the property
+    a distributed sum should have anyway."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        cents = np.rint(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_c = np.rint(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        df["qty"] = np.rint(df["l_quantity"].to_numpy()).astype(np.int64)
+        df["base_cents"] = cents
+        df["disc_em4"] = cents * (100 - disc_c)  # price * (1-disc), 1e-4 units
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("qty", "sum"),
+            sum_base_price_cents=("base_cents", "sum"),
+            sum_disc_price_em4=("disc_em4", "sum"),
+            count_order=("qty", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_price_cents", alias_name="sum_base_price_cents"),
+        Sum("sum_disc_price_em4", alias_name="sum_disc_price_em4"),
+        Sum("count_order", alias_name="count_order"),
+    )
+
+
+# ------------------------------------------------- broadcast join + topk
+
+
+def top_orders(sf_dir: str, k: int = 10):
+    """orders x customer broadcast join -> top-k by totalprice
+    (deterministic tie-break on orderkey)."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"]).to_pandas()
+    cust_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    class Joiner:
+        def __init__(self):
+            self.cust = ray.get(cust_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            names = [self.cust.get(ck) for ck in t["o_custkey"].to_pylist()]
+            out = t.append_column("c_name", pa.array(names, pa.string()))
+            # per-batch partial top-k: global sort only sees k rows/batch
+            df = out.to_pandas().sort_values(
+                ["o_totalprice", "o_orderkey"], ascending=[False, True]
+            ).head(k)
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+    partials = orders.map_batches(Joiner, batch_format="pyarrow", concurrency=(1, 4))
+    top = partials.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
+    return top.select_columns(["o_orderkey", "c_name", "o_totalprice"])
+
+
+# ------------------------------------------------------ bucketed join
+
+
+def bucket_hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    n_buckets: int = 16,
+    right_on: str | None = None,
+):
+    """Explicit partitioned hash join for large x large: both sides get
+    bucket = hash(key) % B, groupby bucket co-locates matching keys,
+    per-bucket pandas merge inside map_groups. Salt-friendly: raise
+    n_buckets for hot keys."""
+    right_on = right_on or on
+
+    def add_bucket(col):
+        def f(t: pa.Table) -> pa.Table:
+            keys = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            b = (keys * np.int64(2654435761)) % np.int64(n_buckets)
+            return t.append_column("__bucket", pa.array(np.abs(b), pa.int64()))
+
+        return f
+
+    lt = left.map_batches(add_bucket(on), batch_format="pyarrow")
+    rt = right.map_batches(add_bucket(right_on), batch_format="pyarrow")
+    # tag sides, union, then per-bucket merge
+    lt = lt.map_batches(
+        lambda t: t.append_column("__side", pa.array(np.zeros(len(t), dtype=np.int8))),
+        batch_format="pyarrow",
+    )
+    rt = rt.map_batches(
+        lambda t: t.append_column("__side", pa.array(np.ones(len(t), dtype=np.int8))),
+        batch_format="pyarrow",
+    )
+
+    lcols = [c for c in left.schema().names]
+    rcols = [c for c in right.schema().names]
+
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["__side"] == 0][lcols]
+        r = df[df["__side"] == 1][rcols]
+        return l.merge(r, left_on=on, right_on=right_on)
+
+    both = lt.union(rt)
+    return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
+
+
+def region_revenue(sf_dir: str):
+    """lineitem |><| orders (bucketed hash join) with
+    customer/nation/region broadcast -> revenue per region name."""
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    r2name = dict(zip(region["r_regionkey"], region["r_name"]))
+    c2region = {
+        ck: r2name[n2r[nk]] for ck, nk in zip(cust["c_custkey"], cust["c_nationkey"])
+    }
+    c2r_ref = ray.put(c2region)
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    lineitem = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    joined = bucket_hash_join(lineitem, orders, on="l_orderkey", right_on="o_orderkey")
+
+    class RevenueByRegion:
+        def __init__(self):
+            self.c2r = ray.get(c2r_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            df["r_name"] = df["o_custkey"].map(self.c2r)
+            cents = np.rint(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+            disc_c = np.rint(df["l_discount"].to_numpy() * 100).astype(np.int64)
+            df["revenue_em4"] = cents * (100 - disc_c)
+            g = df.groupby("r_name", as_index=False)["revenue_em4"].sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = joined.map_batches(RevenueByRegion, batch_format="pyarrow", concurrency=(1, 4))
+    return partials.groupby("r_name").aggregate(Sum("revenue_em4", alias_name="revenue_em4"))
+
+
+# -------------------------------------------------------- window agg
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling 1-hour window per event_type over the events stream:
+    count + sum(value). Windows come from timestamp arithmetic inside
+    map_batches (no per-row python); the groupby sees pre-aggregated
+    (window, type) partials."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        micros = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = micros // 3_600_000_000
+        df = t.to_pandas()
+        df["window_hour"] = hour
+        # exact integer micro-units -> order-independent sums
+        df["value_em6"] = np.rint(df["value"].to_numpy() * 1e6).astype(np.int64)
+        g = df.groupby(["window_hour", "event_type"], as_index=False).agg(
+            n_events=("value_em6", "size"), sum_value_em6=("value_em6", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(["window_hour", "event_type"]).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_value_em6", alias_name="sum_value_em6"),
+    )
+
+
+def orders_filter_sort(sf_dir: str, k: int = 100):
+    """Filter + multi-key sort + limit."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_totalprice", "o_orderstatus"])
+    filtered = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderstatus"], "O")), batch_format="pyarrow"
+    )
+    return (
+        filtered.sort(["o_orderdate", "o_orderkey"])
+        .limit(k)
+        .select_columns(["o_orderkey", "o_orderdate", "o_totalprice"])
+    )
+
+
+def supplier_part_stats(sf_dir: str):
+    """part stats per brand: grouped count/sum/min/max — exercises the
+    plain (no pre-agg) aggregate path; price summed in exact cents."""
+    ds = _read(sf_dir, "part", columns=["p_brand", "p_retailprice", "p_size"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = np.rint(t["p_retailprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return t.append_column("price_cents", pa.array(c, pa.int64()))
+
+    return ds.map_batches(cents, batch_format="pyarrow").groupby("p_brand").aggregate(
+        Count(alias_name="n_parts"),
+        Sum("price_cents", alias_name="sum_price_cents"),
+        Min("p_size", alias_name="min_size"),
+        Max("p_size", alias_name="max_size"),
+    )

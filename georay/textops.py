@@ -1,0 +1,546 @@
+"""Training-data operators over the `documents` / `embeddings` tables:
+exact dedup, MinHash+LSH / SimHash / n-gram-Jaccard near-dup, document
+fingerprinting (winnowing), language id, quality scoring, token counts,
+brute-force + LSH-bucketed ANN over embeddings.
+
+All per-batch kernels are numpy-vectorized; the only shuffles are the
+LSH band groupby and the per-key groupbys, always over streams already
+reduced far below the input size (shingle signatures, partial top-ks,
+candidate pairs)."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Min, Sum
+
+# ------------------------------------------------------------ hashing
+
+_M61 = (1 << 61) - 1
+
+
+def _hash64_strings(strings):
+    """Deterministic 64-bit hashes of a list of strings (stable across
+    processes — no PYTHONHASHSEED dependence)."""
+    out = np.empty(len(strings), dtype=np.uint64)
+    for i, s in enumerate(strings):
+        out[i] = int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+    return out
+
+
+_WS = re.compile(r"\s+")
+
+
+def tokenize(text: str) -> list:
+    t = text.strip()
+    return _WS.split(t) if t else []
+
+
+def word_shingles(text: str, n: int = 2) -> np.ndarray:
+    """Distinct word n-gram shingle hashes."""
+    toks = tokenize(text)
+    if len(toks) < n:
+        return np.empty(0, dtype=np.uint64)
+    grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    return np.unique(_hash64_strings(sorted(set(grams))))
+
+
+# -------------------------------------------------------- exact dedup
+
+
+def add_text_hash(batch: pa.Table, col: str = "text") -> pa.Table:
+    hashes = [
+        int.from_bytes(hashlib.blake2b((t or "").encode(), digest_size=8).digest(), "big") >> 1
+        for t in batch[col].to_pylist()
+    ]
+    return batch.append_column("text_hash", pa.array(hashes, pa.int64()))
+
+
+def dedup_exact(docs: ray.data.Dataset):
+    """Exact dedup: hash-partitioned first-wins (min doc_id) per distinct
+    text. The shuffle key is the 64-bit content hash, never the text."""
+    hashed = docs.map_batches(add_text_hash, batch_format="pyarrow")
+    kept = hashed.groupby("text_hash").aggregate(
+        Min("doc_id", alias_name="doc_id"), Count(alias_name="dup_count")
+    )
+    return kept.drop_columns(["text_hash"])
+
+
+# ------------------------------------------------------ minhash + lsh
+
+MINHASH_PERMS = 128
+LSH_BANDS = 32  # 32 bands x 4 rows -> catches Jaccard >= ~0.8
+
+
+class _MinHasher:
+    """Stateful per-actor minhash kernel: permutation parameters drawn
+    once (seeded) in __init__."""
+
+    def __init__(self, n_perms: int = MINHASH_PERMS, shingle_n: int = 2, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _M61, n_perms, dtype=np.uint64)
+        self.b = rng.integers(0, _M61, n_perms, dtype=np.uint64)
+        self.n_perms = n_perms
+        self.shingle_n = shingle_n
+
+    def signature(self, shingles: np.ndarray) -> np.ndarray:
+        if len(shingles) == 0:
+            return np.full(self.n_perms, np.iinfo(np.uint64).max, dtype=np.uint64)
+        # (a*x + b) mod 2^61-1, vectorized [P, S]
+        x = shingles[None, :]
+        vals = (self.a[:, None] * x + self.b[:, None]) % np.uint64(_M61)
+        return vals.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        """doc batch -> exploded (doc_id, band, band_hash) rows."""
+        rows_per_band = self.n_perms // LSH_BANDS
+        doc_ids, bands, band_hashes = [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            sig = self.signature(word_shingles(text or "", self.shingle_n))
+            for band in range(LSH_BANDS):
+                seg = sig[band * rows_per_band : (band + 1) * rows_per_band]
+                bh = int.from_bytes(
+                    hashlib.blake2b(seg.tobytes(), digest_size=8).digest(), "big"
+                ) >> 1
+                doc_ids.append(doc_id)
+                bands.append(band)
+                band_hashes.append(bh)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "band": pa.array(bands, pa.int32()),
+                "band_hash": pa.array(band_hashes, pa.int64()),
+            }
+        )
+
+
+def _bucket_pairs(group: "pa.Table") -> pa.Table:
+    ids = sorted(set(group["doc_id"].to_pylist()))
+    a, b = [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a.append(ids[i])
+            b.append(ids[j])
+    return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+
+
+def jaccard(s1: np.ndarray, s2: np.ndarray) -> float:
+    if len(s1) == 0 and len(s2) == 0:
+        return 1.0
+    inter = len(np.intersect1d(s1, s2, assume_unique=True))
+    return inter / (len(s1) + len(s2) - inter)
+
+
+def minhash_near_dups(
+    docs: ray.data.Dataset,
+    threshold: float = 0.8,
+    shingle_n: int = 2,
+    verify: bool = True,
+):
+    """MinHash -> LSH band groupby -> candidate pairs -> exact-Jaccard
+    verification. Returns a Dataset of {a, b} near-dup id pairs (a < b).
+
+    Candidate verification joins the (tiny) candidate set back to the
+    corpus with a broadcast id-set filter — the corpus itself is never
+    collected."""
+    sigs = docs.map_batches(
+        _MinHasher,
+        fn_constructor_kwargs={"shingle_n": shingle_n},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    pairs_ds = sigs.groupby(["band", "band_hash"]).map_groups(
+        _bucket_pairs, batch_format="pyarrow"
+    )
+    pairs = {
+        (r["a"], r["b"]) for r in pairs_ds.take_all()
+    }  # candidates are << corpus by construction
+    if not verify:
+        tbl = pa.table(
+            {
+                "a": pa.array([p[0] for p in sorted(pairs)], pa.int64()),
+                "b": pa.array([p[1] for p in sorted(pairs)], pa.int64()),
+            }
+        )
+        return ray.data.from_arrow(tbl)
+
+    involved = {i for p in pairs for i in p}
+    inv_ref = ray.put(involved)
+
+    def keep_involved(t: pa.Table) -> pa.Table:
+        ids = ray.get(inv_ref)
+        mask = pa.array([i in ids for i in t["doc_id"].to_pylist()])
+        return t.filter(mask).select(["doc_id", "text"])
+
+    shingle_map = {}
+    for row in docs.map_batches(keep_involved, batch_format="pyarrow").take_all():
+        shingle_map[row["doc_id"]] = word_shingles(row["text"] or "", shingle_n)
+
+    out_a, out_b = [], []
+    for a, b in sorted(pairs):
+        if jaccard(shingle_map[a], shingle_map[b]) >= threshold:
+            out_a.append(a)
+            out_b.append(b)
+    return ray.data.from_arrow(
+        pa.table({"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64())})
+    )
+
+
+def ngram_jaccard_pairs(docs: ray.data.Dataset, threshold: float, shingle_n: int = 2):
+    """Exact all-pairs n-gram Jaccard via an inverted shingle index
+    (shuffle on shingle hash; exact counterpart/oracle of MinHash-LSH).
+
+    docs -> (shingle, doc) postings -> per-shingle pairs -> pair
+    intersection counts -> filter by J >= threshold."""
+
+    def postings(batch: pa.Table) -> pa.Table:
+        s_ids, d_ids, sizes = [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            sh = word_shingles(text or "", shingle_n)
+            s_ids.extend(int(x) >> 1 for x in sh)
+            d_ids.extend([doc_id] * len(sh))
+            sizes.extend([len(sh)] * len(sh))
+        return pa.table(
+            {
+                "shingle": pa.array(s_ids, pa.int64()),
+                "doc_id": pa.array(d_ids, pa.int64()),
+                "set_size": pa.array(sizes, pa.int64()),
+            }
+        )
+
+    posts = docs.map_batches(postings, batch_format="pyarrow")
+
+    def shingle_pairs(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_pylist()
+        sz = group["set_size"].to_pylist()
+        order = np.argsort(ids)
+        a, b, sa, sb = [], [], [], []
+        for i in range(len(order)):
+            for j in range(i + 1, len(order)):
+                a.append(ids[order[i]])
+                b.append(ids[order[j]])
+                sa.append(sz[order[i]])
+                sb.append(sz[order[j]])
+        return pa.table(
+            {
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+                "size_a": pa.array(sa, pa.int64()),
+                "size_b": pa.array(sb, pa.int64()),
+            }
+        )
+
+    pair_stream = posts.groupby("shingle").map_groups(shingle_pairs, batch_format="pyarrow")
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas()
+        g = df.groupby(["a", "b", "size_a", "size_b"], as_index=False).size()
+        return pa.Table.from_pandas(g.rename(columns={"size": "inter"}), preserve_index=False)
+
+    partials = pair_stream.map_batches(partial_counts, batch_format="pyarrow")
+    summed = partials.groupby(["a", "b", "size_a", "size_b"]).aggregate(
+        Sum("inter", alias_name="inter")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        inter = t["inter"].to_numpy(zero_copy_only=False).astype(np.float64)
+        union = (
+            t["size_a"].to_numpy(zero_copy_only=False)
+            + t["size_b"].to_numpy(zero_copy_only=False)
+            - inter
+        )
+        j = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+        keep = j >= threshold
+        return pa.table(
+            {
+                "a": t["a"].filter(pa.array(keep)),
+                "b": t["b"].filter(pa.array(keep)),
+            }
+        )
+
+    return summed.map_batches(finish, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ simhash
+
+
+class SimHasher:
+    def __init__(self, seed: int = 42):
+        self.seed = seed
+
+    @staticmethod
+    def simhash64(text: str) -> int:
+        toks = tokenize(text)
+        if not toks:
+            return 0
+        hashes = _hash64_strings(toks)
+        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+            np.int32
+        )
+        votes = (2 * bits - 1).sum(axis=0)
+        return int(
+            np.packbits((votes > 0).astype(np.uint8)[::-1]).view(">u8")[0]
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sh = [self.simhash64(t or "") for t in batch["text"].to_pylist()]
+        # signed view so the column is int64-friendly for parquet/duckdb
+        signed = [s - (1 << 64) if s >= (1 << 63) else s for s in sh]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "simhash": pa.array(signed, pa.int64()),
+            }
+        )
+
+
+def simhash_table(docs: ray.data.Dataset):
+    return docs.map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 8))
+
+
+# -------------------------------------------------------- fingerprint
+
+
+def winnow_fingerprints(text: str, k: int = 5, window: int = 4) -> list:
+    """Winnowing (Schleimer et al. 2003): k-gram rolling hashes, min per
+    sliding window, deduped — the classic document fingerprint."""
+    toks = tokenize(text)
+    if len(toks) < k:
+        return []
+    grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    hashes = _hash64_strings(grams)
+    if len(hashes) <= window:
+        return [int(hashes.min()) >> 1]
+    out = []
+    last = -1
+    for i in range(len(hashes) - window + 1):
+        w = hashes[i : i + window]
+        j = i + int(np.argmin(w))
+        if j != last:
+            out.append(int(hashes[j]) >> 1)
+            last = j
+    return out
+
+
+def fingerprint_table(docs: ray.data.Dataset):
+    def fp(batch: pa.Table) -> pa.Table:
+        ids, fps = [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            f = winnow_fingerprints(text or "")
+            ids.append(doc_id)
+            fps.append(f)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "fingerprints": pa.array(fps, pa.list_(pa.int64())),
+                "n_fingerprints": pa.array([len(f) for f in fps], pa.int64()),
+            }
+        )
+
+    return docs.map_batches(fp, batch_format="pyarrow")
+
+
+# ------------------------------------------------- langid and quality
+
+_LANG_PROFILES = {
+    # tiny stopword/letter-frequency profiles (public knowledge)
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "los", "se", "no"},
+    "de": {"der", "die", "und", "das", "ist", "nicht", "ein", "mit", "zu", "den"},
+    "fr": {"le", "la", "et", "les", "des", "est", "un", "une", "du", "que"},
+    "pt": {"o", "a", "de", "que", "e", "do", "da", "em", "um", "para"},
+}
+
+
+class LangId:
+    """n-gram/stopword heuristic language id (stateful: profiles compiled
+    once per actor)."""
+
+    def __init__(self):
+        self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds, scores = [], []
+        for text in batch["text"].to_pylist():
+            toks = set(t.lower() for t in tokenize(text or ""))
+            best, best_s = "und", 0.0
+            for lang, stops in self.profiles.items():
+                s = len(toks & stops) / max(1, len(stops))
+                if s > best_s:
+                    best, best_s = lang, s
+            preds.append(best)
+            scores.append(best_s)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "lang_pred": pa.array(preds, pa.string()),
+                "lang_score": pa.array(scores, pa.float64()),
+            }
+        )
+
+
+def langid_table(docs: ray.data.Dataset):
+    return docs.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def token_counts(docs: ray.data.Dataset):
+    def tc(batch: pa.Table) -> pa.Table:
+        n = [len(tokenize(t or "")) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "n_tokens": pa.array(n, pa.int64())}
+        )
+
+    return docs.map_batches(tc, batch_format="pyarrow")
+
+
+_PUNCT = re.compile(r"[.!?,;:]")
+_DIGIT = re.compile(r"[0-9]")
+_UPPER = re.compile(r"[A-Z]")
+
+
+def quality_counts(docs: ray.data.Dataset):
+    """Integer quality signals (oracle-friendly: no float ratios)."""
+
+    def q(batch: pa.Table) -> pa.Table:
+        texts = [t or "" for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars_q": pa.array([len(t) for t in texts], pa.int64()),
+                "n_punct": pa.array([len(_PUNCT.findall(t)) for t in texts], pa.int64()),
+                "n_digits": pa.array([len(_DIGIT.findall(t)) for t in texts], pa.int64()),
+                "n_upper": pa.array([len(_UPPER.findall(t)) for t in texts], pa.int64()),
+            }
+        )
+
+    return docs.map_batches(q, batch_format="pyarrow")
+
+
+def quality_scores(docs: ray.data.Dataset):
+    """Composite quality score (stopword ratio, mean word length,
+    punct density) — the model-free filter a 100 TB text pipeline runs."""
+    stops = _LANG_PROFILES["en"]
+
+    def q(batch: pa.Table) -> pa.Table:
+        out_score = []
+        for text in batch["text"].to_pylist():
+            t = text or ""
+            toks = tokenize(t)
+            n = len(toks)
+            stop_ratio = sum(1 for w in toks if w.lower() in stops) / max(1, n)
+            mean_len = sum(len(w) for w in toks) / max(1, n)
+            punct_density = len(_PUNCT.findall(t)) / max(1, len(t))
+            score = (
+                min(1.0, n / 50)
+                * (0.5 + 0.5 * min(stop_ratio * 4, 1.0))
+                * (1.0 if 3 <= mean_len <= 9 else 0.6)
+                * (1.0 - min(punct_density * 5, 0.5))
+            )
+            out_score.append(score)
+        return pa.table(
+            {"doc_id": batch["doc_id"], "quality": pa.array(out_score, pa.float64())}
+        )
+
+    return docs.map_batches(q, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- ANN
+
+
+def ann_topk(
+    embeddings: ray.data.Dataset,
+    query_ids: list,
+    k: int = 5,
+):
+    """Brute-force cosine top-k: the query matrix is broadcast once; each
+    batch computes a [B, Q] matmul and emits per-batch partial top-ks;
+    the driver merges partials (k*Q rows per batch — tiny).
+    Returns rows {query_id, rank, neighbor_id} (self excluded)."""
+    qset = set(query_ids)
+
+    def get_queries(t: pa.Table) -> pa.Table:
+        mask = pa.array([v in qset for v in t["vec_id"].to_pylist()])
+        return t.filter(mask)
+
+    qrows = embeddings.map_batches(get_queries, batch_format="pyarrow").take_all()
+    qrows.sort(key=lambda r: query_ids.index(r["vec_id"]))
+    Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    q_ref = ray.put((np.array([r["vec_id"] for r in qrows]), Qn))
+
+    class PartialTopK:
+        def __init__(self):
+            self.qids, self.Qn = ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            E = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+            En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
+            sims = En @ self.Qn.T  # [B, Q]
+            out_q, out_n, out_s = [], [], []
+            for qi in range(sims.shape[1]):
+                col = sims[:, qi]
+                mask = ids != self.qids[qi]
+                cand = np.nonzero(mask)[0]
+                top = cand[np.argsort(-col[cand], kind="stable")[: k]]
+                out_q.extend([int(self.qids[qi])] * len(top))
+                out_n.extend(ids[top].tolist())
+                out_s.extend(col[top].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "neighbor_id": pa.array(out_n, pa.int64()),
+                    "sim": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    partials = embeddings.map_batches(PartialTopK, batch_format="pyarrow", concurrency=(1, 8))
+    rows = partials.take_all()  # <= k*Q per batch
+    out_q, out_r, out_n = [], [], []
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["sim"], r["neighbor_id"]))
+    for qid in sorted(by_q):
+        cand = sorted(by_q[qid], key=lambda t: (-t[0], t[1]))[:k]
+        for rank, (_s, nid) in enumerate(cand):
+            out_q.append(qid)
+            out_r.append(rank)
+            out_n.append(nid)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "rank": pa.array(out_r, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+            }
+        )
+    )
+
+
+def embedding_near_dups(embeddings: ray.data.Dataset, threshold: float):
+    """Embedding-cosine near-dup pairs, blocked by the `label` column
+    (the IVF-style bucket): per-label groupby -> within-group matmul ->
+    pairs with cosine >= threshold. Returns {a, b} (a < b)."""
+
+    def per_label(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group["vec_id"].to_pylist(), dtype=np.int64)
+        E = np.array(group["embedding"].to_pylist(), dtype=np.float64)
+        En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
+        sims = En @ En.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = sims[iu, ju] >= threshold
+        a = np.minimum(ids[iu[keep]], ids[ju[keep]])
+        b = np.maximum(ids[iu[keep]], ids[ju[keep]])
+        return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+
+    return embeddings.groupby("label").map_groups(per_label, batch_format="pyarrow")
