@@ -88,6 +88,36 @@ def _q_part_stats(sf_dir):
     return supplier_part_stats(sf_dir)
 
 
+def _q_cust_order_counts(sf_dir):
+    from georay.relational import cust_order_counts
+
+    return cust_order_counts(sf_dir)
+
+
+def _q_mktsegment_stats(sf_dir):
+    from georay.relational import mktsegment_stats
+
+    return mktsegment_stats(sf_dir)
+
+
+def _q_priority_line_counts(sf_dir):
+    from georay.relational import priority_line_counts
+
+    return priority_line_counts(sf_dir)
+
+
+def _q_top_orders_per_segment(sf_dir):
+    from georay.relational import top_orders_per_segment
+
+    return top_orders_per_segment(sf_dir)
+
+
+def _q_daily_active_users(sf_dir):
+    from georay.relational import daily_active_users
+
+    return daily_active_users(sf_dir)
+
+
 def _q_dedup_exact(sf_dir):
     from georay.textops import dedup_exact
 
@@ -152,6 +182,43 @@ def _q_emb_near_dups(sf_dir):
     from georay.textops import embedding_near_dups
 
     return embedding_near_dups(_emb(sf_dir), threshold=EMB_TAU)
+
+
+def _q_ann_topk_ivf(sf_dir):
+    from georay.ann import ann_topk_ivf
+
+    return ann_topk_ivf(_emb(sf_dir), ANN_QUERY_IDS, k=ANN_K, n_clusters=8, nprobe=8)
+
+
+# multimodal (deterministic GRB media corpus; rows-only checks + pytest
+# goldens in tests/test_multimodal.py — binary payloads aren't a
+# pre-registered DuckDB view)
+
+
+def _media(sf_dir):
+    import ray.data
+
+    from georay.multimodal import media_dir_for
+
+    return ray.data.read_parquet(media_dir_for(sf_dir))
+
+
+def _q_image_features(sf_dir):
+    from georay.multimodal import image_features
+
+    return image_features(_media(sf_dir)).drop_columns(["thumb"])
+
+
+def _q_audio_features(sf_dir):
+    from georay.multimodal import audio_features
+
+    return audio_features(_media(sf_dir)).drop_columns(["rms", "zcr"])
+
+
+def _q_video_frames(sf_dir):
+    from georay.multimodal import video_frame_sample
+
+    return video_frame_sample(_media(sf_dir)).drop_columns(["frame"])
 
 
 # geo pipelines (pages corpus; rows-only checks + pytest goldens)
@@ -254,7 +321,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality_scores,
         "fingerprints": _q_fingerprints,
         "ann_topk": _q_ann_topk,
+        "ann_topk_ivf": _q_ann_topk_ivf,
         "embedding_near_dups": _q_emb_near_dups,
+        "cust_order_counts": _q_cust_order_counts,
+        "mktsegment_stats": _q_mktsegment_stats,
+        "priority_line_counts": _q_priority_line_counts,
+        "top_orders_per_segment": _q_top_orders_per_segment,
+        "daily_active_users": _q_daily_active_users,
+        "image_features": _q_image_features,
+        "audio_features": _q_audio_features,
+        "video_frames": _q_video_frames,
         "geo_extract": _geo_extract,
         "geo_features": _geo_features,
         "geo_layers": _geo_layers,
@@ -365,6 +441,58 @@ def oracle_sql() -> dict[str, str]:
                                             ORDER BY sim DESC, neighbor_id ASC) - 1 AS rank
                   FROM s)
             SELECT query_id, rank, neighbor_id FROM r WHERE rank < {ANN_K}
+        """,
+        "ann_topk_ivf": f"""
+            WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings WHERE vec_id IN (0, 1, 2, 3)),
+            s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS sim
+                  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+            r AS (SELECT query_id, neighbor_id,
+                         ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY sim DESC, neighbor_id ASC) - 1 AS rank
+                  FROM s)
+            SELECT query_id, rank, neighbor_id FROM r WHERE rank < {ANN_K}
+        """,
+        "cust_order_counts": """
+            SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
+        """,
+        "mktsegment_stats": """
+            SELECT c_mktsegment,
+                   CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+                   CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative,
+                   COUNT(*) AS n_cust
+            FROM customer
+            GROUP BY c_mktsegment
+        """,
+        "priority_line_counts": """
+            SELECT l_returnflag,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   COUNT(*) AS n_lines,
+                   COUNT(*) - CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                        THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY l_returnflag
+        """,
+        "top_orders_per_segment": """
+            WITH j AS (SELECT c_mktsegment, o_orderkey, o_totalprice
+                       FROM orders JOIN customer ON o_custkey = c_custkey),
+            r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                               ORDER BY o_totalprice DESC,
+                                                        o_orderkey ASC) AS rnk
+                  FROM j)
+            SELECT c_mktsegment, rnk, o_orderkey, o_totalprice
+            FROM r WHERE rnk <= 3
+        """,
+        "daily_active_users": """
+            SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau,
+                   COUNT(*) AS n_events
+            FROM events
+            GROUP BY 1
         """,
         "embedding_near_dups": f"""
             SELECT a.vec_id AS a, b.vec_id AS b

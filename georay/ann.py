@@ -1,0 +1,165 @@
+"""IVF (inverted-file) approximate nearest-neighbor search — the scale
+path next to textops.ann_topk's brute-force baseline.
+
+Shape (100 TB-ready):
+1. TRAIN on a small deterministic sample (driver-side numpy Lloyd
+   k-means; at real scale the sample is ~1e6 vectors — still tiny).
+2. Broadcast the centroid matrix once with ray.put.
+3. One actor-pool map_batches pass does assign + probe + partial
+   top-k fused: each batch assigns its vectors to centroids and scores
+   a query only against the vectors that fall in that query's nprobe
+   closest clusters. No shuffle; the only cross-batch traffic is
+   k x Q partial-top-k rows per batch.
+
+With nprobe == n_clusters this degenerates to exact brute force; with
+nprobe << n_clusters each batch does ~nprobe/n_clusters of the matmul
+work. Recall is pinned by tests/test_ann.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _seed_for(tag: str) -> int:
+    return int.from_bytes(hashlib.sha256(tag.encode()).digest()[:4], "big")
+
+
+def _normalize(E: np.ndarray) -> np.ndarray:
+    return E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
+
+
+def kmeans(sample: np.ndarray, n_clusters: int, n_iter: int = 10, seed_tag: str = "ivf"):
+    """Deterministic Lloyd k-means on unit-normalized vectors (so
+    euclidean argmin == cosine argmax). Returns [C, D] centroids."""
+    X = _normalize(sample.astype(np.float64))
+    rng = np.random.default_rng(_seed_for(seed_tag))
+    init = rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)
+    C = X[np.sort(init)].copy()
+    for _ in range(n_iter):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(C.shape[0]):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+        C = _normalize(C)
+    return C
+
+
+def train_centroids(
+    embeddings: ray.data.Dataset,
+    n_clusters: int = 16,
+    sample_n: int = 2048,
+    n_iter: int = 10,
+):
+    """Sample the head of the dataset (deterministic) and k-means it.
+    Returns (centroids ndarray, ObjectRef to centroids)."""
+    rows = embeddings.limit(sample_n).take_all()
+    sample = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    C = kmeans(sample, n_clusters, n_iter)
+    return C, ray.put(C)
+
+
+def assign_clusters(embeddings: ray.data.Dataset, centroids_ref):
+    """Add a `cluster` column: argmax-cosine centroid per vector.
+    (The partition-pruning key for IVF-organized storage: write
+    parquet partitioned by this and a probe only reads nprobe/C of
+    the files.)"""
+
+    class Assign:
+        def __init__(self):
+            self.C = ray.get(centroids_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            E = _normalize(np.array(batch["embedding"].to_pylist(), dtype=np.float64))
+            cl = np.argmax(E @ self.C.T, axis=1).astype(np.int32)
+            return batch.append_column("cluster", pa.array(cl, pa.int32()))
+
+    return embeddings.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def ann_topk_ivf(
+    embeddings: ray.data.Dataset,
+    query_ids: list,
+    k: int = 5,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    sample_n: int = 2048,
+):
+    """IVF-probed cosine top-k. Same output schema as
+    textops.ann_topk: {query_id, rank, neighbor_id}."""
+    qset = set(int(q) for q in query_ids)
+    _, c_ref = train_centroids(embeddings, n_clusters, sample_n)
+
+    def get_queries(t: pa.Table) -> pa.Table:
+        mask = pa.array([int(v) in qset for v in t["vec_id"].to_pylist()])
+        return t.filter(mask)
+
+    qrows = embeddings.map_batches(get_queries, batch_format="pyarrow").take_all()
+    qrows.sort(key=lambda r: query_ids.index(r["vec_id"]))
+    Qn = _normalize(np.array([r["embedding"] for r in qrows], dtype=np.float64))
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    q_ref = ray.put((qids, Qn))
+
+    class ProbeTopK:
+        """Fused assign + probe + partial top-k (see module doc)."""
+
+        def __init__(self):
+            self.C = ray.get(c_ref)
+            self.qids, self.Qn = ray.get(q_ref)
+            # per-query probe set: nprobe closest centroids
+            qsim = self.Qn @ self.C.T  # [Q, C]
+            order = np.argsort(-qsim, axis=1, kind="stable")
+            self.probe = order[:, : min(nprobe, self.C.shape[0])]  # [Q, P]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            En = _normalize(np.array(batch["embedding"].to_pylist(), dtype=np.float64))
+            cl = np.argmax(En @ self.C.T, axis=1)  # [B]
+            out_q, out_n, out_s = [], [], []
+            for qi in range(self.Qn.shape[0]):
+                mask = np.isin(cl, self.probe[qi]) & (ids != self.qids[qi])
+                cand = np.nonzero(mask)[0]
+                if not len(cand):
+                    continue
+                sims = En[cand] @ self.Qn[qi]
+                top = cand[np.argsort(-sims, kind="stable")[:k]]
+                col = En[top] @ self.Qn[qi]
+                out_q.extend([int(self.qids[qi])] * len(top))
+                out_n.extend(ids[top].tolist())
+                out_s.extend(col.tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "neighbor_id": pa.array(out_n, pa.int64()),
+                    "sim": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    partials = embeddings.map_batches(ProbeTopK, batch_format="pyarrow", concurrency=(1, 8))
+    rows = partials.take_all()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["sim"], r["neighbor_id"]))
+    out_q, out_r, out_n = [], [], []
+    for qid in sorted(by_q):
+        cand = sorted(by_q[qid], key=lambda t: (-t[0], t[1]))[:k]
+        for rank, (_s, nid) in enumerate(cand):
+            out_q.append(qid)
+            out_r.append(rank)
+            out_n.append(nid)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "rank": pa.array(out_r, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+            }
+        )
+    )

@@ -1,0 +1,381 @@
+"""Multimodal (image / audio / video) columns as opaque ``binary``
+payloads with typed metadata, processed by actor-pool ``map_batches``
+stages.
+
+Design (scale-first):
+- Media lives in a ``binary`` column next to small typed metadata
+  columns; Arrow keeps the bytes zero-copy through the object store.
+- Decode / feature-extract / resize / frame-sample are callable CLASSES
+  passed to ``map_batches(Cls, concurrency=N, batch_size=B)`` — any
+  per-worker setup happens once in ``__init__``, per-batch work in
+  ``__call__`` on numpy views of the payload bytes.
+- Batch sizes are small (``MEDIA_BATCH_SIZE``) because a batch is
+  ``batch_size x payload_bytes`` of heap: 32 x ~200 kB ≈ 6 MB/batch,
+  so batch x concurrency stays far under a worker's heap at any scale.
+- Real-world codec decode (JPEG/PNG/MP3/H.264) needs libraries not in
+  this container; those stages are stubbed behind a clearly-marked
+  ``NotImplementedError`` (see ``ExternalCodecDecoder``). The Ray-side
+  plumbing — schema, batch size, actor signature, output layout — is
+  real and tested against the deterministic GRB container format below.
+
+GRB container (deterministic, library-free, fully decodable):
+  image  = b"GRIM" + u16 width + u16 height + u8 channels + raw u8 pixels
+  audio  = b"GRAU" + u32 sample_rate + u32 n_samples + s16le PCM
+  video  = b"GRVD" + u16 width + u16 height + u16 n_frames + u8 fps
+           + n_frames raw u8 grayscale frames
+
+The reference has no media path; this extends the engine for
+training-data pipelines (task brief) using the same actor-pool pattern
+as the PIP join (georay/spatial/join.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+SEED = 42
+MEDIA_BATCH_SIZE = 32  # payloads are ~10-200 kB; keep batches small
+THUMB_SIZE = 16
+AUDIO_FRAME = 1024
+
+MAGIC_IMAGE = b"GRIM"
+MAGIC_AUDIO = b"GRAU"
+MAGIC_VIDEO = b"GRVD"
+
+KINDS = ("image", "audio", "video")
+
+
+def _h64(s: str) -> int:
+    return int.from_bytes(hashlib.sha256(s.encode()).digest()[:8], "big")
+
+
+# ----------------------------------------------------------- synthesis
+
+
+def encode_image(width: int, height: int, channels: int, pixels: np.ndarray) -> bytes:
+    assert pixels.dtype == np.uint8 and pixels.size == width * height * channels
+    return MAGIC_IMAGE + struct.pack("<HHB", width, height, channels) + pixels.tobytes()
+
+
+def encode_audio(sample_rate: int, samples: np.ndarray) -> bytes:
+    assert samples.dtype == np.int16
+    return MAGIC_AUDIO + struct.pack("<II", sample_rate, samples.size) + samples.tobytes()
+
+
+def encode_video(width: int, height: int, fps: int, frames: np.ndarray) -> bytes:
+    assert frames.dtype == np.uint8 and frames.ndim == 3
+    n = frames.shape[0]
+    return MAGIC_VIDEO + struct.pack("<HHHB", width, height, n, fps) + frames.tobytes()
+
+
+def synth_payload(media_id: int, seed: int = SEED):
+    """Deterministic payload for one media row -> (kind, payload, meta).
+    meta = (width, height, channels, sample_rate, duration_ms)."""
+    kind = KINDS[media_id % len(KINDS)]
+    rng = np.random.default_rng(_h64(f"media:{seed}:{media_id}"))
+    if kind == "image":
+        w = 32 + int(rng.integers(0, 4)) * 16
+        h = 32 + int(rng.integers(0, 4)) * 16
+        c = 3
+        px = rng.integers(0, 256, w * h * c, dtype=np.int64).astype(np.uint8)
+        return kind, encode_image(w, h, c, px), (w, h, c, 0, 0)
+    if kind == "audio":
+        sr = 8000
+        n = sr // 2 + int(rng.integers(0, sr))  # 0.5 - 1.5 s
+        t = np.arange(n, dtype=np.float64)
+        freq = 110.0 * (1 + int(rng.integers(0, 8)))
+        wave = np.sin(2 * np.pi * freq * t / sr) * 12000
+        wave += rng.normal(0, 500, n)
+        samples = np.clip(wave, -32768, 32767).astype(np.int16)
+        return kind, encode_audio(sr, samples), (0, 0, 0, sr, int(n * 1000 / sr))
+    w, h, fps = 48, 32, 10
+    nf = 8 + int(rng.integers(0, 17))
+    frames = rng.integers(0, 256, (nf, h, w), dtype=np.int64).astype(np.uint8)
+    return kind, encode_video(w, h, fps, frames), (w, h, 1, 0, int(nf * 1000 / fps))
+
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("url", pa.string()),
+        ("kind", pa.string()),
+        ("payload", pa.binary()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("channels", pa.int32()),
+        ("sample_rate", pa.int32()),
+        ("duration_ms", pa.int32()),
+    ]
+)
+
+
+def media_batch(start: int, count: int, seed: int = SEED) -> pa.Table:
+    rows = {name: [] for name in MEDIA_SCHEMA.names}
+    for mid in range(start, start + count):
+        kind, payload, (w, h, c, sr, dur) = synth_payload(mid, seed)
+        rows["media_id"].append(mid)
+        rows["url"].append(f"https://media-{mid % 997}.example/{mid}")
+        rows["kind"].append(kind)
+        rows["payload"].append(payload)
+        rows["width"].append(w)
+        rows["height"].append(h)
+        rows["channels"].append(c)
+        rows["sample_rate"].append(sr)
+        rows["duration_ms"].append(dur)
+    return pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA)
+
+
+def synthesize_media_parquet(out_dir: str, n: int, seed: int = SEED, rows_per_file: int = 2000):
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    done = os.path.join(out_dir, f"_DONE_{n}_{seed}")
+    if os.path.exists(done):
+        return out_dir
+    for start in range(0, n, rows_per_file):
+        count = min(rows_per_file, n - start)
+        pq.write_table(media_batch(start, count, seed), os.path.join(out_dir, f"media-{start:09d}.parquet"))
+    with open(done, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+def media_dir_for(sf_dir: str, base: str = "/tmp/georay_media") -> str:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.001
+    n = max(300, int(sf * 300_000))
+    out = f"{base}/n{n}_seed{SEED}"
+    return synthesize_media_parquet(out, n)
+
+
+# ------------------------------------------------------------ decoders
+
+
+def decode_image_payload(payload: bytes):
+    """GRB image -> (H, W, C) uint8 array (zero-copy view of payload)."""
+    if payload[:4] != MAGIC_IMAGE:
+        raise ValueError("not a GRIM image payload")
+    w, h, c = struct.unpack_from("<HHB", payload, 4)
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * c, offset=9)
+    return px.reshape(h, w, c)
+
+
+def decode_audio_payload(payload: bytes):
+    """GRB audio -> (sample_rate, int16 samples) (zero-copy view)."""
+    if payload[:4] != MAGIC_AUDIO:
+        raise ValueError("not a GRAU audio payload")
+    sr, n = struct.unpack_from("<II", payload, 4)
+    return sr, np.frombuffer(payload, dtype="<i2", count=n, offset=12)
+
+
+def decode_video_payload(payload: bytes):
+    """GRB video -> (fps, (N, H, W) uint8 frames) (zero-copy view)."""
+    if payload[:4] != MAGIC_VIDEO:
+        raise ValueError("not a GRVD video payload")
+    w, h, nf, fps = struct.unpack_from("<HHHB", payload, 4)
+    frames = np.frombuffer(payload, dtype=np.uint8, count=nf * h * w, offset=11)
+    return fps, frames.reshape(nf, h, w)
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize, pure numpy (vectorized gather)."""
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[ys][:, xs]
+
+
+class ExternalCodecDecoder:
+    """STUB for real-world codecs (JPEG/PNG/WEBP/MP3/H.264).
+
+    The container has no image/audio libraries; when one is present
+    (PIL / soundfile / av), plug it in here. Until then calling this
+    stage raises NotImplementedError — by design, per the task brief.
+    The actor signature and output schema match ImageDecoder so a swap
+    is a one-line pipeline change.
+    """
+
+    def __init__(self, codec: str = "jpeg"):
+        self.codec = codec
+        try:  # pragma: no cover - not installed in this container
+            import PIL.Image  # noqa: F401
+
+            self._pil = True
+        except ImportError:
+            self._pil = False
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self._pil:
+            raise NotImplementedError(
+                f"real {self.codec} decode requires PIL/soundfile/av, "
+                "not available in this environment (stubbed by design; "
+                "see georay/multimodal.py ExternalCodecDecoder)"
+            )
+        raise NotImplementedError("PIL path not wired yet")  # pragma: no cover
+
+
+class ImageDecoder:
+    """Actor-pool stage: GRB image payload -> per-channel mean/std
+    features + a nearest-neighbor thumbnail (re-encoded GRB).
+
+    Output columns: media_id, width, height, channels,
+    chan_mean list<float>, chan_std list<float>, thumb binary.
+    """
+
+    def __init__(self, thumb_size: int = THUMB_SIZE):
+        self.thumb = thumb_size
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, ws, hs, cs, means, stds, thumbs = [], [], [], [], [], [], []
+        payloads = batch["payload"]
+        mids = batch["media_id"].to_numpy(zero_copy_only=False)
+        for i in range(batch.num_rows):
+            img = decode_image_payload(payloads[i].as_py())
+            h, w, c = img.shape
+            flat = img.reshape(-1, c).astype(np.float64)
+            ids.append(int(mids[i]))
+            ws.append(w)
+            hs.append(h)
+            cs.append(c)
+            means.append(flat.mean(axis=0).tolist())
+            stds.append(flat.std(axis=0).tolist())
+            tn = resize_nearest(img, self.thumb, self.thumb)
+            thumbs.append(encode_image(self.thumb, self.thumb, c, tn.reshape(-1)))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "width": pa.array(ws, pa.int32()),
+                "height": pa.array(hs, pa.int32()),
+                "channels": pa.array(cs, pa.int32()),
+                "chan_mean": pa.array(means, pa.list_(pa.float64())),
+                "chan_std": pa.array(stds, pa.list_(pa.float64())),
+                "thumb": pa.array(thumbs, pa.binary()),
+            }
+        )
+
+
+class AudioFeaturizer:
+    """Actor-pool stage: GRB audio payload -> framed RMS energy +
+    zero-crossing-rate features.
+
+    Output: media_id, sample_rate, n_samples, n_frames,
+    rms list<float>, zcr list<float>.
+    """
+
+    def __init__(self, frame_len: int = AUDIO_FRAME):
+        self.frame = frame_len
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, srs, ns, nfr, rmss, zcrs = [], [], [], [], [], []
+        payloads = batch["payload"]
+        mids = batch["media_id"].to_numpy(zero_copy_only=False)
+        for i in range(batch.num_rows):
+            sr, samples = decode_audio_payload(payloads[i].as_py())
+            n = samples.size
+            nf = n // self.frame
+            x = samples[: nf * self.frame].astype(np.float64).reshape(nf, self.frame)
+            rms = np.sqrt((x * x).mean(axis=1))
+            zc = (np.diff(np.signbit(x), axis=1) != 0).sum(axis=1) / self.frame
+            ids.append(int(mids[i]))
+            srs.append(sr)
+            ns.append(n)
+            nfr.append(nf)
+            rmss.append(rms.tolist())
+            zcrs.append(zc.tolist())
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "sample_rate": pa.array(srs, pa.int32()),
+                "n_samples": pa.array(ns, pa.int64()),
+                "n_frames": pa.array(nfr, pa.int32()),
+                "rms": pa.array(rmss, pa.list_(pa.float64())),
+                "zcr": pa.array(zcrs, pa.list_(pa.float64())),
+            }
+        )
+
+
+class VideoFrameSampler:
+    """Actor-pool stage: GRB video payload -> one row per sampled frame
+    (every k-th), flat-map style fan-out inside map_batches.
+
+    Output: media_id, frame_idx, t_ms, frame_mean, frame binary
+    (re-encoded single-frame GRB image, 1 channel).
+    """
+
+    def __init__(self, every_k: int = 4):
+        self.k = every_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, idxs, ts, fmeans, fbins = [], [], [], [], []
+        payloads = batch["payload"]
+        mids = batch["media_id"].to_numpy(zero_copy_only=False)
+        for i in range(batch.num_rows):
+            fps, frames = decode_video_payload(payloads[i].as_py())
+            nf, h, w = frames.shape
+            for j in range(0, nf, self.k):
+                ids.append(int(mids[i]))
+                idxs.append(j)
+                ts.append(int(j * 1000 / fps))
+                fmeans.append(float(frames[j].mean()))
+                fbins.append(encode_image(w, h, 1, frames[j].reshape(-1)))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(idxs, pa.int32()),
+                "t_ms": pa.array(ts, pa.int32()),
+                "frame_mean": pa.array(fmeans, pa.float64()),
+                "frame": pa.array(fbins, pa.binary()),
+            }
+        )
+
+
+# ------------------------------------------------------------ datasets
+
+
+def _kind(ds, kind: str):
+    import pyarrow.compute as pc
+
+    return ds.map_batches(
+        lambda t, k=kind: t.filter(pc.equal(t["kind"], k)),
+        batch_format="pyarrow",
+    )
+
+
+def image_features(media, concurrency=(1, 4)):
+    """media Dataset -> image feature table (actor pool, small batches:
+    batch x payload bytes x concurrency bounds worker heap)."""
+    return _kind(media, "image").map_batches(
+        ImageDecoder,
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def audio_features(media, concurrency=(1, 4)):
+    return _kind(media, "audio").map_batches(
+        AudioFeaturizer,
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def video_frame_sample(media, every_k: int = 4, concurrency=(1, 4)):
+    return _kind(media, "video").map_batches(
+        VideoFrameSampler,
+        fn_constructor_args=(every_k,),
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

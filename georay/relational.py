@@ -235,3 +235,192 @@ def supplier_part_stats(sf_dir: str):
         Min("p_size", alias_name="min_size"),
         Max("p_size", alias_name="max_size"),
     )
+
+
+# ------------------------------------------------- outer / semi joins
+
+
+def cust_order_counts(sf_dir: str):
+    """customer LEFT JOIN orders -> per-customer order count including
+    zero-order customers. Shape: orders are pre-aggregated two-phase to
+    one (custkey, n) row per key, then the (small) counts map is
+    broadcast and looked up per customer batch — no shuffle touches the
+    big side twice and the left side streams."""
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t["o_custkey"].to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(keys, return_counts=True)
+        return pa.table(
+            {"o_custkey": pa.array(uniq, pa.int64()), "n": pa.array(counts, pa.int64())}
+        )
+
+    counts = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    counts_ref = ray.put(dict(zip(counts["o_custkey"], counts["n"])))
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+
+    class Lookup:
+        def __init__(self):
+            self.counts = ray.get(counts_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            n = [int(self.counts.get(ck, 0)) for ck in t["c_custkey"].to_pylist()]
+            return pa.table(
+                {"c_custkey": t["c_custkey"], "n_orders": pa.array(n, pa.int64())}
+            )
+
+    return cust.map_batches(Lookup, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def mktsegment_stats(sf_dir: str):
+    """Distinct-count + conditional aggregate per market segment:
+    COUNT(DISTINCT nation), negative-balance count, total. Distinct is
+    two-phase: per-batch dedup of (segment, nation) pairs shrinks the
+    shuffle to |segments| x |nations| rows."""
+    ds = _read(sf_dir, "customer", columns=["c_mktsegment", "c_nationkey", "c_acctbal"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["neg"] = (df["c_acctbal"] < 0).astype(np.int64)
+        g = df.groupby("c_mktsegment", as_index=False).agg(
+            n_negative=("neg", "sum"), n_cust=("neg", "size")
+        )
+        pairs = df[["c_mktsegment", "c_nationkey"]].drop_duplicates()
+        g = g.merge(
+            pairs.groupby("c_mktsegment", as_index=False)
+            .agg(nations=("c_nationkey", lambda s: set(s)))
+        )
+        g["nations"] = g["nations"].map(lambda s: sorted(int(x) for x in s))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        seg = df["c_mktsegment"].iloc[0]
+        nations = set()
+        for ns in df["nations"]:
+            nations.update(ns)
+        return pd.DataFrame(
+            {
+                "c_mktsegment": [seg],
+                "n_nations": [len(nations)],
+                "n_negative": [int(df["n_negative"].sum())],
+                "n_cust": [int(df["n_cust"].sum())],
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("c_mktsegment").map_groups(finish, batch_format="pandas")
+
+
+def priority_line_counts(sf_dir: str):
+    """TPC-H Q12-shaped conditional aggregate over a bucketed
+    lineitem |><| orders join: per returnflag, how many lines belong to
+    URGENT/HIGH orders vs the rest. The orders side is broadcast
+    (small projection), lineitem streams."""
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]).to_pandas()
+    high = set(
+        orders.loc[
+            orders["o_orderpriority"].isin(["1-URGENT", "2-HIGH"]), "o_orderkey"
+        ].tolist()
+    )
+    high_ref = ray.put(high)
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+
+    class Partial:
+        def __init__(self):
+            self.high = ray.get(high_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            df["is_high"] = df["l_orderkey"].map(lambda k: k in self.high).astype(np.int64)
+            g = df.groupby("l_returnflag", as_index=False).agg(
+                high_line_count=("is_high", "sum"), n_lines=("is_high", "size")
+            )
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = li.map_batches(Partial, batch_format="pyarrow", concurrency=(1, 4))
+    agged = partials.groupby("l_returnflag").aggregate(
+        Sum("high_line_count", alias_name="high_line_count"),
+        Sum("n_lines", alias_name="n_lines"),
+    )
+
+    def low(t: pa.Table) -> pa.Table:
+        lo = pc.subtract(t["n_lines"], t["high_line_count"])
+        return t.append_column("low_line_count", lo)
+
+    return agged.map_batches(low, batch_format="pyarrow")
+
+
+def top_orders_per_segment(sf_dir: str, k: int = 3):
+    """ROW_NUMBER() OVER (PARTITION BY segment ORDER BY totalprice
+    DESC) <= k: broadcast the customer->segment map onto streaming
+    orders, per-batch partial top-k per segment (so the shuffle sees
+    <= k x segments rows per batch), then a per-segment final top-k
+    with rank."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    class Partial:
+        def __init__(self):
+            self.seg = ray.get(seg_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            df["c_mktsegment"] = df["o_custkey"].map(self.seg)
+            df = df.sort_values(
+                ["o_totalprice", "o_orderkey"], ascending=[False, True]
+            )
+            df = df.groupby("c_mktsegment", as_index=False, sort=False).head(k)
+            return pa.Table.from_pandas(
+                df[["c_mktsegment", "o_orderkey", "o_totalprice"]], preserve_index=False
+            )
+
+    partials = orders.map_batches(Partial, batch_format="pyarrow", concurrency=(1, 4))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(k)
+        df = df.reset_index(drop=True)
+        df["rnk"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df[["c_mktsegment", "rnk", "o_orderkey", "o_totalprice"]]
+
+    return partials.groupby("c_mktsegment").map_groups(finish, batch_format="pandas")
+
+
+def daily_active_users(sf_dir: str):
+    """Events -> per-day distinct users + event count (two-phase
+    distinct: per-batch (day, user) dedup, then per-day set union)."""
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        micros = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = micros // 86_400_000_000
+        df = pd.DataFrame({"day": day, "user_id": t["user_id"].to_numpy(zero_copy_only=False)})
+        n = df.groupby("day", as_index=False).agg(n_events=("user_id", "size"))
+        pairs = df.drop_duplicates()
+        users = pairs.groupby("day", as_index=False).agg(
+            users=("user_id", lambda s: sorted(set(int(x) for x in s)))
+        )
+        return pa.Table.from_pandas(n.merge(users), preserve_index=False)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        users = set()
+        for us in df["users"]:
+            users.update(us)
+        return pd.DataFrame(
+            {
+                "day": [int(df["day"].iloc[0])],
+                "dau": [len(users)],
+                "n_events": [int(df["n_events"].sum())],
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("day").map_groups(finish, batch_format="pandas")
