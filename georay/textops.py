@@ -193,47 +193,164 @@ def minhash_near_dups(
     )
 
 
-def ngram_jaccard_pairs(docs: ray.data.Dataset, threshold: float, shingle_n: int = 2):
-    """Exact all-pairs n-gram Jaccard via an inverted shingle index
-    (shuffle on shingle hash; exact counterpart/oracle of MinHash-LSH).
+def _shingle_rows(docs: ray.data.Dataset, shingle_n: int):
+    """docs -> (doc_id, set_size, shingles list<int64>); empty-shingle
+    docs are dropped (they can pair with nothing — matches the
+    inverted-index and SQL semantics where they emit no postings)."""
 
-    docs -> (shingle, doc) postings -> per-shingle pairs -> pair
-    intersection counts -> filter by J >= threshold."""
-
-    def postings(batch: pa.Table) -> pa.Table:
-        s_ids, d_ids, sizes = [], [], []
+    def f(batch: pa.Table) -> pa.Table:
+        d_ids, sizes, lists = [], [], []
         for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
             sh = word_shingles(text or "", shingle_n)
-            s_ids.extend(int(x) >> 1 for x in sh)
-            d_ids.extend([doc_id] * len(sh))
-            sizes.extend([len(sh)] * len(sh))
+            if not len(sh):
+                continue
+            d_ids.append(doc_id)
+            sizes.append(len(sh))
+            lists.append([int(x) >> 1 for x in sh])
         return pa.table(
             {
-                "shingle": pa.array(s_ids, pa.int64()),
+                "doc_id": pa.array(d_ids, pa.int64()),
+                "set_size": pa.array(sizes, pa.int64()),
+                "shingles": pa.array(lists, pa.list_(pa.int64())),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+@ray.remote
+def _jaccard_block_pair(ti, tj, same: bool, threshold: float, n_bytes: int, vocab_n: int):
+    """Exact Jaccard between two packed blocks: unpack bitsets, one
+    float32 matmul for all intersections (counts < 2^24 so float32 is
+    exact), threshold, emit surviving (a, b) pairs."""
+
+    def unpack(t):
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        sz = t["set_size"].to_numpy(zero_copy_only=False).astype(np.float32)
+        raw = np.frombuffer(b"".join(t["bits"].to_pylist()), dtype=np.uint8)
+        bits = np.unpackbits(raw.reshape(len(ids), n_bytes), axis=1)[:, :vocab_n]
+        return ids, sz, bits.astype(np.float32)
+    ia, sa, A = unpack(ti)
+    ib, sb, B = unpack(tj)
+    inter = A @ B.T  # [na, nb]
+    union = sa[:, None] + sb[None, :] - inter
+    keep = (union > 0) & (inter >= threshold * union)
+    if same:
+        keep &= ia[:, None] < ib[None, :]
+    ii, jj = np.nonzero(keep)
+    a = np.minimum(ia[ii], ib[jj])
+    b = np.maximum(ia[ii], ib[jj])
+    return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+
+
+def ngram_jaccard_pairs(
+    docs: ray.data.Dataset,
+    threshold: float,
+    shingle_n: int = 2,
+    max_vocab: int = 1 << 16,
+    target_block_elems: int = 32_000_000,
+):
+    """Exact all-pairs n-gram Jaccard (the exact counterpart/oracle of
+    MinHash-LSH; minhash_near_dups is the sub-quadratic scale path).
+
+    Fast path (global vocab <= max_vocab): every doc becomes a
+    bit-packed shingle vector over the vocabulary; Ray tasks over all
+    block pairs of the packed matrix compute exact intersections with
+    one BLAS matmul each. All-pairs is inherently O(n^2) comparisons —
+    this does them at matmul constants, and the only data movement is
+    the packed matrix (vocab/8 bytes per doc) into the object store.
+
+    Fallback (vocab too big to bit-pack): inverted shingle index ->
+    vectorized per-shingle pair generation -> two-phase pair-count
+    aggregation. Degrades with hot-shingle skew; prefer LSH there.
+    """
+    shingled = _shingle_rows(docs, shingle_n).materialize()
+
+    def batch_vocab(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(t["shingles"])
+        return pa.table({"shingle": pc.unique(flat)})
+
+    parts = shingled.map_batches(batch_vocab, batch_format="pyarrow").take_all()
+    vocab = np.unique(np.array([r["shingle"] for r in parts], dtype=np.int64))
+    if len(vocab) > max_vocab:
+        return _ngram_jaccard_postings(shingled, threshold)
+    vocab_ref = ray.put(vocab)
+    vocab_n = len(vocab)
+    n_bytes = (vocab_n + 7) // 8
+
+    class Pack:
+        def __init__(self):
+            self.vocab = ray.get(vocab_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            blobs = []
+            for lst in t["shingles"].to_pylist():
+                bits = np.zeros(vocab_n, dtype=np.uint8)
+                bits[np.searchsorted(self.vocab, np.asarray(lst, dtype=np.int64))] = 1
+                blobs.append(np.packbits(bits).tobytes())
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "set_size": t["set_size"],
+                    "bits": pa.array(blobs, pa.binary()),
+                }
+            )
+
+    block_rows = max(512, min(8192, target_block_elems // max(vocab_n, 1)))
+    n_docs = shingled.count()
+    n_blocks = max(1, -(-n_docs // block_rows))
+    packed = (
+        shingled.map_batches(Pack, batch_format="pyarrow", concurrency=(1, 8))
+        .repartition(n_blocks)
+        .materialize()
+    )
+    refs = packed.to_arrow_refs()
+    futures = []
+    for i in range(len(refs)):
+        for j in range(i, len(refs)):
+            futures.append(
+                _jaccard_block_pair.remote(refs[i], refs[j], i == j, threshold, n_bytes, vocab_n)
+            )
+    tables = [t for t in ray.get(futures) if t.num_rows]
+    if not tables:
+        return ray.data.from_arrow(
+            pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        )
+    return ray.data.from_arrow(pa.concat_tables(tables))
+
+
+def _ngram_jaccard_postings(shingled: ray.data.Dataset, threshold: float):
+    """Inverted-index fallback over pre-shingled rows (see
+    ngram_jaccard_pairs): postings -> vectorized per-shingle pairs ->
+    two-phase (a, b) intersection counts -> threshold filter."""
+
+    def postings(t: pa.Table) -> pa.Table:
+        lens = pc.list_value_length(t["shingles"]).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(t["shingles"]).to_numpy(zero_copy_only=False)
+        d_ids = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), lens)
+        sizes = np.repeat(t["set_size"].to_numpy(zero_copy_only=False), lens)
+        return pa.table(
+            {
+                "shingle": pa.array(flat, pa.int64()),
                 "doc_id": pa.array(d_ids, pa.int64()),
                 "set_size": pa.array(sizes, pa.int64()),
             }
         )
 
-    posts = docs.map_batches(postings, batch_format="pyarrow")
+    posts = shingled.map_batches(postings, batch_format="pyarrow")
 
     def shingle_pairs(group: pa.Table) -> pa.Table:
-        ids = group["doc_id"].to_pylist()
-        sz = group["set_size"].to_pylist()
-        order = np.argsort(ids)
-        a, b, sa, sb = [], [], [], []
-        for i in range(len(order)):
-            for j in range(i + 1, len(order)):
-                a.append(ids[order[i]])
-                b.append(ids[order[j]])
-                sa.append(sz[order[i]])
-                sb.append(sz[order[j]])
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        sz = group["set_size"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids, sz = ids[order], sz[order]
+        iu, ju = np.triu_indices(len(ids), k=1)
         return pa.table(
             {
-                "a": pa.array(a, pa.int64()),
-                "b": pa.array(b, pa.int64()),
-                "size_a": pa.array(sa, pa.int64()),
-                "size_b": pa.array(sb, pa.int64()),
+                "a": pa.array(ids[iu], pa.int64()),
+                "b": pa.array(ids[ju], pa.int64()),
+                "size_a": pa.array(sz[iu], pa.int64()),
+                "size_b": pa.array(sz[ju], pa.int64()),
             }
         )
 
@@ -258,8 +375,7 @@ def ngram_jaccard_pairs(docs: ray.data.Dataset, threshold: float, shingle_n: int
             + t["size_b"].to_numpy(zero_copy_only=False)
             - inter
         )
-        j = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
-        keep = j >= threshold
+        keep = (union > 0) & (inter >= threshold * union)
         return pa.table(
             {
                 "a": t["a"].filter(pa.array(keep)),
