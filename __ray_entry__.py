@@ -303,6 +303,25 @@ def _geo_summary(sf_dir):
     )
 
 
+def _geo_summary_abbrev(sf_dir):
+    """Abbreviated (metadata-only) summary of a huge shapefile blob:
+    reference POST /summary with X-Blob-Length over the gate
+    (services/summary.js + shapefile.js:293-320)."""
+    import pandas as pd
+
+    from georay.fixtures import build_payload
+    from georay.summary import summarize_blob
+
+    name, blob = build_payload(3)  # shapefile zip payload
+    s = summarize_blob(blob, name, blob_length=20 * 1024**3)
+    return pd.DataFrame(
+        [
+            {"name": l["name"], "count": l["count"], "projection": l["projection"]}
+            for l in s["layers"]
+        ]
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": _q_pricing,
@@ -338,6 +357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_tile_counts": _geo_tile_counts,
         "geo_knn": _geo_knn,
         "geo_summary": _geo_summary,
+        "geo_summary_abbrev": _geo_summary_abbrev,
     }
 
 

@@ -16,6 +16,7 @@ from .common import DecodeResult
 from .geojson import decode_geojson
 from .kml import decode_kml
 from .kmz import decode_kmz
+from .ldjson import decode_ldjson
 from .shp import decode_shapefile_zip
 
 _BY_EXTENSION = {
@@ -24,6 +25,9 @@ _BY_EXTENSION = {
     ".kml": decode_kml,
     ".kmz": decode_kmz,
     ".zip": decode_shapefile_zip,
+    ".ldjson": decode_ldjson,
+    ".ndjson": decode_ldjson,
+    ".geojsonl": decode_ldjson,
 }
 
 
