@@ -19,6 +19,33 @@ import shutil
 import time
 import uuid
 
+try:
+    # Ray's datasink lazily imports fsspec.implementations.http on
+    # every write; without aiohttp that import fails — harmlessly
+    # (ModuleNotFoundError is caught) when single-threaded, but two
+    # sink chains starting on concurrent driver threads can observe the
+    # partially-initialized module and crash with a plain ImportError
+    # Ray does NOT catch. Register a benign stub once, at import time:
+    # this engine only writes local filesystems, so the isinstance
+    # check the real class feeds is always False anyway.
+    import fsspec.implementations.http  # noqa: F401
+except ImportError:  # pragma: no cover - aiohttp absent in this env
+    try:
+        import sys
+        import types
+
+        import fsspec.implementations  # noqa: F401
+
+        _http_stub = types.ModuleType("fsspec.implementations.http")
+
+        class _NeverHTTPFileSystem:
+            pass
+
+        _http_stub.HTTPFileSystem = _NeverHTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = _http_stub
+    except ImportError:
+        pass
+
 
 def manifest_path(stage_dir: str) -> str:
     return os.path.join(stage_dir, "_MANIFEST.json")

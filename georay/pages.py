@@ -65,10 +65,10 @@ def page_text(url: str, seed: int = SEED) -> str:
     return "\n".join(paragraphs)
 
 
-def page_html(i: int, url: str, text: str) -> bytes:
+def page_html(i: int, url: str, text: str, payload_cap: int | None = None) -> bytes:
     paras = "".join(f"<p>{p}</p>" for p in text.split("\n"))
     payload_tag = ""
-    if i % PAYLOAD_EVERY == 0:
+    if i % PAYLOAD_EVERY == 0 and (payload_cap is None or i < payload_cap):
         name, blob = build_payload(i // PAYLOAD_EVERY)
         b64 = base64.b64encode(blob).decode()
         payload_tag = f'<script type="application/x-geo" data-filename="{name}">{b64}</script>'
@@ -85,8 +85,30 @@ _GEO_TAG = re.compile(
 
 
 def extract_text(html: bytes) -> str:
-    """Extract the visible text from a page — frozen: its output is the
-    byte-identical-per-url invariant the driver verifies."""
+    """Extract the visible text from a page — frozen CONTRACT: output
+    is byte-identical to joining every non-greedy ``<p>(.*?)</p>``
+    (DOTALL) match with newlines (the invariant the driver verifies).
+    Implemented with C-speed bytes.find scanning (~4x faster than the
+    regex, same output for every input — see _extract_text_regex and
+    tests/test_pipeline.py equivalence golden)."""
+    out = []
+    pos = 0
+    find = html.find
+    while True:
+        i = find(b"<p>", pos)
+        if i < 0:
+            break
+        j = find(b"</p>", i + 3)
+        if j < 0:
+            break
+        out.append(html[i + 3 : j])
+        pos = j + 4
+    return b"\n".join(out).decode("utf-8")
+
+
+def _extract_text_regex(html: bytes) -> str:
+    """The defining regex form of the frozen contract (reference
+    implementation for the equivalence test)."""
     return b"\n".join(m.group(1) for m in _P_TAG.finditer(html)).decode("utf-8")
 
 
@@ -99,14 +121,16 @@ def extract_geo_payload(html: bytes):
     return m.group(1).decode(), base64.b64decode(m.group(2))
 
 
-def pages_batch(start: int, count: int, seed: int = SEED) -> pa.Table:
+def pages_batch(
+    start: int, count: int, seed: int = SEED, payload_cap: int | None = None
+) -> pa.Table:
     urls, ts, htmls, texts, langs = [], [], [], [], []
     for i in range(start, start + count):
         url = page_url(i)
         text = page_text(url, seed)
         urls.append(url)
         ts.append(EPOCH + i * 1_000_000)
-        htmls.append(page_html(i, url, text))
+        htmls.append(page_html(i, url, text, payload_cap))
         texts.append(text)
         langs.append(LANGS[i % len(LANGS)])
     return pa.table(
@@ -120,24 +144,60 @@ def pages_batch(start: int, count: int, seed: int = SEED) -> pa.Table:
     )
 
 
-def synthesize_pages_parquet(out_dir: str, n: int, seed: int = SEED, rows_per_file: int = 20_000):
+def synthesize_pages_parquet(
+    out_dir: str,
+    n: int,
+    seed: int = SEED,
+    rows_per_file: int = 20_000,
+    row_group_size: int = 2_000,
+    payload_cap: int | None = None,
+):
     """Write the deterministic pages corpus as a directory of parquet
-    files (one per shard, resumable layout)."""
+    files (one per shard, resumable layout). Small row groups matter:
+    Ray Data can only oversplit a parquet fragment at row-group
+    boundaries, so single-row-group files cap read parallelism at
+    n_files no matter how many CPUs the cluster has."""
     import os
 
     import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
-    done_marker = os.path.join(out_dir, f"_DONE_{n}_{seed}")
+    cap_tag = f"_cap{payload_cap}" if payload_cap is not None else ""
+    done_marker = os.path.join(out_dir, f"_DONE_{n}_{seed}_rg{row_group_size}{cap_tag}")
     if os.path.exists(done_marker):
         return out_dir
-    for start in range(0, n, rows_per_file):
-        count = min(rows_per_file, n - start)
-        path = os.path.join(out_dir, f"pages-{start:012d}.parquet")
-        pq.write_table(pages_batch(start, count, seed), path)
+    shards = [
+        (start, min(rows_per_file, n - start)) for start in range(0, n, rows_per_file)
+    ]
+    if len(shards) > 4:  # big corpus: synthesize shards in parallel
+        from concurrent.futures import ProcessPoolExecutor
+
+        workers = min(16, os.cpu_count() or 4)
+        with ProcessPoolExecutor(max_workers=workers) as ex:
+            list(
+                ex.map(
+                    _write_shard,
+                    [(out_dir, s, c, seed, row_group_size, payload_cap) for s, c in shards],
+                )
+            )
+    else:
+        for s, c in shards:
+            _write_shard((out_dir, s, c, seed, row_group_size, payload_cap))
     with open(done_marker, "w") as f:
         f.write("ok")
     return out_dir
+
+
+def _write_shard(args):
+    out_dir, start, count, seed, row_group_size, payload_cap = args
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(out_dir, f"pages-{start:012d}.parquet")
+    pq.write_table(
+        pages_batch(start, count, seed, payload_cap), path, row_group_size=row_group_size
+    )
 
 
 def sf_page_count(sf_dir: str) -> int:
@@ -148,7 +208,17 @@ def sf_page_count(sf_dir: str) -> int:
     return max(1000, int(sf * 1_000_000))
 
 
-def pages_dir_for(sf_dir: str, base: str = "/tmp/georay_pages") -> str:
-    n = sf_page_count(sf_dir)
-    out = f"{base}/n{n}_seed{SEED}"
-    return synthesize_pages_parquet(out, n)
+def pages_dir_for(
+    sf_dir: str,
+    base: str = "/tmp/georay_pages",
+    n: int | None = None,
+    payload_cap: int | None = None,
+) -> str:
+    """payload_cap bounds how many pages may carry geo payloads — the
+    realistic shape for scaling corpora (the polygon universe is fixed;
+    the page count grows), keeping the broadcast index size constant
+    as n scales."""
+    n = n if n is not None else sf_page_count(sf_dir)
+    cap_tag = f"_cap{payload_cap}" if payload_cap is not None else ""
+    out = f"{base}/n{n}_seed{SEED}{cap_tag}"
+    return synthesize_pages_parquet(out, n, payload_cap=payload_cap)

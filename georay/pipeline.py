@@ -22,7 +22,7 @@ import numpy as np
 import pyarrow as pa
 
 import ray.data
-from ray.data.aggregate import Count, Max, Min
+from ray.data.aggregate import Count, Max, Min, Sum
 
 from .decode import decode_blob
 from .errors import GeorayError
@@ -44,7 +44,7 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     lats = np.empty(len(urls))
     for i, u in enumerate(urls):
         lons[i], lats[i] = page_coords(u)
-    has_payload = np.array([b"application/x-geo" in h for h in htmls], dtype=bool)
+    has_payload = pa.compute.match_substring(batch["html"], "application/x-geo")
     return pa.table(
         {
             "url": batch["url"],
@@ -90,6 +90,12 @@ def decode_batch(batch: pa.Table) -> pa.Table:
     become a single quarantine row with decode_error set (typed error
     kind), never a crash."""
     cols = {name: [] for name in FEATURE_SCHEMA.names}
+
+    # vectorized cheap-reject: only the ~1% of pages whose html carries
+    # the payload marker reach the Python decode loop
+    import pyarrow.compute as pc
+
+    batch = batch.filter(pc.match_substring(batch["html"], "application/x-geo"))
 
     for url, html in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
         try:
@@ -174,24 +180,53 @@ def decode_features(pages: "ray.data.Dataset", reproject: bool = True) -> "ray.d
     return ds
 
 
+_LAYER_KEY = [
+    "url", "layer_position", "layer_name", "layer_sig", "crs", "layer_geom_type", "cols_json",
+]
+
+
 def layer_stats(features: "ray.data.Dataset"):
     """Per-(blob, layer) manifest rollup: count + bbox via a grouped
     aggregate (reference G3/G4: layer.js:247, wgs84-reprojector.js:35-41).
     All non-key manifest fields are constant within a layer so they ride
-    in the key. Returns a Dataset of layer-manifest rows."""
+    in the key.
+
+    Two-phase: all rows of one blob are decoded in one batch, so a
+    per-batch pandas combine collapses the stream to ONE row per
+    (blob, layer) before the shuffle — the groupby then moves one
+    manifest row per layer instead of one per feature (and the long
+    string keys never ride a big sort). Returns layer-manifest rows."""
+    import pandas as pd
     import pyarrow.compute as pc
 
-    valid = features.map_batches(
-        lambda t: t.filter(pc.is_null(t["decode_error"])), batch_format="pyarrow"
-    )
-    return valid.groupby(
-        ["url", "layer_position", "layer_name", "layer_sig", "crs", "layer_geom_type", "cols_json"]
-    ).aggregate(
-        Count(alias_name="count"),
-        Min("minx", alias_name="bbox_minx"),
-        Min("miny", alias_name="bbox_miny"),
-        Max("maxx", alias_name="bbox_maxx"),
-        Max("maxy", alias_name="bbox_maxy"),
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_null(t["decode_error"]))
+        if t.num_rows == 0:
+            return pa.Table.from_pydict(
+                {k: [] for k in _LAYER_KEY + ["count", "bbox_minx", "bbox_miny", "bbox_maxx", "bbox_maxy"]},
+                schema=pa.schema(
+                    [(k, t.schema.field(k).type) for k in _LAYER_KEY]
+                    + [("count", pa.int64())]
+                    + [(f"bbox_{c}", pa.float64()) for c in ("minx", "miny", "maxx", "maxy")]
+                ),
+            )
+        df = t.select(_LAYER_KEY + ["minx", "miny", "maxx", "maxy"]).to_pandas()
+        g = df.groupby(_LAYER_KEY, as_index=False, sort=False).agg(
+            count=("minx", "size"),
+            bbox_minx=("minx", "min"),
+            bbox_miny=("miny", "min"),
+            bbox_maxx=("maxx", "max"),
+            bbox_maxy=("maxy", "max"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = features.map_batches(partial, batch_format="pyarrow").repartition(8)
+    return partials.groupby(_LAYER_KEY).aggregate(
+        Sum("count", alias_name="count"),
+        Min("bbox_minx", alias_name="bbox_minx"),
+        Min("bbox_miny", alias_name="bbox_miny"),
+        Max("bbox_maxx", alias_name="bbox_maxx"),
+        Max("bbox_maxy", alias_name="bbox_maxy"),
     )
 
 

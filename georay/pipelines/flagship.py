@@ -25,33 +25,61 @@ from ..metrics import StageTimer
 from ..pages import pages_dir_for
 from ..pipeline import decode_features, extract_batch, layer_stats
 from ..spatial.index import build_polygon_index
-from ..spatial.join import KNNJoiner, PIPJoiner
+from ..spatial.join import KNNJoiner, PIPJoiner, knn_join_batch, pip_join_batch
 from ..spatial.tiles import assign_tiles_batch, tile_counts
+
+
+def _cluster_cpus() -> int:
+    try:
+        return max(1, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        return 8
 
 
 def geotag_pipeline(
     pages_path: str,
     out_dir: str | None = None,
     knn_k: int = 0,
-    pip_concurrency=(2, 8),
+    pip_concurrency=None,
     checkpoint: bool = False,
     fingerprint: str = "",
 ):
     """Run the full pipeline. Returns a dict with the result handles:
     {joined, tiles, layers, features, index, timings, counts}.
     With out_dir set, joined/tiles/layers are written as parquet
-    directories with manifests (resumable)."""
+    directories with manifests (resumable).
+
+    Parallelism is sized from the cluster, not hard-coded: the pages
+    read is oversplit to ~3 blocks/CPU (small corpora would otherwise
+    produce fewer blocks than CPUs and cap every downstream stage), and
+    the PIP/kNN actor pools autoscale up to the CPU count."""
     import ray.data
 
+    ncpu = _cluster_cpus()
+
     timings: dict = {}
-    pages = ray.data.read_parquet(pages_path)
+    blocks = max(16, 6 * ncpu)
+    # points read: url/warc_ts/lang/html only — `text` is recomputed
+    # from html by the frozen extractor (byte-identical invariant), so
+    # shipping the stored copy through the join would be pure waste
+    pages = ray.data.read_parquet(
+        pages_path,
+        columns=["url", "warc_ts", "lang", "html"],
+        override_num_blocks=blocks,
+    )
 
     # features branch (payload pages only; ~1% of rows survive decode).
-    # Materialized exactly once — as a parquet checkpoint when out_dir is
-    # set (resumable), else pinned in the object store (it is tiny) —
-    # because three consumers need it (index build, layer rollup, sink).
+    # Own pruned read — the decoder needs only (url, html), no reason to
+    # ship text/lang/warc_ts through it. Materialized exactly once — as
+    # a parquet checkpoint when out_dir is set (resumable), else pinned
+    # in the object store (it is tiny) — because three consumers need it
+    # (index build, layer rollup, sink).
     with StageTimer(timings, "decode_features"):
-        feats = decode_features(pages)
+        feats = decode_features(
+            ray.data.read_parquet(
+                pages_path, columns=["url", "html"], override_num_blocks=blocks
+            )
+        )
         if out_dir:
             feats = checkpoint_dataset(feats, f"{out_dir}/features", fingerprint)
         else:
@@ -60,54 +88,117 @@ def geotag_pipeline(
     with StageTimer(timings, "build_index"):
         index = build_polygon_index(feats)
         index_ref = ray.put(index)
-    layers = layer_stats(feats)
+    if out_dir:
+        # prune at the re-read: the rollup needs the layer key + bbox
+        # columns, not the wkb/props payload of every feature
+        from ..checkpoint import _data_files
+        from ..pipeline import _LAYER_KEY
+
+        layer_src = ray.data.read_parquet(
+            _data_files(f"{out_dir}/features"),
+            columns=_LAYER_KEY + ["minx", "miny", "maxx", "maxy", "decode_error"],
+        )
+    else:
+        layer_src = feats
+    layers = layer_stats(layer_src)
 
     # points branch (all pages, one streaming pass):
     # extract -> PIP join -> tile assign -> sink; per-tile counts are a
     # two-phase aggregate over the (small) joined stream
+    # PIP/kNN run TASK-mode (see spatial/join.py): the broadcast index
+    # is immutable, so plain tasks + a per-worker joiner cache scale to
+    # every CPU with work stealing and fuse with the read/extract/write
+    # ops — no actor-pool spawn latency or pool-size tuning. Passing
+    # pip_concurrency switches back to the actor-pool classes.
     points = pages.map_batches(extract_batch, batch_format="pyarrow").drop_columns(["html"])
-    joined = points.map_batches(
-        PIPJoiner,
-        fn_constructor_args=(index_ref,),
-        batch_format="pyarrow",
-        concurrency=pip_concurrency,
-        num_cpus=1,
-    )
-    tiled = joined.map_batches(assign_tiles_batch, batch_format="pyarrow")
-
-    results = {"features": feats, "index": index, "timings": timings}
-
-    if out_dir:
-        with StageTimer(timings, "join_and_write"):
-            tiled = checkpoint_dataset(tiled, f"{out_dir}/joined", fingerprint)
-        with StageTimer(timings, "tile_counts"):
-            results["tiles"] = checkpoint_dataset(
-                tile_counts(tiled), f"{out_dir}/tiles", fingerprint
-            )
-        with StageTimer(timings, "layer_rollup"):
-            results["layers"] = checkpoint_dataset(layers, f"{out_dir}/layers", fingerprint)
+    if pip_concurrency is None:
+        joined = points.map_batches(
+            pip_join_batch, fn_kwargs={"index_ref": index_ref}, batch_format="pyarrow"
+        )
     else:
-        results["tiles"] = tile_counts(tiled)
-        results["layers"] = layers
-    results["joined"] = tiled
-
-    knn = None
-    if knn_k:
-        knn = points.map_batches(
-            KNNJoiner,
-            fn_constructor_args=(index_ref, knn_k),
+        joined = points.map_batches(
+            PIPJoiner,
+            fn_constructor_args=(index_ref,),
             batch_format="pyarrow",
             concurrency=pip_concurrency,
             num_cpus=1,
         )
-        if out_dir:
+    tiled = joined.map_batches(assign_tiles_batch, batch_format="pyarrow")
+
+    knn_lazy = None
+    if knn_k:
+        if pip_concurrency is None:
+            knn_lazy = points.map_batches(
+                knn_join_batch,
+                fn_kwargs={"index_ref": index_ref, "k": knn_k},
+                batch_format="pyarrow",
+            )
+        else:
+            knn_lazy = points.map_batches(
+                KNNJoiner,
+                fn_constructor_args=(index_ref, knn_k),
+                batch_format="pyarrow",
+                concurrency=pip_concurrency,
+                num_cpus=1,
+            )
+
+    results = {"features": feats, "index": index, "timings": timings}
+
+    if out_dir:
+        # Three independent sink chains execute CONCURRENTLY (driver
+        # threads; Ray pipelines the underlying tasks): the layer
+        # rollup and the kNN join don't depend on the joined
+        # checkpoint, so their wall time hides behind the join.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def chain_join():
+            with StageTimer(timings, "join_and_write"):
+                t = checkpoint_dataset(tiled, f"{out_dir}/joined", fingerprint)
+            with StageTimer(timings, "tile_counts"):
+                # prune at the re-read: counting needs ONLY the tile
+                # column of the joined checkpoint
+                from ..checkpoint import _data_files
+
+                tile_src = ray.data.read_parquet(
+                    _data_files(f"{out_dir}/joined"), columns=["tile"]
+                )
+                tiles = checkpoint_dataset(
+                    tile_counts(tile_src), f"{out_dir}/tiles", fingerprint
+                )
+            return t, tiles
+
+        def chain_layers():
+            with StageTimer(timings, "layer_rollup"):
+                return checkpoint_dataset(layers, f"{out_dir}/layers", fingerprint)
+
+        def chain_knn():
+            if knn_lazy is None:
+                return None
             with StageTimer(timings, "knn"):
-                knn = checkpoint_dataset(knn, f"{out_dir}/knn", fingerprint)
-    results["knn"] = knn
+                return checkpoint_dataset(knn_lazy, f"{out_dir}/knn", fingerprint)
+
+        with ThreadPoolExecutor(max_workers=3) as ex:
+            f_join = ex.submit(chain_join)
+            f_layers = ex.submit(chain_layers)
+            f_knn = ex.submit(chain_knn)
+            results["joined"], results["tiles"] = f_join.result()
+            results["layers"] = f_layers.result()
+            results["knn"] = f_knn.result()
+    else:
+        results["tiles"] = tile_counts(tiled)
+        results["layers"] = layers
+        results["joined"] = tiled
+        results["knn"] = knn_lazy
     return results
 
 
-def run_headline(sf_dir: str, out_dir: str | None = None, knn_k: int = 0):
+def run_headline(
+    sf_dir: str,
+    out_dir: str | None = None,
+    knn_k: int = 0,
+    n_pages: int | None = None,
+    payload_cap: int | None = None,
+):
     """Bench entrypoint: synthesize (cached) + run + return metrics.
     Writes to a fresh temp dir when out_dir is None so every stage runs
     exactly once (streamed to parquet sinks, the realistic shape).
@@ -115,15 +206,16 @@ def run_headline(sf_dir: str, out_dir: str | None = None, knn_k: int = 0):
     import shutil
     import tempfile
 
-    pages_path = pages_dir_for(sf_dir)
     from ..pages import sf_page_count
+
+    if n_pages is None:
+        n_pages = sf_page_count(sf_dir)
+    pages_path = pages_dir_for(sf_dir, n=n_pages, payload_cap=payload_cap)
 
     cleanup = None
     if out_dir is None:
         out_dir = tempfile.mkdtemp(prefix="georay_run_")
         cleanup = out_dir
-
-    n_pages = sf_page_count(sf_dir)
     t0 = time.perf_counter()
     res = geotag_pipeline(pages_path, out_dir=out_dir, knn_k=knn_k)
     # consume the streams

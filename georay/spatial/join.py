@@ -171,3 +171,34 @@ class KNNJoiner:
                 "distance_m": pa.array(out_dist, pa.float64()),
             }
         )
+
+
+# --------------------------------------------------- task-mode joiners
+
+# Broadcast state is IMMUTABLE here (the compiled polygon index), so an
+# actor pool buys nothing over plain tasks + a per-worker cache: Ray
+# task workers are prestarted and reused, the joiner deserializes once
+# per worker process (keyed by ObjectRef), and every CPU participates
+# with full work stealing — no pool spawn latency, no pool/task CPU
+# split to tune. Actor classes above remain for genuinely mutable or
+# heavyweight per-worker state.
+
+_WORKER_JOINERS: dict = {}
+
+
+def pip_join_batch(batch: pa.Table, index_ref) -> pa.Table:
+    key = ("pip", index_ref.hex() if hasattr(index_ref, "hex") else id(index_ref))
+    j = _WORKER_JOINERS.get(key)
+    if j is None:
+        j = PIPJoiner(index_ref)
+        _WORKER_JOINERS[key] = j
+    return j(batch)
+
+
+def knn_join_batch(batch: pa.Table, index_ref, k: int) -> pa.Table:
+    key = ("knn", index_ref.hex() if hasattr(index_ref, "hex") else id(index_ref), k)
+    j = _WORKER_JOINERS.get(key)
+    if j is None:
+        j = KNNJoiner(index_ref, k)
+        _WORKER_JOINERS[key] = j
+    return j(batch)

@@ -41,8 +41,12 @@ def partial_tile_counts(batch: pa.Table) -> pa.Table:
 
 def tile_counts(pages_with_tiles, alias: str = "n_pages"):
     """tile -> page count: partial per-batch counts, then a small
-    grouped Sum (two-phase aggregation)."""
+    grouped Sum (two-phase aggregation). The partial stream is one row
+    per (batch, tile) — tiny — so it is coalesced into a few blocks
+    before the groupby; the shuffle then moves kilobytes, not the
+    per-input-block fan-out."""
     partials = pages_with_tiles.map_batches(partial_tile_counts, batch_format="pyarrow")
+    partials = partials.repartition(8)
     return partials.groupby("tile").aggregate(Sum("partial", alias_name=alias))
 
 

@@ -99,3 +99,30 @@ def test_decode_error_quarantine(ray_session):
         "decode_crash",
     )
     assert len(good) == 4  # page 100's payload still decodes
+
+
+def test_extract_text_equivalence_golden():
+    """The fast scanner must be byte-identical to the defining regex
+    (<p>(.*?)</p> DOTALL, non-greedy) on every input shape."""
+    from georay.pages import _extract_text_regex, extract_text, page_html, page_text, page_url
+
+    cases = [
+        b"",
+        b"no tags at all",
+        b"<p>one</p>",
+        b"<p>a</p><p>b</p>",
+        b"<p>multi\nline\ncontent</p>",
+        b"<p>unclosed",
+        b"<p>a</p><p>unclosed tail",
+        b"<p>outer <p>inner</p> rest</p>",  # nested: regex stops at first close
+        b"</p>orphan close<p>x</p>",
+        b"<p></p>",
+        b"<P>upper not matched</P>",
+        b"prefix <p>a</p> middle <p>b</p> suffix",
+        "<p>unicode é中文</p>".encode(),
+    ]
+    for i in range(50):
+        url = page_url(i)
+        cases.append(page_html(i, url, page_text(url)))
+    for html in cases:
+        assert extract_text(html) == _extract_text_regex(html), html[:60]
