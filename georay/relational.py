@@ -159,7 +159,21 @@ def region_revenue(sf_dir: str):
 
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     lineitem = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
-    joined = bucket_hash_join(lineitem, orders, on="l_orderkey", right_on="o_orderkey")
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        # pre-aggregate revenue per orderkey INSIDE the batch before the
+        # join shuffle: the bucketed join then moves ~|orderkeys| rows
+        # instead of every lineitem (summing before joining is sound —
+        # the join key is the aggregation key)
+        df = t.to_pandas()
+        cents = np.rint(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_c = np.rint(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        df["revenue_em4"] = cents * (100 - disc_c)
+        g = df.groupby("l_orderkey", as_index=False)["revenue_em4"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li_agg = lineitem.map_batches(li_partial, batch_format="pyarrow")
+    joined = bucket_hash_join(li_agg, orders, on="l_orderkey", right_on="o_orderkey")
 
     class RevenueByRegion:
         def __init__(self):
@@ -168,9 +182,6 @@ def region_revenue(sf_dir: str):
         def __call__(self, t: pa.Table) -> pa.Table:
             df = t.to_pandas()
             df["r_name"] = df["o_custkey"].map(self.c2r)
-            cents = np.rint(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
-            disc_c = np.rint(df["l_discount"].to_numpy() * 100).astype(np.int64)
-            df["revenue_em4"] = cents * (100 - disc_c)
             g = df.groupby("r_name", as_index=False)["revenue_em4"].sum()
             return pa.Table.from_pandas(g, preserve_index=False)
 

@@ -26,12 +26,25 @@ from ray.data.aggregate import Count, Min, Sum
 _M61 = (1 << 61) - 1
 
 
+_HASH_MEMO: dict = {}
+_HASH_MEMO_MAX = 1 << 20  # per-worker cap; cleared when full
+
+
 def _hash64_strings(strings):
     """Deterministic 64-bit hashes of a list of strings (stable across
-    processes — no PYTHONHASHSEED dependence)."""
+    processes — no PYTHONHASHSEED dependence). Memoized per worker:
+    natural-language token/shingle streams repeat heavily, so the
+    blake2b call runs once per distinct string."""
+    memo = _HASH_MEMO
+    if len(memo) > _HASH_MEMO_MAX:
+        memo.clear()
     out = np.empty(len(strings), dtype=np.uint64)
     for i, s in enumerate(strings):
-        out[i] = int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+        h = memo.get(s)
+        if h is None:
+            h = int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+            memo[s] = h
+        out[i] = h
     return out
 
 
