@@ -39,7 +39,9 @@ import numpy as np
 import pyarrow as pa
 
 SEED = 42
-MEDIA_BATCH_SIZE = 32  # payloads are ~10-200 kB; keep batches small
+# batch x payload bytes x concurrency bounds worker heap: 128 x ~200 kB
+# x 8 ≈ 200 MB across the pool. Drop batch_size for MB-scale payloads.
+MEDIA_BATCH_SIZE = 128
 THUMB_SIZE = 16
 AUDIO_FRAME = 1024
 
@@ -348,7 +350,7 @@ def _kind(ds, kind: str):
     )
 
 
-def image_features(media, concurrency=(1, 4)):
+def image_features(media, concurrency=(2, 8)):
     """media Dataset -> image feature table (actor pool, small batches:
     batch x payload bytes x concurrency bounds worker heap)."""
     return _kind(media, "image").map_batches(
@@ -360,7 +362,7 @@ def image_features(media, concurrency=(1, 4)):
     )
 
 
-def audio_features(media, concurrency=(1, 4)):
+def audio_features(media, concurrency=(2, 8)):
     return _kind(media, "audio").map_batches(
         AudioFeaturizer,
         batch_format="pyarrow",
@@ -370,7 +372,7 @@ def audio_features(media, concurrency=(1, 4)):
     )
 
 
-def video_frame_sample(media, every_k: int = 4, concurrency=(1, 4)):
+def video_frame_sample(media, every_k: int = 4, concurrency=(2, 8)):
     return _kind(media, "video").map_batches(
         VideoFrameSampler,
         fn_constructor_args=(every_k,),
