@@ -118,6 +118,18 @@ def _q_daily_active_users(sf_dir):
     return daily_active_users(sf_dir)
 
 
+def _q_approx_users_by_type(sf_dir):
+    """HyperLogLog per-group approximate COUNT(DISTINCT) — approximate
+    by design, so rows-only check here; accuracy (<7% vs exact) is
+    pinned by tests/test_sketch.py."""
+    import ray.data
+
+    from georay.sketch import grouped_approx_distinct
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    return grouped_approx_distinct(ds, "event_type", "user_id")
+
+
 def _q_dedup_exact(sf_dir):
     from georay.textops import dedup_exact
 
@@ -347,6 +359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_line_counts": _q_priority_line_counts,
         "top_orders_per_segment": _q_top_orders_per_segment,
         "daily_active_users": _q_daily_active_users,
+        "approx_users_by_type": _q_approx_users_by_type,
         "image_features": _q_image_features,
         "audio_features": _q_audio_features,
         "video_frames": _q_video_frames,

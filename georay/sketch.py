@@ -1,0 +1,140 @@
+"""Approximate-aggregate sketches: HyperLogLog distinct counting.
+
+The reference has no sketches (SURVEY.md §2.6); a 100 TB pipeline needs
+them — an exact COUNT(DISTINCT) shuffles every key, an HLL shuffles a
+fixed 2^p-byte register array per (batch, group) regardless of input
+size, and registers merge with an elementwise max (associative +
+commutative: safe under any partitioning or retry order).
+
+Flajolet et al. 2007 estimator with linear-counting small-range
+correction; numpy-vectorized register updates (the exponent trick:
+bit_length(w) == frexp(w).exponent for w < 2^52, exact in float64).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+DEFAULT_P = 12  # 4096 registers, ~1.6% relative error
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hash64(values) -> np.ndarray:
+    """Deterministic 64-bit hashes for int64 or string arrays."""
+    arr = np.asarray(values)
+    if arr.dtype.kind in "iu":
+        x = arr.astype(np.uint64)
+        # splitmix64 finalizer
+        x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        return x ^ (x >> np.uint64(31))
+    out = np.empty(len(arr), dtype=np.uint64)
+    for i, v in enumerate(arr):
+        out[i] = int.from_bytes(
+            hashlib.blake2b(str(v).encode(), digest_size=8).digest(), "big"
+        )
+    return out
+
+
+def empty_registers(p: int = DEFAULT_P) -> np.ndarray:
+    return np.zeros(1 << p, dtype=np.uint8)
+
+
+def update_registers(registers: np.ndarray, hashes: np.ndarray, p: int = DEFAULT_P):
+    """Vectorized HLL register update (in place)."""
+    if not len(hashes):
+        return registers
+    idx = (hashes >> np.uint64(64 - p)).astype(np.int64)
+    w = hashes & np.uint64((1 << (64 - p)) - 1)
+    # rho = leading zeros of the (64-p)-bit word + 1
+    bl = np.zeros(len(w), dtype=np.int64)
+    nz = w != 0
+    bl[nz] = np.frexp(w[nz].astype(np.float64))[1]  # == bit_length, exact < 2^52
+    rho = np.where(nz, (64 - p) - bl + 1, 64 - p + 1).astype(np.uint8)
+    np.maximum.at(registers, idx, rho)
+    return registers
+
+
+def merge_registers(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.maximum(a, b)
+
+
+def estimate(registers: np.ndarray) -> float:
+    m = len(registers)
+    e = _alpha(m) * m * m / np.sum(np.exp2(-registers.astype(np.float64)))
+    if e <= 2.5 * m:
+        zeros = int(np.count_nonzero(registers == 0))
+        if zeros:
+            return m * np.log(m / zeros)
+    return float(e)
+
+
+def approx_distinct(ds: ray.data.Dataset, col: str, p: int = DEFAULT_P) -> float:
+    """Global approximate COUNT(DISTINCT col): per-batch registers ->
+    driver-side max-merge (one 2^p-byte row per batch crosses the
+    wire, never the keys)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        regs = empty_registers(p)
+        update_registers(regs, hash64(t[col].to_numpy(zero_copy_only=False)), p)
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    regs = empty_registers(p)
+    for r in parts:
+        regs = merge_registers(regs, np.frombuffer(r["regs"], dtype=np.uint8))
+    return estimate(regs)
+
+
+def grouped_approx_distinct(
+    ds: ray.data.Dataset, key: str, col: str, p: int = DEFAULT_P, alias: str = "approx_distinct"
+) -> ray.data.Dataset:
+    """Per-group approximate COUNT(DISTINCT col): per-(batch, group)
+    registers -> groupby(key) max-merge -> estimate. The shuffle moves
+    one fixed-size register row per (batch, group)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t[key].to_numpy(zero_copy_only=False)
+        vals = hash64(t[col].to_numpy(zero_copy_only=False))
+        out_k, out_r = [], []
+        order = np.argsort(keys, kind="stable")
+        sk = keys[order]
+        bounds = np.nonzero(sk[1:] != sk[:-1])[0] + 1  # string-safe diff
+        for grp in np.split(order, bounds):
+            if not len(grp):
+                continue
+            regs = empty_registers(p)
+            update_registers(regs, vals[grp], p)
+            out_k.append(keys[grp[0]])
+            out_r.append(regs.tobytes())
+        return pa.table({key: pa.array(out_k), "regs": pa.array(out_r, pa.binary())})
+
+    def finish(g: pa.Table) -> pa.Table:
+        regs = empty_registers(p)
+        for blob in g["regs"].to_pylist():
+            regs = merge_registers(regs, np.frombuffer(blob, dtype=np.uint8))
+        return pa.table(
+            {
+                key: g[key].slice(0, 1),
+                alias: pa.array([int(round(estimate(regs)))], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return parts.groupby(key).map_groups(finish, batch_format="pyarrow")

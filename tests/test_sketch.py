@@ -1,0 +1,69 @@
+"""HyperLogLog: accuracy bounds, merge associativity, Ray ops."""
+
+import numpy as np
+import pytest
+
+from georay import sketch
+
+
+def test_estimate_accuracy_levels():
+    rng = np.random.default_rng(7)
+    for n in (100, 5_000, 200_000):
+        regs = sketch.empty_registers()
+        vals = rng.integers(0, 1 << 62, n * 2, dtype=np.int64)
+        uniq = np.unique(vals)[:n]
+        sketch.update_registers(regs, sketch.hash64(uniq))
+        est = sketch.estimate(regs)
+        assert abs(est - n) / n < 0.05, (n, est)
+
+
+def test_merge_equals_union():
+    a_vals = np.arange(0, 60_000, dtype=np.int64)
+    b_vals = np.arange(30_000, 90_000, dtype=np.int64)  # 50% overlap
+    ra, rb, ru = (sketch.empty_registers() for _ in range(3))
+    sketch.update_registers(ra, sketch.hash64(a_vals))
+    sketch.update_registers(rb, sketch.hash64(b_vals))
+    sketch.update_registers(ru, sketch.hash64(np.union1d(a_vals, b_vals)))
+    merged = sketch.merge_registers(ra, rb)
+    assert np.array_equal(merged, ru)  # max-merge == union, exactly
+    assert abs(sketch.estimate(merged) - 90_000) / 90_000 < 0.05
+
+
+def test_string_and_int_hashing_deterministic():
+    h1 = sketch.hash64(np.array([1, 2, 3], dtype=np.int64))
+    h2 = sketch.hash64(np.array([1, 2, 3], dtype=np.int64))
+    assert np.array_equal(h1, h2)
+    s1 = sketch.hash64(np.array(["a", "b"], dtype=object))
+    s2 = sketch.hash64(np.array(["a", "b"], dtype=object))
+    assert np.array_equal(s1, s2)
+
+
+def test_approx_distinct_dataset(ray_session, sf_dir):
+    import duckdb
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    est = sketch.approx_distinct(ds, "user_id")
+    exact = duckdb.sql(
+        f"SELECT COUNT(DISTINCT user_id) FROM '{sf_dir}/events.parquet'"
+    ).fetchone()[0]
+    assert abs(est - exact) / exact < 0.05, (est, exact)
+
+
+def test_grouped_approx_distinct_vs_exact(ray_session, sf_dir):
+    import duckdb
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    approx = {
+        r["event_type"]: r["approx_distinct"]
+        for r in sketch.grouped_approx_distinct(ds, "event_type", "user_id").take_all()
+    }
+    exact = dict(
+        duckdb.sql(
+            f"SELECT event_type, COUNT(DISTINCT user_id) FROM '{sf_dir}/events.parquet' GROUP BY 1"
+        ).fetchall()
+    )
+    assert set(approx) == set(exact)
+    for k in exact:
+        assert abs(approx[k] - exact[k]) / max(exact[k], 1) < 0.07, (k, approx[k], exact[k])
