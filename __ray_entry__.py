@@ -315,6 +315,21 @@ def _geo_summary(sf_dir):
     )
 
 
+def _geo_polygon_tiles(sf_dir):
+    """Vector->raster direction of the tile assignment: every decoded
+    polygon's slippy-tile cover as (tile, polygon_id) pairs."""
+    import ray.data
+
+    from georay.pages import pages_dir_for
+    from georay.pipeline import decode_features
+    from georay.spatial.index import build_polygon_index
+    from georay.spatial.tiles import polygon_tile_table
+
+    pages = ray.data.read_parquet(pages_dir_for(sf_dir), columns=["url", "html"])
+    index = build_polygon_index(decode_features(pages).materialize())
+    return ray.data.from_arrow(polygon_tile_table(index))
+
+
 def _geo_summary_abbrev(sf_dir):
     """Abbreviated (metadata-only) summary of a huge shapefile blob:
     reference POST /summary with X-Blob-Length over the gate
@@ -368,6 +383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_layers": _geo_layers,
         "geo_pip_join": _geo_pip_join,
         "geo_tile_counts": _geo_tile_counts,
+        "geo_polygon_tiles": _geo_polygon_tiles,
         "geo_knn": _geo_knn,
         "geo_summary": _geo_summary,
         "geo_summary_abbrev": _geo_summary_abbrev,
