@@ -118,6 +118,18 @@ def _q_daily_active_users(sf_dir):
     return daily_active_users(sf_dir)
 
 
+def _q_orders_by_month(sf_dir):
+    from georay.relational import orders_by_month
+
+    return orders_by_month(sf_dir)
+
+
+def _q_customer_name_match(sf_dir):
+    from georay.relational import customer_name_match
+
+    return customer_name_match(sf_dir)
+
+
 def _q_approx_users_by_type(sf_dir):
     """HyperLogLog per-group approximate COUNT(DISTINCT) — approximate
     by design, so rows-only check here; accuracy (<7% vs exact) is
@@ -375,6 +387,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_segment": _q_top_orders_per_segment,
         "daily_active_users": _q_daily_active_users,
         "approx_users_by_type": _q_approx_users_by_type,
+        "orders_by_month": _q_orders_by_month,
+        "customer_name_match": _q_customer_name_match,
         "image_features": _q_image_features,
         "audio_features": _q_audio_features,
         "video_frames": _q_video_frames,
@@ -535,6 +549,19 @@ def oracle_sql() -> dict[str, str]:
                   FROM j)
             SELECT c_mktsegment, rnk, o_orderkey, o_totalprice
             FROM r WHERE rnk <= 3
+        """,
+        "orders_by_month": """
+            SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+                   COUNT(*) AS n_orders,
+                   SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS sum_total_cents
+            FROM orders
+            GROUP BY 1
+        """,
+        "customer_name_match": """
+            SELECT c_mktsegment, COUNT(*) AS n_matched
+            FROM customer
+            WHERE c_name LIKE '%7%'
+            GROUP BY c_mktsegment
         """,
         "daily_active_users": """
             SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,

@@ -130,27 +130,42 @@ def run_scaling():
 
     lo_cpus, hi_cpus = SCALING_CPUS
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
-    # best-of-reps per level: this sandbox VM shares a host, and
-    # noisy-neighbor variance between identical runs reaches 50%;
-    # min wall is the standard de-noised estimator
-    lo = min((one(lo_cpus) for _ in range(reps)), key=lambda d: d["value"])
-    hi = min((one(hi_cpus) for _ in range(reps)), key=lambda d: d["value"])
-    t_lo, t_hi = lo["value"], hi["value"]
-    speedup = t_lo / t_hi
-    eff = speedup / (hi_cpus / lo_cpus)
+    # Interleaved (lo, hi) pairs, efficiency per pair, median across
+    # pairs: this sandbox VM shares a host and neighbor load steals
+    # memory bandwidth — which hits the high-concurrency level harder —
+    # so independent best-of-N per level mixes noise regimes. Back-to-
+    # back pairs see the same regime; the median pair is the estimator.
+    pairs = []
+    for _ in range(reps):
+        lo = one(lo_cpus)
+        hi = one(hi_cpus)
+        s = lo["value"] / hi["value"]
+        pairs.append(
+            {
+                "sec_lo": lo["value"],
+                "sec_hi": hi["value"],
+                "pages_per_sec_lo": lo["pages_per_sec"],
+                "pages_per_sec_hi": hi["pages_per_sec"],
+                "speedup": round(s, 3),
+                "efficiency": round(s / (hi_cpus / lo_cpus), 3),
+            }
+        )
+    pairs.sort(key=lambda p: p["efficiency"])
+    med = pairs[len(pairs) // 2]
     print(
         json.dumps(
             {
                 "metric": "scaling_efficiency",
-                "value": round(eff, 3),
+                "value": med["efficiency"],
                 "unit": "ratio",
                 "cpus_lo": lo_cpus,
                 "cpus_hi": hi_cpus,
-                "sec_lo": t_lo,
-                "sec_hi": t_hi,
-                "pages_per_sec_lo": lo["pages_per_sec"],
-                "pages_per_sec_hi": hi["pages_per_sec"],
-                "speedup": round(speedup, 3),
+                "sec_lo": med["sec_lo"],
+                "sec_hi": med["sec_hi"],
+                "pages_per_sec_lo": med["pages_per_sec_lo"],
+                "pages_per_sec_hi": med["pages_per_sec_hi"],
+                "speedup": med["speedup"],
+                "pairs": pairs,
                 "n_pages": SCALING_N,
                 "sf": _sf(SF_DIR),
             }

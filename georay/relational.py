@@ -435,3 +435,48 @@ def daily_active_users(sf_dir: str):
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return partials.groupby("day").map_groups(finish, batch_format="pandas")
+
+
+# ------------------------------------------------ scalar-function ops
+
+
+def orders_by_month(sf_dir: str):
+    """Calendar date functions: orders per year-month with exact-cents
+    totals (strftime bucketing inside map_batches, tiny grouped Sum)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["ym"] = df["o_orderdate"].dt.strftime("%Y-%m")
+        df["cents"] = np.rint(df["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        g = df.groupby("ym", as_index=False).agg(
+            n_orders=("cents", "size"), sum_total_cents=("cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("ym")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("sum_total_cents", alias_name="sum_total_cents"),
+        )
+    )
+
+
+def customer_name_match(sf_dir: str, needle: str = "7"):
+    """String predicate + projection: customers whose name contains the
+    needle, counted per segment (Arrow match_substring, no Python rows)."""
+    ds = _read(sf_dir, "customer", columns=["c_name", "c_mktsegment"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.match_substring(t["c_name"], needle))
+        df = t.to_pandas()
+        g = df.groupby("c_mktsegment", as_index=False).agg(n_matched=("c_name", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("n_matched", alias_name="n_matched"))
+    )
