@@ -215,9 +215,40 @@ def _rings_of_polygon(poly):
     return rings
 
 
+def _parse_xml(blob: bytes):
+    """fromstring with undeclared-prefix tolerance: the reference's
+    expat runs namespace-unaware, so real-world KML with an undeclared
+    prefix (e.g. a bare xsi:schemaLocation, smoke/terrassa.kml) parses
+    fine there. ElementTree is namespace-aware; on 'unbound prefix' we
+    declare every used-but-undeclared prefix on the root and retry."""
+    import re as _re
+
+    try:
+        return ET.fromstring(blob)
+    except ET.ParseError as e:
+        if "unbound prefix" not in str(e):
+            raise
+        text = blob if isinstance(blob, bytes) else blob.encode()
+        declared = set(_re.findall(rb"xmlns:([\w.-]+)\s*=", text))
+        used = set(_re.findall(rb"<([\w.-]+):", text)) | set(
+            _re.findall(rb"\s([\w.-]+):[\w.-]+\s*=", text)
+        )
+        missing = sorted(used - declared - {b"xmlns", b"xml"})
+        if not missing:
+            raise
+        decls = b" " + b" ".join(
+            b'xmlns:%s="urn:x-undeclared:%s"' % (p, p) for p in missing
+        )
+        m = _re.search(rb"<([\w.-]+)[\s>]", text)
+        if not m:
+            raise
+        pos = m.start() + 1 + len(m.group(1))
+        return ET.fromstring(text[:pos] + decls + text[pos:])
+
+
 def decode_kml(blob: bytes) -> DecodeResult:
     try:
-        root = ET.fromstring(blob)
+        root = _parse_xml(blob)
     except ET.ParseError as e:
         raise XMLParseError(str(e)) from None
 

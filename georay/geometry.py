@@ -173,6 +173,15 @@ _CODE_WKB = {v: k for k, v in _WKB_CODE.items()}
 
 def _pack_positions(buf: bytearray, positions):
     for p in positions:
+        if len(p) < 2:
+            # reference M7 (soql/geom.js:18-21): a coordinate without 2
+            # members is an arity error, not a crash — raised here so
+            # it surfaces wherever the geometry is first materialized
+            from .errors import InvalidArityError
+
+            raise InvalidArityError(
+                f"coordinate {p!r} does not have 2 coordinates"
+            )
         buf += struct.pack("<dd", p[0], p[1])
 
 
