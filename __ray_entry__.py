@@ -130,6 +130,20 @@ def _q_customer_name_match(sf_dir):
     return customer_name_match(sf_dir)
 
 
+def _q_sample_orders(sf_dir):
+    """Deterministic uniform sample without replacement (rows-only
+    check; determinism + uniformity pinned by tests/test_sampling.py —
+    the seeded-hash priorities aren't reproducible in SQL)."""
+    import ray.data
+
+    from georay.sampling import sample_without_replacement
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    return sample_without_replacement(orders, 100, "o_orderkey", seed=42)
+
+
 def _q_approx_users_by_type(sf_dir):
     """HyperLogLog per-group approximate COUNT(DISTINCT) — approximate
     by design, so rows-only check here; accuracy (<7% vs exact) is
@@ -388,6 +402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_active_users": _q_daily_active_users,
         "approx_users_by_type": _q_approx_users_by_type,
         "orders_by_month": _q_orders_by_month,
+        "sample_orders": _q_sample_orders,
         "customer_name_match": _q_customer_name_match,
         "image_features": _q_image_features,
         "audio_features": _q_audio_features,

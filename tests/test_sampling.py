@@ -1,0 +1,80 @@
+"""Sampling: determinism under repartitioning, uniformity, weighted
+inclusion ordering, Bernoulli-split disjointness."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from georay.sampling import sample_without_replacement, split_sample
+
+
+@pytest.fixture(scope="module")
+def ds(ray_session):
+    import ray.data
+
+    t = pa.table(
+        {
+            "id": pa.array(range(10_000), pa.int64()),
+            "w": pa.array(
+                [100.0 if i < 100 else 1.0 for i in range(10_000)], pa.float64()
+            ),
+        }
+    )
+    return ray.data.from_arrow(t)
+
+
+def _ids(res):
+    return sorted(r["id"] for r in res.take_all())
+
+
+def test_uniform_sample_size_and_determinism(ds):
+    s1 = _ids(sample_without_replacement(ds, 50, "id", seed=7))
+    s2 = _ids(sample_without_replacement(ds.repartition(13), 50, "id", seed=7))
+    assert len(s1) == 50 and len(set(s1)) == 50
+    assert s1 == s2  # partitioning-independent
+    assert _ids(sample_without_replacement(ds, 50, "id", seed=8)) != s1
+
+
+def test_uniform_sample_is_roughly_uniform(ds):
+    ids = _ids(sample_without_replacement(ds, 1000, "id", seed=3))
+    # mean of a 1000-of-10000 uniform draw: ~5000 +- ~270 (3 sigma)
+    assert abs(np.mean(ids) - 5000) < 300
+    assert sum(1 for i in ids if i < 100) < 30  # no bias toward any range
+
+
+def test_weighted_sample_prefers_heavy_rows(ds):
+    ids = _ids(sample_without_replacement(ds, 100, "id", seed=5, weight_col="w"))
+    heavy = sum(1 for i in ids if i < 100)
+    # 100 rows carry weight 100 each = 10100/19900 of total mass;
+    # far above the 1% a uniform draw would give them
+    assert heavy > 30
+
+
+def test_zero_weight_rows_never_sampled(ray_session):
+    import ray.data
+
+    t = pa.table(
+        {
+            "id": pa.array(range(100), pa.int64()),
+            "w": pa.array([0.0] * 50 + [1.0] * 50, pa.float64()),
+        }
+    )
+    ids = _ids(
+        sample_without_replacement(ray.data.from_arrow(t), 50, "id", weight_col="w")
+    )
+    assert all(i >= 50 for i in ids)
+
+
+def test_split_sample_disjoint_and_complete(ds):
+    a = set(_ids(split_sample(ds, 0.3, "id", seed=11)))
+    # same seed, complement fraction: rows with u >= 0.3
+    b = {
+        r["id"]
+        for r in ds.map_batches(
+            lambda t: t, batch_format="pyarrow"
+        ).take_all()
+    } - a
+    assert len(a) + len(b) == 10_000
+    assert abs(len(a) - 3000) < 200  # ~binomial(10000, 0.3)
+    # determinism: re-running yields the identical split
+    assert a == set(_ids(split_sample(ds, 0.3, "id", seed=11)))
