@@ -126,3 +126,21 @@ def test_extract_text_equivalence_golden():
         cases.append(page_html(i, url, page_text(url)))
     for html in cases:
         assert extract_text(html) == _extract_text_regex(html), html[:60]
+
+
+def test_metrics_actor_collects(ray_session):
+    import ray
+
+    from georay.metrics import get_metrics_actor
+
+    actor = get_metrics_actor("test_metrics")
+    ray.get(actor.record_stage.remote("decode", 1.5, rows=100))
+    ray.get(actor.record_stage.remote("decode", 0.5, rows=50))
+    ray.get(actor.incr.remote("pages", 10))
+    snap = ray.get(actor.snapshot.remote())
+    assert snap["stages"]["decode"] == {"wall_sec": 2.0, "rows": 150, "calls": 2}
+    assert snap["counters"]["pages"] == 10
+    # named handle: a second get returns the same actor
+    again = get_metrics_actor("test_metrics")
+    assert ray.get(again.snapshot.remote())["counters"]["pages"] == 10
+    ray.kill(actor)
