@@ -1,8 +1,10 @@
 """Decoder conformance against the reference's own fixture corpus
 (/root/reference/es6-test/fixtures, read-only). Goldens ported from
 es6-test/unit/{geojson,kml,kmz,shapefile}.js. Skipped wholesale when the
-reference tree is absent — georay's own synthetic fixtures (see
-tests/test_fixture_corpus.py) cover the same semantics standalone.
+reference tree is absent — georay's own synthetic fixtures
+(georay/fixtures.py, exercised by tests/test_pipeline.py and
+tests/test_spatial.py) cover the same semantics standalone, and
+tests/test_properties.py pins the codec invariants property-based.
 """
 
 import os
