@@ -182,3 +182,17 @@ def test_private_public_invalid_arity():
         for r in res.rows:
             if r.geom_ctype != "null":
                 wkb_encode(r.geom_ctype, r.geom_coords)
+
+
+@pytest.mark.parametrize(
+    "name,count,geom",
+    [
+        ("cgis-en-6393.kml", 233, "point"),
+        ("wards-chicago.zip", 53, "multipolygon"),  # shp-http.js:78 (53 wards again)
+    ],
+)
+def test_remaining_real_fixtures(name, count, geom):
+    res = fx(name)
+    assert len(res.rows) == count
+    assert not res.errors
+    assert {r.geom_ctype for r in res.rows} == {geom}
