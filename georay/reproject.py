@@ -84,20 +84,33 @@ def reproject_features(wkbs, ctypes, crs_list, fail_on_arity: bool = True):
         stacked = np.concatenate(arrays) if len(arrays) > 1 else arrays[0]
         transformed = transformer.transform(stacked)
 
-        for j, i in enumerate(idxs):
-            if decoded[j] is None:
-                continue
+        # per-row bboxes VECTORIZED over the stacked array (reduceat per
+        # row segment) — per-row numpy slicing costs more than the
+        # transform itself on many-small-geometry batches.
+        # bbox validity per reference bbox.js: x >= -180, |y| <= 90
+        x, y = transformed[:, 0], transformed[:, 1]
+        valid = (x >= -180) & (y >= -90) & (y <= 90)
+        xmin_src = np.where(valid, x, np.inf)
+        xmax_src = np.where(valid, x, -np.inf)
+        ymin_src = np.where(valid, y, np.inf)
+        ymax_src = np.where(valid, y, -np.inf)
+        live = [j for j in range(len(idxs)) if decoded[j] is not None]
+        starts = np.array([offsets[j] for j in live], dtype=np.int64)
+        seg_minx = np.minimum.reduceat(xmin_src, starts)
+        seg_maxx = np.maximum.reduceat(xmax_src, starts)
+        seg_miny = np.minimum.reduceat(ymin_src, starts)
+        seg_maxy = np.maximum.reduceat(ymax_src, starts)
+
+        for kk, j in enumerate(live):
+            i = idxs[j]
             ctype, spec = decoded[j]
             seg = transformed[offsets[j] : offsets[j + 1]]
             out_wkbs[i] = wkb_encode(ctype, rebuild_coords(ctype, seg, spec))
-            # bbox validity per reference bbox.js: x >= -180, |y| <= 90
-            valid = (seg[:, 0] >= -180) & (seg[:, 1] >= -90) & (seg[:, 1] <= 90)
-            if valid.any():
-                vx, vy = seg[valid, 0], seg[valid, 1]
-                minx[i] = vx.min()
-                maxx[i] = vx.max()
-                miny[i] = vy.min()
-                maxy[i] = vy.max()
+            if np.isfinite(seg_minx[kk]):
+                minx[i] = seg_minx[kk]
+                maxx[i] = seg_maxx[kk]
+                miny[i] = seg_miny[kk]
+                maxy[i] = seg_maxy[kk]
 
     return out_wkbs, (minx, miny, maxx, maxy), ok
 
