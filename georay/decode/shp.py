@@ -87,8 +87,11 @@ def _read_shp(data: bytes):
 
 
 def _pts(data, off, n):
-    vals = struct.unpack_from(f"<{2 * n}d", data, off)
-    return [[vals[2 * i], vals[2 * i + 1]] for i in range(n)]
+    # bulk parse: one C-level frombuffer + tolist instead of a Python
+    # pair loop (identical float64 values, ~4x faster on big records)
+    import numpy as np
+
+    return np.frombuffer(data, dtype="<f8", count=2 * n, offset=off).reshape(n, 2).tolist()
 
 
 _SHAPE_TYPES = {0, 1, 3, 5, 8, 11, 13, 15, 18, 21, 23, 25, 28}
@@ -124,10 +127,11 @@ def _read_shape(data: bytes, pos: int, end: int):
 
 
 def _ring_area(ring) -> float:
-    s = 0.0
-    for i in range(len(ring) - 1):
-        s += ring[i][0] * ring[i + 1][1] - ring[i + 1][0] * ring[i][1]
-    return s / 2.0
+    import numpy as np
+
+    a = np.asarray(ring, dtype=np.float64)
+    x, y = a[:, 0], a[:, 1]
+    return float(np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1])) / 2.0
 
 
 def _point_in_ring(pt, ring) -> bool:
