@@ -130,6 +130,12 @@ def _q_customer_name_match(sf_dir):
     return customer_name_match(sf_dir)
 
 
+def _q_user_sessions(sf_dir):
+    from georay.relational import user_sessions
+
+    return user_sessions(sf_dir)
+
+
 def _q_sample_orders(sf_dir):
     """Deterministic uniform sample without replacement (rows-only
     check; determinism + uniformity pinned by tests/test_sampling.py —
@@ -403,6 +409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_users_by_type": _q_approx_users_by_type,
         "orders_by_month": _q_orders_by_month,
         "sample_orders": _q_sample_orders,
+        "user_sessions": _q_user_sessions,
         "customer_name_match": _q_customer_name_match,
         "image_features": _q_image_features,
         "audio_features": _q_audio_features,
@@ -577,6 +584,27 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
             WHERE c_name LIKE '%7%'
             GROUP BY c_mktsegment
+        """,
+        "user_sessions": """
+            WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us FROM events),
+            l AS (SELECT user_id, us,
+                         LAG(us) OVER (PARTITION BY user_id ORDER BY us) AS prev
+                  FROM e),
+            s AS (SELECT user_id, us,
+                         CASE WHEN prev IS NULL OR us - prev > 1800000000
+                              THEN 1 ELSE 0 END AS new_s
+                  FROM l),
+            c AS (SELECT user_id, us,
+                         SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                          ROWS UNBOUNDED PRECEDING) AS sess
+                  FROM s)
+            SELECT user_id,
+                   CAST(sess AS BIGINT) AS session_idx,
+                   MIN(us) AS start_us,
+                   MAX(us) AS end_us,
+                   COUNT(*) AS n_events
+            FROM c
+            GROUP BY user_id, sess
         """,
         "daily_active_users": """
             SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,

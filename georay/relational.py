@@ -480,3 +480,37 @@ def customer_name_match(sf_dir: str, needle: str = "7"):
         .groupby("c_mktsegment")
         .aggregate(Sum("n_matched", alias_name="n_matched"))
     )
+
+
+def user_sessions(sf_dir: str, gap_minutes: int = 30):
+    """Gap-based session windows over the events stream: a user's
+    events more than `gap_minutes` apart start a new session. The
+    shuffle key is user_id (sessionization is per-key order-dependent,
+    so co-locate each user's events once and compute sessions with
+    vectorized diff/cumsum inside map_groups). Output: one row per
+    (user, session) with start/end/count — ties in ts are harmless
+    (gap 0 keeps them in one session regardless of tie order)."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64())
+        return pa.table({"user_id": t["user_id"], "us": us})
+
+    def sessionize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("us")
+        gaps = df["us"].diff()
+        sess = ((gaps.isna()) | (gaps > gap_us)).cumsum()  # 1-based
+        g = df.groupby(sess).agg(
+            start_us=("us", "min"), end_us=("us", "max"), n_events=("us", "size")
+        )
+        g = g.reset_index(drop=True)
+        g["session_idx"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        g["user_id"] = df["user_id"].iloc[0]
+        return g[["user_id", "session_idx", "start_us", "end_us", "n_events"]]
+
+    return (
+        ds.map_batches(to_us, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(sessionize, batch_format="pandas")
+    )
