@@ -130,6 +130,12 @@ def _q_customer_name_match(sf_dir):
     return customer_name_match(sf_dir)
 
 
+def _q_asof_last_order(sf_dir):
+    from georay.relational import asof_last_order
+
+    return asof_last_order(sf_dir)
+
+
 def _q_user_sessions(sf_dir):
     from georay.relational import user_sessions
 
@@ -410,6 +416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_month": _q_orders_by_month,
         "sample_orders": _q_sample_orders,
         "user_sessions": _q_user_sessions,
+        "asof_last_order": _q_asof_last_order,
         "customer_name_match": _q_customer_name_match,
         "image_features": _q_image_features,
         "audio_features": _q_audio_features,
@@ -584,6 +591,17 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
             WHERE c_name LIKE '%7%'
             GROUP BY c_mktsegment
+        """,
+        "asof_last_order": """
+            SELECT e.event_id,
+                   e.user_id,
+                   COALESCE(
+                     (SELECT CAST(MAX(epoch_us(o.o_orderdate)) AS BIGINT)
+                      FROM orders o
+                      WHERE o.o_custkey = e.user_id
+                        AND epoch_us(o.o_orderdate) <= epoch_us(e.ts)),
+                     -1) AS last_order_us
+            FROM events e
         """,
         "user_sessions": """
             WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us FROM events),

@@ -514,3 +514,59 @@ def user_sessions(sf_dir: str, gap_minutes: int = 30):
         .groupby("user_id")
         .map_groups(sessionize, batch_format="pandas")
     )
+
+
+def asof_last_order(sf_dir: str):
+    """AS-OF join (an operator Ray Data has no primitive for): each
+    event joins the latest order of the same customer at-or-before the
+    event time. Both sides are co-partitioned by key in ONE shuffle
+    (tagged union -> groupby user), then the per-key merge is a sorted
+    searchsorted — the partitioning assumption is only that one key's
+    rows fit in one group, the standard as-of contract. Events with no
+    prior order get last_order_us = -1 (not NULL, keeping the oracle
+    hash well-defined)."""
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+
+    def ev(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"].cast(pa.int64()),
+                "event_id": t["event_id"].cast(pa.int64()),
+                "us": t["ts"].cast(pa.int64()),
+                "side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+            }
+        )
+
+    def od(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["o_custkey"].cast(pa.int64()),
+                "event_id": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
+                "us": t["o_orderdate"].cast(pa.int64()),
+                "side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+            }
+        )
+
+    both = events.map_batches(ev, batch_format="pyarrow").union(
+        orders.map_batches(od, batch_format="pyarrow")
+    )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[df["side"] == 0]
+        o_us = np.sort(df.loc[df["side"] == 1, "us"].to_numpy())
+        ev_us = e["us"].to_numpy()
+        if len(o_us) == 0:  # key with events but no orders at all
+            last = np.full(len(ev_us), -1, dtype=np.int64)
+        else:
+            idx = np.searchsorted(o_us, ev_us, side="right") - 1
+            last = np.where(idx >= 0, o_us[np.maximum(idx, 0)], -1)
+        return pd.DataFrame(
+            {
+                "event_id": e["event_id"].to_numpy(),
+                "user_id": e["user_id"].to_numpy(),
+                "last_order_us": last.astype(np.int64),
+            }
+        )
+
+    return both.groupby("user_id").map_groups(merge, batch_format="pandas")
