@@ -130,6 +130,12 @@ def _q_customer_name_match(sf_dir):
     return customer_name_match(sf_dir)
 
 
+def _q_event_sessions(sf_dir):
+    from georay.relational import event_session_assignment
+
+    return event_session_assignment(sf_dir)
+
+
 def _q_asof_last_order(sf_dir):
     from georay.relational import asof_last_order
 
@@ -417,6 +423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_orders": _q_sample_orders,
         "user_sessions": _q_user_sessions,
         "asof_last_order": _q_asof_last_order,
+        "event_sessions": _q_event_sessions,
         "customer_name_match": _q_customer_name_match,
         "image_features": _q_image_features,
         "audio_features": _q_audio_features,
@@ -591,6 +598,27 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
             WHERE c_name LIKE '%7%'
             GROUP BY c_mktsegment
+        """,
+        "event_sessions": """
+            WITH e AS (SELECT event_id, user_id,
+                              CAST(epoch_us(ts) AS BIGINT) AS us FROM events),
+            l AS (SELECT user_id, us,
+                         LAG(us) OVER (PARTITION BY user_id ORDER BY us) AS prev
+                  FROM e),
+            s AS (SELECT user_id, us,
+                         CASE WHEN prev IS NULL OR us - prev > 1800000000
+                              THEN 1 ELSE 0 END AS new_s
+                  FROM l),
+            c AS (SELECT user_id, us,
+                         SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                          ROWS UNBOUNDED PRECEDING) AS sess
+                  FROM s),
+            iv AS (SELECT user_id, CAST(sess AS BIGINT) AS session_idx,
+                          MIN(us) AS start_us, MAX(us) AS end_us
+                   FROM c GROUP BY user_id, sess)
+            SELECT e.event_id, e.user_id, iv.session_idx
+            FROM e JOIN iv ON e.user_id = iv.user_id
+                          AND e.us BETWEEN iv.start_us AND iv.end_us
         """,
         "asof_last_order": """
             SELECT e.event_id,

@@ -570,3 +570,54 @@ def asof_last_order(sf_dir: str):
         )
 
     return both.groupby("user_id").map_groups(merge, batch_format="pandas")
+
+
+def event_session_assignment(sf_dir: str, gap_minutes: int = 30):
+    """RANGE (interval-containment) join: every event joins the session
+    interval [start_us, end_us] that contains it, per user. The
+    interval side (sessions) is derived small, so it broadcasts via
+    ray.put as per-user sorted start arrays and each event batch
+    resolves with one searchsorted — the broadcast-range-join shape.
+    (When the interval side is large, co-partition by key exactly like
+    asof_last_order instead.)"""
+    sessions = user_sessions(sf_dir, gap_minutes).to_pandas()
+    per_user: dict = {}
+    for uid, g in sessions.groupby("user_id"):
+        g = g.sort_values("start_us")
+        per_user[int(uid)] = (
+            g["start_us"].to_numpy(),
+            g["end_us"].to_numpy(),
+            g["session_idx"].to_numpy(),
+        )
+    ref = ray.put(per_user)
+
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    class Assign:
+        def __init__(self):
+            self.per_user = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            uids = t["user_id"].to_numpy(zero_copy_only=False)
+            us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            eids = t["event_id"].to_numpy(zero_copy_only=False)
+            out = np.full(len(uids), -1, dtype=np.int64)
+            for uid in np.unique(uids):
+                entry = self.per_user.get(int(uid))
+                if entry is None:
+                    continue
+                starts, ends, idxs = entry
+                m = uids == uid
+                pos = np.searchsorted(starts, us[m], side="right") - 1
+                ok = (pos >= 0) & (us[m] <= ends[np.maximum(pos, 0)])
+                vals = np.where(ok, idxs[np.maximum(pos, 0)], -1)
+                out[m] = vals
+            return pa.table(
+                {
+                    "event_id": pa.array(eids, pa.int64()),
+                    "user_id": pa.array(uids.astype(np.int64), pa.int64()),
+                    "session_idx": pa.array(out, pa.int64()),
+                }
+            )
+
+    return events.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 4))
