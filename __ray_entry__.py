@@ -447,10 +447,10 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty,
-                   SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sum_base_price_cents,
-                   SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
-                       * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS sum_disc_price_em4,
+                   CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+                   CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS sum_disc_price_em4,
                    COUNT(*) AS count_order
             FROM lineitem
             GROUP BY l_returnflag, l_linestatus
@@ -463,8 +463,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "region_revenue": """
             SELECT r_name,
-                   SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
-                       * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS revenue_em4
+                   CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_em4
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -476,7 +476,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS window_hour,
                    event_type,
                    COUNT(*) AS n_events,
-                   SUM(CAST(ROUND(value*1000000) AS BIGINT)) AS sum_value_em6
+                   CAST(SUM(CAST(ROUND(value*1000000) AS BIGINT)) AS BIGINT) AS sum_value_em6
             FROM events
             GROUP BY 1, 2
         """,
@@ -490,9 +490,9 @@ def oracle_sql() -> dict[str, str]:
         "part_stats": """
             SELECT p_brand,
                    COUNT(*) AS n_parts,
-                   SUM(CAST(ROUND(p_retailprice*100) AS BIGINT)) AS sum_price_cents,
-                   MIN(p_size) AS min_size,
-                   MAX(p_size) AS max_size
+                   CAST(SUM(CAST(ROUND(p_retailprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+                   CAST(MIN(p_size) AS BIGINT) AS min_size,
+                   CAST(MAX(p_size) AS BIGINT) AS max_size
             FROM part
             GROUP BY p_brand
         """,
@@ -589,7 +589,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_by_month": """
             SELECT strftime(o_orderdate, '%Y-%m') AS ym,
                    COUNT(*) AS n_orders,
-                   SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS sum_total_cents
+                   CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_total_cents
             FROM orders
             GROUP BY 1
         """,

@@ -125,7 +125,12 @@ def flatten_coords(ctype: str, coords):
     """Return (positions: float64 ndarray [N,2], shape-spec) for vectorized
     coordinate transforms; rebuild with rebuild_coords."""
     pts = list(iter_positions(ctype, coords))
-    arr = np.asarray(pts, dtype=np.float64).reshape(len(pts), -1)[:, :2]
+    if not pts:
+        # empty multis are valid GeoJSON (reference mapper.js nullIfNoCoords
+        # only wraps Line/Polygon) — reshape(0, -1) would raise
+        arr = np.empty((0, 2), dtype=np.float64)
+    else:
+        arr = np.asarray(pts, dtype=np.float64).reshape(len(pts), -1)[:, :2]
     if _DEPTH[ctype] == 0:
         return arr, None
     if _DEPTH[ctype] == 1:
@@ -223,30 +228,31 @@ def wkb_decode(wkb: bytes):
     return ctype, coords
 
 
-def _read_positions(wkb, off, n):
-    arr = np.frombuffer(wkb, dtype="<f8", count=2 * n, offset=off)
+def _read_positions(wkb, off, n, dtype="<f8"):
+    arr = np.frombuffer(wkb, dtype=dtype, count=2 * n, offset=off)
     return arr.reshape(n, 2).tolist(), off + 16 * n
 
 
 def _wkb_decode_at(wkb: bytes, off: int):
     little = wkb[off] == 1
     fmt = "<I" if little else ">I"
+    pos_dtype = "<f8" if little else ">f8"  # honor byte order for coords too
     code = struct.unpack_from(fmt, wkb, off + 1)[0] % 1000
     ctype = _CODE_WKB[code]
     off += 5
     if ctype == "point":
-        pts, off = _read_positions(wkb, off, 1)
+        pts, off = _read_positions(wkb, off, 1, pos_dtype)
         return ctype, pts[0], off
     n = struct.unpack_from(fmt, wkb, off)[0]
     off += 4
     if ctype in ("linestring", "multipoint"):
-        pts, off = _read_positions(wkb, off, n)
+        pts, off = _read_positions(wkb, off, n, pos_dtype)
         return ctype, pts, off
     if ctype == "polygon":
         rings = []
         for _ in range(n):
             m = struct.unpack_from(fmt, wkb, off)[0]
-            pts, off = _read_positions(wkb, off + 4, m)
+            pts, off = _read_positions(wkb, off + 4, m, pos_dtype)
             rings.append(pts)
         return ctype, rings, off
     parts = []

@@ -82,7 +82,7 @@ def reproject_features(wkbs, ctypes, crs_list, fail_on_arity: bool = True):
         if not arrays:
             continue
         stacked = np.concatenate(arrays) if len(arrays) > 1 else arrays[0]
-        transformed = transformer.transform(stacked)
+        transformed = transformer.transform(stacked) if len(stacked) else stacked
 
         # per-row bboxes VECTORIZED over the stacked array (reduceat per
         # row segment) — per-row numpy slicing costs more than the
@@ -95,18 +95,26 @@ def reproject_features(wkbs, ctypes, crs_list, fail_on_arity: bool = True):
         ymin_src = np.where(valid, y, np.inf)
         ymax_src = np.where(valid, y, -np.inf)
         live = [j for j in range(len(idxs)) if decoded[j] is not None]
-        starts = np.array([offsets[j] for j in live], dtype=np.int64)
-        seg_minx = np.minimum.reduceat(xmin_src, starts)
-        seg_maxx = np.maximum.reduceat(xmax_src, starts)
-        seg_miny = np.minimum.reduceat(ymin_src, starts)
-        seg_maxy = np.maximum.reduceat(ymax_src, starts)
+        # reduceat over EMPTY segments is wrong twice over: it returns the
+        # NEXT segment's element (a neighboring row's coordinate as this
+        # row's bbox) and a trailing empty segment indexes out of bounds —
+        # so only nonempty segments participate; empty ones keep NaN bbox
+        nonempty = [j for j in live if offsets[j + 1] > offsets[j]]
+        bbox_slot = {j: kk for kk, j in enumerate(nonempty)}
+        if nonempty:
+            starts = np.array([offsets[j] for j in nonempty], dtype=np.int64)
+            seg_minx = np.minimum.reduceat(xmin_src, starts)
+            seg_maxx = np.maximum.reduceat(xmax_src, starts)
+            seg_miny = np.minimum.reduceat(ymin_src, starts)
+            seg_maxy = np.maximum.reduceat(ymax_src, starts)
 
-        for kk, j in enumerate(live):
+        for j in live:
             i = idxs[j]
             ctype, spec = decoded[j]
             seg = transformed[offsets[j] : offsets[j + 1]]
             out_wkbs[i] = wkb_encode(ctype, rebuild_coords(ctype, seg, spec))
-            if np.isfinite(seg_minx[kk]):
+            kk = bbox_slot.get(j)
+            if kk is not None and np.isfinite(seg_minx[kk]):
                 minx[i] = seg_minx[kk]
                 maxx[i] = seg_maxx[kk]
                 miny[i] = seg_miny[kk]

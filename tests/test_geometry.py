@@ -137,3 +137,59 @@ def test_bbox_reference_quirks():
     # merge
     m = BBox().expand([1, 1]).merge(BBox().expand([5, 5]))
     assert (m.minx, m.maxy) == (1, 5)
+
+
+# ---------------------------------------------- empty multis (ADVICE r01)
+
+
+@pytest.mark.parametrize("ctype", ["multipolygon", "multilinestring", "multipoint"])
+def test_empty_multi_flatten_and_wkb(ctype):
+    # {type: MultiPolygon, coordinates: []} is valid GeoJSON; the
+    # reference flows empty multis through reprojection harmlessly
+    arr, spec = flatten_coords(ctype, [])
+    assert arr.shape == (0, 2)
+    assert rebuild_coords(ctype, arr, spec) == []
+    wkb = wkb_encode(ctype, [])
+    assert wkb_decode(wkb) == (ctype, [])
+
+
+def test_empty_multi_reproject_batch_and_bbox_isolation():
+    """A batch mixing empty multis with real geometries must not crash,
+    and the empty rows must not steal a neighbor's bbox (the reduceat
+    empty-segment trap)."""
+    from georay.reproject import reproject_features
+
+    wkbs = [
+        wkb_encode("multipolygon", []),
+        wkb_encode("point", [10.0, 20.0]),
+        wkb_encode("multilinestring", []),
+        wkb_encode("point", [30.0, 40.0]),
+        wkb_encode("multipolygon", []),  # trailing empty segment
+    ]
+    ctypes = ["multipolygon", "point", "multilinestring", "point", "multipolygon"]
+    crss = ["EPSG:4326"] * 5
+    out, (minx, miny, maxx, maxy), ok = reproject_features(wkbs, ctypes, crss)
+    assert ok.all()
+    assert wkb_decode(out[0]) == ("multipolygon", [])
+    assert wkb_decode(out[2]) == ("multilinestring", [])
+    assert wkb_decode(out[4]) == ("multipolygon", [])
+    # empty rows: NaN bbox, NOT the neighbor's coordinates
+    assert np.isnan(minx[0]) and np.isnan(maxy[0])
+    assert np.isnan(minx[2]) and np.isnan(maxy[2])
+    assert np.isnan(minx[4]) and np.isnan(maxy[4])
+    assert [minx[1], miny[1], maxx[1], maxy[1]] == pytest.approx([10.0, 20.0, 10.0, 20.0])
+    assert [minx[3], miny[3], maxx[3], maxy[3]] == pytest.approx([30.0, 40.0, 30.0, 40.0])
+
+
+def test_wkb_big_endian_reject_or_decode():
+    """wkb_decode honors the byte-order flag for coordinates, not just
+    counts (ADVICE r01: big-endian WKB decoded counts right but
+    coordinates as garbage)."""
+    import struct
+
+    be = bytearray(b"\x00")
+    be += struct.pack(">I", 1)  # point
+    be += struct.pack(">dd", 12.5, -3.25)
+    ctype, coords = wkb_decode(bytes(be))
+    assert ctype == "point"
+    assert coords == [12.5, -3.25]

@@ -94,7 +94,16 @@ def main():
 
             want2 = want.astype(got.dtypes.to_dict(), errors="ignore")
             pdt.assert_frame_equal(got, want2, check_dtype=False, check_exact=True)
-            print(f"ok   {name}: rows={len(got)} hash-equal ({wall:.1f}s)")
+            # the driver's hash compare is dtype-sensitive (r01: int64 vs
+            # DuckDB HUGEINT->float64 flipped 4 queries amber) — surface
+            # any dtype drift loudly even though values match
+            drift = {
+                c: (str(got[c].dtype), str(want[c].dtype))
+                for c in got.columns
+                if str(got[c].dtype) != str(want[c].dtype)
+            }
+            tag = f" DTYPE-DRIFT {drift}" if drift else ""
+            print(f"ok   {name}: rows={len(got)} hash-equal ({wall:.1f}s){tag}")
         except AssertionError as e:
             failures.append(name)
             print(f"FAIL {name}: values differ: {str(e)[:300]}")
