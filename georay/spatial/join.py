@@ -85,11 +85,39 @@ def haversine_m(lon1, lat1, lon2, lat2):
     return 2 * _EARTH_R * np.arcsin(np.sqrt(h))
 
 
+def _tile_lat(y: float, n: int) -> float:
+    """Latitude (deg) of the TOP edge of tile row y at grid size n."""
+    import math
+
+    t = math.pi * (1.0 - 2.0 * y / n)
+    return math.degrees(math.atan(math.sinh(t)))
+
+
 class KNNJoiner:
-    """k nearest polygon centroids per page via cell-ring expansion:
-    expand rings around the page's cell until >= k candidates are seen,
-    expand ONE more ring (a nearer point can hide in the next ring),
-    then exact haversine top-k."""
+    """Exact k nearest polygon centroids per page via cell-ring expansion.
+
+    Stopping rule (ADVICE r01): a fixed "+1 safety ring" is NOT
+    sufficient for exact kNN — a candidate found in ring r can be up to
+    ~(r+1)*sqrt(2) cell-diagonals away while an unexplored cell at ring
+    r+2 holds a nearer centroid, and mercator cell height varies with
+    latitude. Instead, rings keep expanding until a *lower bound* on
+    the distance from anywhere in the home cell to anything outside the
+    explored (2r+1)^2 box exceeds the kth-best *upper bound* among the
+    candidates already found (distance from the cell center plus the
+    cell's corner radius). Bounds, all conservative on the sphere:
+
+      - north/south: great-circle distance >= R * |dlat| (any path must
+        traverse the latitude gap between the home cell edge and the
+        box edge — exact mercator row latitudes, so varying cell height
+        is handled);
+      - east/west: distance from p to the meridian lon=L is exactly
+        R * asin(cos(lat_p) * |sin(lon_p - L)|), minimized over the
+        home cell with the largest |lat| in the cell;
+      - an edge at the grid boundary (row 0 / n-1, or a box spanning
+        all longitudes) has nothing unexplored behind it: term dropped
+        (clamped >85.05 deg centroids live in row 0/n-1 buckets, which
+        the box then covers).
+    """
 
     def __init__(self, index_ref, k: int = 3, knn_zoom: int | None = None, max_ring: int = 64):
         index = ray.get(index_ref) if not hasattr(index_ref, "zoom") else index_ref
@@ -131,6 +159,62 @@ class KNNJoiner:
                     ids.append(b)
             yield k, (np.concatenate(ids) if ids else np.empty(0, dtype=np.int64))
 
+    def _unexplored_lower_bound_m(self, z: int, x: int, y: int, r: int) -> float:
+        """Lower bound (meters) on haversine distance from ANY point in
+        cell (x,y) to ANY point in a cell at Chebyshev ring > r."""
+        import math
+
+        n = 1 << z
+        lat_top = _tile_lat(y, n)
+        lat_bot = _tile_lat(y + 1, n)
+        terms = []
+        if 2 * r + 1 < n:  # box does not span every longitude column
+            dlon = math.radians(r * 360.0 / n)
+            coslat = math.cos(math.radians(max(abs(lat_top), abs(lat_bot))))
+            s = min(1.0, coslat * abs(math.sin(dlon)))
+            terms.append(_EARTH_R * math.asin(s))
+        if y - r > 0:  # rows above the box exist
+            dlat = math.radians(_tile_lat(y - r, n) - lat_top)
+            terms.append(_EARTH_R * max(0.0, dlat))
+        if y + r < n - 1:  # rows below the box exist
+            dlat = math.radians(lat_bot - _tile_lat(y + r + 1, n))
+            terms.append(_EARTH_R * max(0.0, dlat))
+        return min(terms) if terms else float("inf")
+
+    def _expand_cell(self, cell: int) -> np.ndarray:
+        """Candidate centroid ids guaranteed to contain the exact top-k
+        for every query point inside `cell`."""
+        import math
+
+        z, x, y = (int(v) for v in cell_to_zxy(np.int64(cell)))
+        n = 1 << z
+        clon = (x + 0.5) / n * 360.0 - 180.0
+        clat = (_tile_lat(y, n) + _tile_lat(y + 1, n)) / 2.0
+        corners_lon = np.array([(x) / n * 360.0 - 180.0, (x + 1) / n * 360.0 - 180.0] * 2)
+        corners_lat = np.array([_tile_lat(y, n)] * 2 + [_tile_lat(y + 1, n)] * 2)
+        # radius: center -> farthest corner, +5% slack for the flat-box
+        # approximation of "farthest point in cell"
+        radius = 1.05 * float(np.max(haversine_m(clon, clat, corners_lon, corners_lat)))
+
+        cents = self.index.centroids
+        found: list[np.ndarray] = []
+        total = 0
+        for ring_k, ids in self._candidates(int(cell)):
+            found.append(ids)
+            total += len(ids)
+            if total >= self.k:
+                cand = np.concatenate(found)
+                # upper bound of each candidate's distance from ANY point
+                # in the home cell
+                du = haversine_m(clon, clat, cents[cand, 0], cents[cand, 1]) + radius
+                kth_ub = float(np.partition(du, self.k - 1)[self.k - 1])
+                if self._unexplored_lower_bound_m(z, x, y, ring_k) > kth_ub:
+                    return cand
+        # max_ring exhausted without the bound closing (sparse region /
+        # polar cells): fall back to brute force — exactness beats the
+        # ring heuristic, and the centroid array is already in memory
+        return np.arange(len(cents), dtype=np.int64)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         lon = batch["lon"].to_numpy(zero_copy_only=False)
         lat = batch["lat"].to_numpy(zero_copy_only=False)
@@ -142,17 +226,7 @@ class KNNJoiner:
         for i, cell in enumerate(cells):
             cand = cache.get(int(cell))
             if cand is None:
-                found: list[np.ndarray] = []
-                total = 0
-                need_extra = None
-                for ring_k, ids in self._candidates(int(cell)):
-                    if need_extra is not None and ring_k > need_extra:
-                        break
-                    found.append(ids)
-                    total += len(ids)
-                    if total >= self.k and need_extra is None:
-                        need_extra = ring_k + 1  # one safety ring
-                cand = np.concatenate(found) if found else np.empty(0, dtype=np.int64)
+                cand = self._expand_cell(int(cell))
                 cache[int(cell)] = cand
             if len(cand) == 0:
                 continue

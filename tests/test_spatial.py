@@ -214,3 +214,54 @@ def test_tile_assignment_and_counts(index, ray_session):
 
     cover = polygon_tile_table(index)
     assert cover.num_rows > len(index.polygons)  # every polygon spans >1 tile at z15
+
+
+def test_knn_exact_on_skewed_distribution():
+    """Exact-kNN stopping rule (ADVICE r01): a dense far cluster fills k
+    candidates early while a nearer sparse centroid hides 2+ rings out;
+    high-latitude points exercise latitude-varying mercator cell height.
+    Brute force over all centroids is the oracle."""
+    from georay.spatial.index import PolygonIndex
+    from georay.spatial.join import KNNJoiner, haversine_m
+    import pyarrow as pa
+
+    rng = np.random.default_rng(7)
+
+    def square(pid, cx, cy, e=1e-4):
+        ring = [
+            [cx - e, cy - e], [cx + e, cy - e], [cx + e, cy + e],
+            [cx - e, cy + e], [cx - e, cy - e],
+        ]
+        return {"polygon_id": pid, "layer": "t", "name": f"p{pid}", "rings": [ring]}
+
+    polys = []
+    # dense cluster near (10.30, 45.30)
+    for i in range(150):
+        polys.append(square(len(polys), 10.30 + rng.normal(0, 0.005), 45.30 + rng.normal(0, 0.005)))
+    # sparse spread over a 2x2 degree box
+    for i in range(40):
+        polys.append(square(len(polys), float(rng.uniform(9, 11)), float(rng.uniform(44, 46))))
+    # high-latitude cluster + sparse
+    for i in range(30):
+        polys.append(square(len(polys), 10.0 + rng.normal(0, 0.01), 80.0 + rng.normal(0, 0.01)))
+    for i in range(10):
+        polys.append(square(len(polys), float(rng.uniform(9, 11)), float(rng.uniform(79, 81))))
+
+    index = PolygonIndex(polys)
+    cents = index.centroids
+    k = 3
+    knn = KNNJoiner(index, k=k)
+
+    q_lon = np.concatenate([rng.uniform(9, 11, 40), rng.uniform(9, 11, 20)])
+    q_lat = np.concatenate([rng.uniform(44, 46, 40), rng.uniform(79, 81, 20)])
+    urls = [f"q{i}" for i in range(len(q_lon))]
+    out = knn(pa.table({"url": urls, "lon": q_lon, "lat": q_lat}))
+    by_url = {}
+    for r in out.to_pylist():
+        by_url.setdefault(r["url"], []).append(r["distance_m"])
+
+    for i, u in enumerate(urls):
+        d = haversine_m(q_lon[i], q_lat[i], cents[:, 0], cents[:, 1])
+        want = np.sort(d)[:k]
+        got = np.sort(by_url[u])
+        assert np.allclose(got, want, rtol=1e-9), (u, got.tolist(), want.tolist())

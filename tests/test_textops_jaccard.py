@@ -66,3 +66,36 @@ def test_empty_doc_never_pairs(docs):
     texts, ds = docs
     pairs = _run(ds, 0.0)
     assert not any(4 in p for p in pairs)
+
+
+def test_minhash_lsh_matches_exact(docs):
+    """The distributed MinHash+LSH path (candidate generation, pair
+    dedup, co-partitioned semi-join verify) must equal the exact
+    all-pairs result at tau=0.8 on a corpus with clear separation
+    (near-dups >> tau, non-dups << tau, so LSH at 32x4 bands cannot
+    miss)."""
+    from georay.textops import minhash_near_dups
+
+    texts, ds = docs
+    exact = _ref_pairs(texts, 0.8)
+    lsh = {(r["a"], r["b"]) for r in minhash_near_dups(ds, threshold=0.8).take_all()}
+    assert lsh == exact
+
+
+def test_minhash_hot_bucket_star_cap(ray_session):
+    """Past MAX_LSH_BUCKET a bucket emits the star pattern; below it,
+    all-pairs. Verified at a tiny cap via monkeypatched constant."""
+    import pyarrow as pa
+    from georay import textops
+
+    g = pa.table({"doc_id": pa.array(list(range(5)), pa.int64())})
+    full = textops._bucket_pairs(g)
+    assert full.num_rows == 10  # 5 choose 2
+    old = textops.MAX_LSH_BUCKET
+    try:
+        textops.MAX_LSH_BUCKET = 3
+        star = textops._bucket_pairs(g)
+        assert star.num_rows == 4
+        assert set(star["a"].to_pylist()) == {0}
+    finally:
+        textops.MAX_LSH_BUCKET = old
