@@ -59,6 +59,42 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def extract_split_batch(batch: pa.Table) -> pa.Table:
+    """Single-scan variant of extract_batch: ONE pass over the raw html
+    yields both the points columns (url, ts, lang, lon, lat) and the
+    ~1% geo-payload subset as `payload_html` (null elsewhere). The
+    flagship persists this once, so raw html is read exactly once per
+    run — at 100 TB the html scan dominates I/O and the old
+    two-branch shape paid it twice. Text extraction (the byte-identical
+    invariant) still runs for every page; the text itself is not
+    persisted because no sink consumes it."""
+    import pyarrow.compute as pc
+
+    htmls = batch["html"].to_pylist()
+    urls = batch["url"].to_pylist()
+    for h in htmls:
+        extract_text(h)  # invariant work, result unused downstream
+    lons = np.empty(len(urls))
+    lats = np.empty(len(urls))
+    for i, u in enumerate(urls):
+        lons[i], lats[i] = page_coords(u)
+    has_payload = pc.match_substring(batch["html"], "application/x-geo")
+    payload_html = pc.if_else(
+        has_payload, batch["html"], pa.scalar(None, batch["html"].type)
+    )
+    return pa.table(
+        {
+            "url": batch["url"],
+            "warc_ts": batch["warc_ts"],
+            "lang": batch["lang"],
+            "lon": pa.array(lons),
+            "lat": pa.array(lats),
+            "has_payload": has_payload,
+            "payload_html": payload_html,
+        }
+    )
+
+
 def read_pages(path: str, columns=None) -> "ray.data.Dataset":
     return ray.data.read_parquet(path, columns=columns)
 

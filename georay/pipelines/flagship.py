@@ -23,7 +23,7 @@ import ray
 from ..checkpoint import checkpoint_dataset
 from ..metrics import StageTimer
 from ..pages import pages_dir_for
-from ..pipeline import decode_features, extract_batch, layer_stats
+from ..pipeline import decode_features, extract_split_batch, layer_stats
 from ..spatial.index import build_polygon_index
 from ..spatial.join import KNNJoiner, PIPJoiner, knn_join_batch, pip_join_batch
 from ..spatial.tiles import assign_tiles_batch, tile_counts
@@ -55,30 +55,47 @@ def geotag_pipeline(
     the PIP/kNN actor pools autoscale up to the CPU count."""
     import ray.data
 
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     ncpu = _cluster_cpus()
 
     timings: dict = {}
     blocks = max(16, 6 * ncpu)
-    # points read: url/warc_ts/lang/html only — `text` is recomputed
-    # from html by the frozen extractor (byte-identical invariant), so
-    # shipping the stored copy through the join would be pure waste
+    # THE one raw-html scan of the run (100-TB rule: the html read
+    # dominates I/O; the old two-branch shape scanned it twice). One
+    # pass extracts the points columns AND splits off the ~1% payload
+    # subset as `payload_html`; the (small) result is persisted once and
+    # every later stage does a pruned read of it.
     pages = ray.data.read_parquet(
         pages_path,
         columns=["url", "warc_ts", "lang", "html"],
         override_num_blocks=blocks,
     )
+    with StageTimer(timings, "scan_extract"):
+        store = pages.map_batches(extract_split_batch, batch_format="pyarrow")
+        if out_dir:
+            store = checkpoint_dataset(store, f"{out_dir}/pages_store", fingerprint)
+        else:
+            store = store.materialize()
 
-    # features branch (payload pages only; ~1% of rows survive decode).
-    # Own pruned read — the decoder needs only (url, html), no reason to
-    # ship text/lang/warc_ts through it. Materialized exactly once — as
-    # a parquet checkpoint when out_dir is set (resumable), else pinned
-    # in the object store (it is tiny) — because three consumers need it
-    # (index build, layer rollup, sink).
+    # features branch decodes ONLY the persisted payload subset
     with StageTimer(timings, "decode_features"):
-        feats = decode_features(
-            ray.data.read_parquet(
-                pages_path, columns=["url", "html"], override_num_blocks=blocks
+        if out_dir:
+            from ..checkpoint import _data_files as _df
+
+            payload_src = ray.data.read_parquet(
+                _df(f"{out_dir}/pages_store"), columns=["url", "payload_html"]
             )
+        else:
+            payload_src = store.select_columns(["url", "payload_html"])
+
+        def payload_rows(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_valid(t["payload_html"]))
+            return pa.table({"url": t["url"], "html": t["payload_html"]})
+
+        feats = decode_features(
+            payload_src.map_batches(payload_rows, batch_format="pyarrow")
         )
         if out_dir:
             feats = checkpoint_dataset(feats, f"{out_dir}/features", fingerprint)
@@ -102,15 +119,21 @@ def geotag_pipeline(
         layer_src = feats
     layers = layer_stats(layer_src)
 
-    # points branch (all pages, one streaming pass):
-    # extract -> PIP join -> tile assign -> sink; per-tile counts are a
-    # two-phase aggregate over the (small) joined stream
+    # points branch: pruned re-read of the pages store (url/lon/lat
+    # only — never the html) -> PIP join -> tile assign -> sink.
     # PIP/kNN run TASK-mode (see spatial/join.py): the broadcast index
     # is immutable, so plain tasks + a per-worker joiner cache scale to
-    # every CPU with work stealing and fuse with the read/extract/write
+    # every CPU with work stealing and fuse with the read/join/write
     # ops — no actor-pool spawn latency or pool-size tuning. Passing
     # pip_concurrency switches back to the actor-pool classes.
-    points = pages.map_batches(extract_batch, batch_format="pyarrow").drop_columns(["html"])
+    if out_dir:
+        from ..checkpoint import _data_files as _df2
+
+        points = ray.data.read_parquet(
+            _df2(f"{out_dir}/pages_store"), columns=["url", "lon", "lat"]
+        )
+    else:
+        points = store.select_columns(["url", "lon", "lat"])
     if pip_concurrency is None:
         joined = points.map_batches(
             pip_join_batch, fn_kwargs={"index_ref": index_ref}, batch_format="pyarrow"

@@ -112,24 +112,32 @@ class _MinHasher:
         return vals.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        """doc batch -> exploded (doc_id, band, band_hash) rows."""
+        """doc batch -> ONE row per doc: (doc_id, shingles, band_hashes).
+        Shingles are computed exactly once here and reused by the exact
+        verification stage (the old shape re-tokenized the whole corpus
+        a second time just to verify ~0.1% of it)."""
         rows_per_band = self.n_perms // LSH_BANDS
-        doc_ids, bands, band_hashes = [], [], []
+        doc_ids, sh_lists, bh_lists = [], [], []
         for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            sig = self.signature(word_shingles(text or "", self.shingle_n))
+            sh = word_shingles(text or "", self.shingle_n)
+            sig = self.signature(sh)
+            bhs = []
             for band in range(LSH_BANDS):
                 seg = sig[band * rows_per_band : (band + 1) * rows_per_band]
-                bh = int.from_bytes(
-                    hashlib.blake2b(seg.tobytes(), digest_size=8).digest(), "big"
-                ) >> 1
-                doc_ids.append(doc_id)
-                bands.append(band)
-                band_hashes.append(bh)
+                bhs.append(
+                    int.from_bytes(
+                        hashlib.blake2b(seg.tobytes(), digest_size=8).digest(), "big"
+                    )
+                    >> 1
+                )
+            doc_ids.append(doc_id)
+            sh_lists.append([int(x) >> 1 for x in sh])
+            bh_lists.append(bhs)
         return pa.table(
             {
                 "doc_id": pa.array(doc_ids, pa.int64()),
-                "band": pa.array(bands, pa.int32()),
-                "band_hash": pa.array(band_hashes, pa.int64()),
+                "shingles": pa.array(sh_lists, pa.list_(pa.int64())),
+                "band_hashes": pa.array(bh_lists, pa.list_(pa.int64())),
             }
         )
 
@@ -137,23 +145,62 @@ class _MinHasher:
 MAX_LSH_BUCKET = 1024  # pair-explosion guard for hot band buckets
 
 
-def _bucket_pairs(group: "pa.Table") -> pa.Table:
-    """Vectorized candidate pairs for one LSH band bucket. A bucket of m
-    docs yields m(m-1)/2 pairs — quadratic in the hot-bucket size — so
-    buckets beyond MAX_LSH_BUCKET emit the star pattern (min-id linked
-    to every other member) instead: output stays linear and transitive
-    closure still groups the near-identical cluster for dedup."""
-    ids = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
+def _n_partitions() -> int:
+    """Shuffle partition count sized from the cluster (4x CPUs), shared
+    by the bucketed groupby shapes below. A groupby on the RAW key
+    (band bucket, doc id, pair) would create one Python map_groups call
+    per tiny group — hash-bucketing the key first turns that into
+    ~4xCPU vectorized partition calls."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(16, 4 * cpus)
+
+
+def _pair_block(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All (a<b) pairs of a candidate bucket; beyond MAX_LSH_BUCKET emit
+    the star pattern (min id linked to every member): output stays
+    linear and transitive closure still groups the near-identical
+    cluster for dedup."""
     m = len(ids)
-    if m < 2:
-        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
     if m > MAX_LSH_BUCKET:
-        a = np.full(m - 1, ids[0], dtype=np.int64)
-        b = ids[1:]
-    else:
-        iu, ju = np.triu_indices(m, k=1)
-        a, b = ids[iu], ids[ju]
-    return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+        return np.full(m - 1, ids[0], dtype=np.int64), ids[1:]
+    iu, ju = np.triu_indices(m, k=1)
+    return ids[iu], ids[ju]
+
+
+def _bucket_pairs(group: "pa.Table") -> pa.Table:
+    """Candidate pairs for ONE partition of band buckets: rows are
+    (band, band_hash, doc_id) lex-sorted, runs of identical
+    (band, band_hash) found vectorized, and only multi-member runs (a
+    tiny fraction — most band buckets are singletons) reach the
+    pair-generation kernel."""
+    band = group["band"].to_numpy(zero_copy_only=False)
+    bh = group["band_hash"].to_numpy(zero_copy_only=False)
+    ids = group["doc_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, bh, band))
+    band, bh, ids = band[order], bh[order], ids[order]
+    change = np.nonzero((np.diff(band) != 0) | (np.diff(bh) != 0))[0] + 1
+    starts = np.concatenate([[0], change]).astype(np.int64)
+    ends = np.concatenate([change, [len(ids)]]).astype(np.int64)
+    multi = np.nonzero(ends - starts >= 2)[0]
+    out_a, out_b = [], []
+    for ri in multi:
+        chunk = np.unique(ids[starts[ri] : ends[ri]])
+        if len(chunk) < 2:
+            continue
+        a, b = _pair_block(chunk)
+        out_a.append(a)
+        out_b.append(b)
+    if not out_a:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    return pa.table(
+        {
+            "a": pa.array(np.concatenate(out_a), pa.int64()),
+            "b": pa.array(np.concatenate(out_b), pa.int64()),
+        }
+    )
 
 
 def jaccard(s1: np.ndarray, s2: np.ndarray) -> float:
@@ -181,91 +228,180 @@ def minhash_near_dups(
     together for an exact float64 Jaccard. An empty-shingle doc has no
     shingle row, so it can never verify into a pair — same semantics as
     the exact n-gram path."""
-    sigs = docs.map_batches(
+    n_parts = _n_partitions()
+    perdoc = docs.map_batches(
         _MinHasher,
         fn_constructor_kwargs={"shingle_n": shingle_n},
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
-    pairs_ds = sigs.groupby(["band", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pyarrow"
-    )
-    # distributed dedup of candidate pairs (bands produce repeats)
-    uniq = (
-        pairs_ds.groupby(["a", "b"])
-        .aggregate(Count(alias_name="__nb"))
-        .drop_columns(["__nb"])
+    # coalesce: the hash pass runs wide over the input blocks, but the
+    # downstream shuffles pay fixed latency PER BLOCK — a 5k-row stream
+    # in 64 blocks doubles every groupby's wall time vs 16
+    perdoc = perdoc.repartition(max(8, n_parts // 16))
+    if verify:
+        # two consumers (band explode + shingle reuse): pin the per-doc
+        # signatures once instead of recomputing the whole hash pass
+        perdoc = perdoc.materialize()
+
+    def explode_bands(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        bh = pc.list_flatten(t["band_hashes"]).to_numpy(zero_copy_only=False)
+        doc = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), LSH_BANDS)
+        band = np.tile(np.arange(LSH_BANDS, dtype=np.int64), n)
+        mixed = (band.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^ bh.astype(
+            np.int64
+        ).view(np.uint64)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, pa.int64()),
+                "band": pa.array(band.astype(np.int32), pa.int32()),
+                "band_hash": pa.array(bh, pa.int64()),
+                "__bucket": pa.array(
+                    (mixed % np.uint64(n_parts)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    pairs_ds = (
+        perdoc.map_batches(explode_bands, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_bucket_pairs, batch_format="pyarrow")
     )
     if not verify:
-        return uniq
+        # distributed dedup of candidate pairs (bands produce repeats)
+        return (
+            pairs_ds.groupby(["a", "b"])
+            .aggregate(Count(alias_name="__nb"))
+            .drop_columns(["__nb"])
+        )
 
-    shingled = _shingle_rows(docs, shingle_n).select_columns(["doc_id", "shingles"])
+    # shingles come from the SAME materialized per-doc pass — no second
+    # tokenize/hash sweep over the corpus
+    shingled = perdoc.select_columns(["doc_id", "shingles"])
     list_ty = pa.list_(pa.int64())
+
+    def _key_bucket(keys: np.ndarray) -> np.ndarray:
+        return np.abs((keys * np.int64(2654435761)) % np.int64(n_parts))
 
     def pair_keyed(t: pa.Table) -> pa.Table:
         a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
         b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = np.concatenate([a, b])
         n = len(a)
         return pa.table(
             {
-                "key": pa.array(np.concatenate([a, b]), pa.int64()),
+                "key": pa.array(key, pa.int64()),
                 "a": pa.array(np.concatenate([a, a]), pa.int64()),
                 "b": pa.array(np.concatenate([b, b]), pa.int64()),
                 "shingles": pa.array([None] * (2 * n), list_ty),
                 "side": pa.array(np.zeros(2 * n, dtype=np.int8)),
+                "__bucket": pa.array(_key_bucket(key), pa.int64()),
             }
         )
 
     def doc_keyed(t: pa.Table) -> pa.Table:
         n = t.num_rows
+        keys = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
-                "key": t["doc_id"].cast(pa.int64()),
+                "key": pa.array(keys, pa.int64()),
                 "a": pa.array(np.full(n, -1, dtype=np.int64)),
                 "b": pa.array(np.full(n, -1, dtype=np.int64)),
                 "shingles": t["shingles"].cast(list_ty),
                 "side": pa.array(np.ones(n, dtype=np.int8)),
+                "__bucket": pa.array(_key_bucket(keys), pa.int64()),
             }
         )
 
-    both = uniq.map_batches(pair_keyed, batch_format="pyarrow").union(
+    # NOTE: no standalone dedup shuffle — cross-band duplicate pairs
+    # flow through the semi-join and collapse in verify_bucket (one
+    # fewer barrier; the dup factor is bounded by the band count)
+    both = pairs_ds.map_batches(pair_keyed, batch_format="pyarrow").union(
         shingled.map_batches(doc_keyed, batch_format="pyarrow")
     )
 
     def attach(g: pa.Table) -> pa.Table:
+        """One hash-bucket partition: vectorized searchsorted semi-join
+        of pair-endpoint rows against doc shingle rows."""
         side = g["side"].to_numpy(zero_copy_only=False)
-        doc_rows = np.nonzero(side == 1)[0]
-        pair_rows = np.nonzero(side == 0)[0]
-        if len(doc_rows) == 0 or len(pair_rows) == 0:
-            return pa.table(
-                {
-                    "a": pa.array([], pa.int64()),
-                    "b": pa.array([], pa.int64()),
-                    "shingles": pa.array([], list_ty),
-                }
-            )
-        sh = g["shingles"].take(pa.array([doc_rows[0]] * len(pair_rows)))
-        idx = pa.array(pair_rows)
+        keys = g["key"].to_numpy(zero_copy_only=False)
+        doc_idx = np.nonzero(side == 1)[0]
+        pair_idx = np.nonzero(side == 0)[0]
+        empty = pa.table(
+            {
+                "key": pa.array([], pa.int64()),
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "shingles": pa.array([], list_ty),
+            }
+        )
+        if len(doc_idx) == 0 or len(pair_idx) == 0:
+            return empty
+        dkeys = keys[doc_idx]
+        order = np.argsort(dkeys, kind="stable")
+        dkeys_s, doc_idx_s = dkeys[order], doc_idx[order]
+        pk = keys[pair_idx]
+        pos = np.minimum(np.searchsorted(dkeys_s, pk), len(dkeys_s) - 1)
+        found = dkeys_s[pos] == pk
+        sel_pairs = pa.array(pair_idx[found])
+        sel_docs = pa.array(doc_idx_s[pos[found]])
         return pa.table(
-            {"a": g["a"].take(idx), "b": g["b"].take(idx), "shingles": sh}
+            {
+                "key": g["key"].take(sel_pairs),
+                "a": g["a"].take(sel_pairs),
+                "b": g["b"].take(sel_pairs),
+                "shingles": g["shingles"].take(sel_docs),
+            }
         )
 
-    keyed = both.groupby("key").map_groups(attach, batch_format="pyarrow")
+    keyed = both.groupby("__bucket").map_groups(attach, batch_format="pyarrow")
 
-    def verify_pair(g: pa.Table) -> pa.Table:
-        empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-        if g.num_rows < 2:  # an endpoint had no shingles
-            return empty
-        s1 = np.asarray(g["shingles"][0].as_py(), dtype=np.int64)
-        s2 = np.asarray(g["shingles"][1].as_py(), dtype=np.int64)
-        inter = len(np.intersect1d(s1, s2))
-        union = len(s1) + len(s2) - inter
-        # float64 divide form, same as the SQL oracle (ADVICE r01)
-        if union > 0 and float(inter) / float(union) >= threshold:
-            return g.select(["a", "b"]).slice(0, 1)
-        return empty
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        mixed = (a * np.uint64(0x9E3779B97F4A7C15)) ^ b
+        return t.append_column(
+            "__bucket", pa.array((mixed % np.uint64(n_parts)).astype(np.int64), pa.int64())
+        )
 
-    return keyed.groupby(["a", "b"]).map_groups(verify_pair, batch_format="pyarrow")
+    def verify_bucket(g: pa.Table) -> pa.Table:
+        """One partition of candidate pairs: rows sorted by (a, b);
+        cross-band duplicate rows collapse here (first row per
+        endpoint); a pair with both endpoints present gets the exact
+        float64-divide Jaccard (same form as the SQL oracle)."""
+        a = g["a"].to_numpy(zero_copy_only=False)
+        b = g["b"].to_numpy(zero_copy_only=False)
+        keys = g["key"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b, keys = a[order], b[order], keys[order]
+        change = np.nonzero((np.diff(a) != 0) | (np.diff(b) != 0))[0] + 1
+        starts = np.concatenate([[0], change]).astype(np.int64)
+        ends = np.concatenate([change, [len(a)]]).astype(np.int64)
+        sh = g["shingles"].take(pa.array(order))
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            krun = keys[s:e]
+            ra = np.nonzero(krun == a[s])[0]
+            rb = np.nonzero(krun == b[s])[0]
+            if len(ra) == 0 or len(rb) == 0:  # an endpoint had no shingles
+                continue
+            s1 = np.asarray(sh[int(s + ra[0])].as_py(), dtype=np.int64)
+            s2 = np.asarray(sh[int(s + rb[0])].as_py(), dtype=np.int64)
+            inter = len(np.intersect1d(s1, s2))
+            union = len(s1) + len(s2) - inter
+            if union > 0 and float(inter) / float(union) >= threshold:
+                out_a.append(int(a[s]))
+                out_b.append(int(b[s]))
+        return pa.table(
+            {"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64())}
+        )
+
+    return (
+        keyed.map_batches(pair_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(verify_bucket, batch_format="pyarrow")
+    )
 
 
 def _shingle_rows(docs: ray.data.Dataset, shingle_n: int):
@@ -307,17 +443,28 @@ def _jaccard_block_pair(ti, tj, same: bool, threshold: float, n_bytes: int, voca
         return ids, sz, bits.astype(np.float32)
     ia, sa, A = unpack(ti)
     ib, sb, B = unpack(tj)
-    # float32 matmul is exact for these integer counts (< 2^24); the
-    # THRESHOLD test runs in float64 divide form, identical to the SQL
-    # oracle and the postings path, so boundary Jaccards (e.g. 4/5 at
-    # tau=0.8) can't flip from dtype/form rounding (ADVICE r01)
-    inter = (A @ B.T).astype(np.float64)  # [na, nb]
-    union = sa.astype(np.float64)[:, None] + sb.astype(np.float64)[None, :] - inter
-    with np.errstate(divide="ignore", invalid="ignore"):
-        keep = (union > 0) & (inter / union >= threshold)
+    # float32 matmul holds EXACT integer counts (< 2^24). The threshold
+    # test must run in float64 divide form (identical to the SQL oracle
+    # and the postings path — ADVICE r01), but materializing [na, nb]
+    # float64 matrices doubles the working set; instead a float32
+    # multiply-form prefilter with a slack band keeps the dense pass in
+    # float32, and only the (sparse) surviving cells get the exact
+    # float64 divide.
+    inter = A @ B.T  # [na, nb] float32, exact integers
+    union = sa[:, None] + sb[None, :] - inter
+    if threshold <= 0.0:
+        keep = union > 0
+    else:
+        slack = np.float32(max(0.0, threshold - 1e-3))
+        keep = (union > 0) & (inter >= slack * union)
     if same:
         keep &= ia[:, None] < ib[None, :]
     ii, jj = np.nonzero(keep)
+    if threshold > 0.0 and len(ii):
+        iv = inter[ii, jj].astype(np.float64)
+        uv = union[ii, jj].astype(np.float64)
+        exact = iv / uv >= threshold
+        ii, jj = ii[exact], jj[exact]
     a = np.minimum(ia[ii], ib[jj])
     b = np.maximum(ia[ii], ib[jj])
     return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})

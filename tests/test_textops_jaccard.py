@@ -88,14 +88,26 @@ def test_minhash_hot_bucket_star_cap(ray_session):
     import pyarrow as pa
     from georay import textops
 
-    g = pa.table({"doc_id": pa.array(list(range(5)), pa.int64())})
-    full = textops._bucket_pairs(g)
-    assert full.num_rows == 10  # 5 choose 2
+    ids = np.arange(5, dtype=np.int64)
+    a, b = textops._pair_block(ids)
+    assert len(a) == 10  # 5 choose 2
     old = textops.MAX_LSH_BUCKET
     try:
         textops.MAX_LSH_BUCKET = 3
-        star = textops._bucket_pairs(g)
-        assert star.num_rows == 4
-        assert set(star["a"].to_pylist()) == {0}
+        a, b = textops._pair_block(ids)
+        assert len(a) == 4
+        assert set(a.tolist()) == {0}
     finally:
         textops.MAX_LSH_BUCKET = old
+
+    # partition-level kernel: two band buckets in one partition, one
+    # multi-member run -> only its pairs emitted
+    g = pa.table(
+        {
+            "band": pa.array([0, 0, 0, 1], pa.int32()),
+            "band_hash": pa.array([7, 7, 9, 7], pa.int64()),
+            "doc_id": pa.array([3, 1, 2, 3], pa.int64()),
+        }
+    )
+    pairs = textops._bucket_pairs(g)
+    assert pairs.to_pydict() == {"a": [1], "b": [3]}
