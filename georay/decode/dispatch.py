@@ -13,15 +13,15 @@ import zipfile
 
 from ..errors import UnknownFileTypeError
 from .common import DecodeResult
-from .geojson import decode_geojson
+from .geojson_stream import decode_geojson_auto
 from .kml import decode_kml
 from .kmz import decode_kmz
 from .ldjson import decode_ldjson
 from .shp import decode_shapefile_zip
 
 _BY_EXTENSION = {
-    ".json": decode_geojson,
-    ".geojson": decode_geojson,
+    ".json": decode_geojson_auto,
+    ".geojson": decode_geojson_auto,
     ".kml": decode_kml,
     ".kmz": decode_kmz,
     ".zip": decode_shapefile_zip,
@@ -57,7 +57,7 @@ def _sniff(blob: bytes):
             pass
         return decode_shapefile_zip
     if head.startswith(b"{"):
-        return decode_geojson
+        return decode_geojson_auto
     if head.startswith(b"<"):
         return decode_kml
     raise UnknownFileTypeError("unrecognized payload")
