@@ -56,8 +56,8 @@ class PIPJoiner:
                     hit = grp[mask]
                     take_idx.extend(hit.tolist())
                     meta = self.index.polygons[ci]
-                    pids.extend([meta["polygon_id"]] * len(hit))
-                    players.extend([meta["layer"]] * len(hit))
+                    pids.extend([int(meta["polygon_id"])] * len(hit))
+                    players.extend([int(meta["layer"])] * len(hit))
                     pnames.extend([meta["name"]] * len(hit))
 
         idx = pa.array(take_idx, pa.int64())
@@ -67,8 +67,10 @@ class PIPJoiner:
                 "lon": pa.array(lon[take_idx], pa.float64()),
                 "lat": pa.array(lat[take_idx], pa.float64()),
                 "cell": pa.array(cells[take_idx], pa.int64()),
-                "polygon_id": pa.array(pids, pa.float64()),
-                "polygon_layer": pa.array(players, pa.float64()),
+                # int64 keys at the decode edge (VERDICT r01 #7): join
+                # outputs must be integer-keyed, not JSON-float artifacts
+                "polygon_id": pa.array(pids, pa.int64()),
+                "polygon_layer": pa.array(players, pa.int64()),
                 "polygon_name": pa.array(pnames, pa.string()),
             }
         )
@@ -235,13 +237,13 @@ class KNNJoiner:
             for rank, j in enumerate(top):
                 out_url.append(urls[i])
                 out_rank.append(rank)
-                out_pid.append(self.index.polygons[int(cand[j])]["polygon_id"])
+                out_pid.append(int(self.index.polygons[int(cand[j])]["polygon_id"]))
                 out_dist.append(float(d[j]))
         return pa.table(
             {
                 "url": pa.array(out_url, pa.string()),
                 "rank": pa.array(out_rank, pa.int32()),
-                "polygon_id": pa.array(out_pid, pa.float64()),
+                "polygon_id": pa.array(out_pid, pa.int64()),
                 "distance_m": pa.array(out_dist, pa.float64()),
             }
         )

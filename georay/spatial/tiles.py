@@ -60,9 +60,9 @@ def polygon_tile_table(index, zoom: int = TILE_ZOOM) -> pa.Table:
         bb = index.bboxes[i]
         for cell in cells_covering_bbox(bb[0], bb[1], bb[2], bb[3], zoom):
             tiles.append(int(cell))
-            pids.append(poly["polygon_id"])
+            pids.append(int(poly["polygon_id"]))
     return pa.table(
-        {"tile": pa.array(tiles, pa.int64()), "polygon_id": pa.array(pids, pa.float64())}
+        {"tile": pa.array(tiles, pa.int64()), "polygon_id": pa.array(pids, pa.int64())}
     )
 
 
@@ -100,6 +100,6 @@ class TilePolygonJoiner:
             {
                 "url": pa.array(out_u, pa.string()),
                 "tile": pa.array(out_t, pa.int64()),
-                "polygon_id": pa.array(out_p, pa.float64()),
+                "polygon_id": pa.array(out_p, pa.int64()),
             }
         )
