@@ -59,6 +59,36 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def extract_split_sidecar_batch(batch: pa.Table, sidecar_dir: str) -> pa.Table:
+    """extract_split_batch + a payload SIDECAR: the ~1% payload rows
+    (url, payload_html) are written to their own parquet directory
+    DURING the scan, so the decode stage reads ~N/100 rows instead of
+    re-scanning every url/validity bit of the store. Writes are
+    idempotent (deterministic per-batch filename from the first url,
+    tmp + atomic rename), so task retries and speculative copies
+    converge to the same bytes; the scan checkpoint's commit barrier
+    guarantees completeness before any reader starts. The store itself
+    never carries the payload bytes."""
+    import hashlib
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    out = extract_split_batch(batch)
+    pay = out.filter(pc.is_valid(out["payload_html"])).select(["url", "payload_html"])
+    if pay.num_rows:
+        first = pay["url"][0].as_py()
+        name = hashlib.blake2b(
+            f"{first}:{pay.num_rows}".encode(), digest_size=12
+        ).hexdigest()
+        path = os.path.join(sidecar_dir, f"payload-{name}.parquet")
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pq.write_table(pay, tmp)
+        os.replace(tmp, path)
+    return out.drop_columns(["payload_html"])
+
+
 def extract_split_batch(batch: pa.Table) -> pa.Table:
     """Single-scan variant of extract_batch: ONE pass over the raw html
     yields both the points columns (url, ts, lang, lon, lat) and the

@@ -23,8 +23,13 @@ import ray
 from ..checkpoint import checkpoint_dataset
 from ..metrics import StageTimer
 from ..pages import pages_dir_for
-from ..pipeline import decode_features, extract_split_batch, layer_stats
-from ..spatial.index import build_polygon_index
+from ..pipeline import (
+    decode_features,
+    extract_split_batch,
+    extract_split_sidecar_batch,
+    layer_stats,
+)
+from ..spatial.index import build_polygon_index_remote
 from ..spatial.join import KNNJoiner, PIPJoiner, knn_join_batch, pip_join_batch
 from ..spatial.tiles import assign_tiles_batch, tile_counts
 
@@ -58,35 +63,82 @@ def geotag_pipeline(
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    from ..checkpoint import _data_files, is_complete
+    from ..pipeline import _LAYER_KEY
+    from concurrent.futures import ThreadPoolExecutor
+
     ncpu = _cluster_cpus()
 
     timings: dict = {}
     blocks = max(16, 6 * ncpu)
+    # Stage boundaries STREAM to parquet checkpoints and downstream
+    # stages do pruned column re-reads. (A materialize-then-write-async
+    # variant was measured 2x WORSE on this box: holding full blocks in
+    # the object store doubles memory-bus traffic, which is the binding
+    # resource — compressed parquet through the page cache is cheaper
+    # than plasma round-trips.)
+    pool = ThreadPoolExecutor(max_workers=4)
+    pending: list = []
+
+    def stage(ds_lazy, name: str, columns_out=None):
+        """Checkpoint a stage (streaming write) or resume it from a
+        committed manifest; returns a re-read Dataset."""
+        if out_dir:
+            stage_dir = f"{out_dir}/{name}"
+            if is_complete(stage_dir, fingerprint or None):
+                return ray.data.read_parquet(_data_files(stage_dir))
+            return checkpoint_dataset(ds_lazy, stage_dir, fingerprint)
+        return ds_lazy.materialize()
+
     # THE one raw-html scan of the run (100-TB rule: the html read
     # dominates I/O; the old two-branch shape scanned it twice). One
     # pass extracts the points columns AND splits off the ~1% payload
-    # subset as `payload_html`; the (small) result is persisted once and
-    # every later stage does a pruned read of it.
+    # subset as `payload_html`; later stages consume pruned projections.
     pages = ray.data.read_parquet(
         pages_path,
         columns=["url", "warc_ts", "lang", "html"],
         override_num_blocks=blocks,
     )
     with StageTimer(timings, "scan_extract"):
-        store = pages.map_batches(extract_split_batch, batch_format="pyarrow")
         if out_dir:
-            store = checkpoint_dataset(store, f"{out_dir}/pages_store", fingerprint)
-        else:
-            store = store.materialize()
+            sidecar = f"{out_dir}/payload_sidecar"
+            if not is_complete(f"{out_dir}/pages_store", fingerprint or None):
+                import os
+                import shutil
 
-    # features branch decodes ONLY the persisted payload subset
+                shutil.rmtree(sidecar, ignore_errors=True)
+                os.makedirs(sidecar, exist_ok=True)
+            store = stage(
+                pages.map_batches(
+                    extract_split_sidecar_batch,
+                    fn_kwargs={"sidecar_dir": sidecar},
+                    batch_format="pyarrow",
+                ),
+                "pages_store",
+            )
+        else:
+            store = stage(
+                pages.map_batches(extract_split_batch, batch_format="pyarrow"),
+                "pages_store",
+            )
+
+    # features branch decodes ONLY the payload subset projection
     with StageTimer(timings, "decode_features"):
         if out_dir:
-            from ..checkpoint import _data_files as _df
+            import glob
 
-            payload_src = ray.data.read_parquet(
-                _df(f"{out_dir}/pages_store"), columns=["url", "payload_html"]
-            )
+            sfiles = sorted(glob.glob(f"{out_dir}/payload_sidecar/payload-*.parquet"))
+            if sfiles:
+                payload_src = ray.data.read_parquet(sfiles)
+            else:  # corpus with no payload pages at all
+                payload_src = ray.data.from_arrow(
+                    pa.table(
+                        {
+                            "url": pa.array([], pa.string()),
+                            "payload_html": pa.array([], pa.binary()),
+                        }
+                    )
+                )
         else:
             payload_src = store.select_columns(["url", "payload_html"])
 
@@ -94,32 +146,27 @@ def geotag_pipeline(
             t = t.filter(pc.is_valid(t["payload_html"]))
             return pa.table({"url": t["url"], "html": t["payload_html"]})
 
-        feats = decode_features(
-            payload_src.map_batches(payload_rows, batch_format="pyarrow")
+        feats = stage(
+            decode_features(
+                payload_src.map_batches(payload_rows, batch_format="pyarrow")
+            ),
+            "features",
         )
-        if out_dir:
-            feats = checkpoint_dataset(feats, f"{out_dir}/features", fingerprint)
-        else:
-            feats = feats.materialize()
 
     with StageTimer(timings, "build_index"):
-        index = build_polygon_index(feats)
-        index_ref = ray.put(index)
+        # compiled OFF the driver in a Ray task; the ObjectRef is the
+        # broadcast handle and the join tasks block on it lazily
+        index_ref = build_polygon_index_remote(feats)
+    layer_cols = _LAYER_KEY + ["minx", "miny", "maxx", "maxy", "decode_error"]
     if out_dir:
-        # prune at the re-read: the rollup needs the layer key + bbox
-        # columns, not the wkb/props payload of every feature
-        from ..checkpoint import _data_files
-        from ..pipeline import _LAYER_KEY
-
         layer_src = ray.data.read_parquet(
-            _data_files(f"{out_dir}/features"),
-            columns=_LAYER_KEY + ["minx", "miny", "maxx", "maxy", "decode_error"],
+            _data_files(f"{out_dir}/features"), columns=layer_cols
         )
     else:
-        layer_src = feats
+        layer_src = feats.select_columns(layer_cols)
     layers = layer_stats(layer_src)
 
-    # points branch: pruned re-read of the pages store (url/lon/lat
+    # points branch: pruned projection of the pages store (url/lon/lat
     # only — never the html) -> PIP join -> tile assign -> sink.
     # PIP/kNN run TASK-mode (see spatial/join.py): the broadcast index
     # is immutable, so plain tasks + a per-worker joiner cache scale to
@@ -127,10 +174,8 @@ def geotag_pipeline(
     # ops — no actor-pool spawn latency or pool-size tuning. Passing
     # pip_concurrency switches back to the actor-pool classes.
     if out_dir:
-        from ..checkpoint import _data_files as _df2
-
         points = ray.data.read_parquet(
-            _df2(f"{out_dir}/pages_store"), columns=["url", "lon", "lat"]
+            _data_files(f"{out_dir}/pages_store"), columns=["url", "lon", "lat"]
         )
     else:
         points = store.select_columns(["url", "lon", "lat"])
@@ -165,23 +210,21 @@ def geotag_pipeline(
                 num_cpus=1,
             )
 
-    results = {"features": feats, "index": index, "timings": timings}
+    results = {"features": feats, "index_ref": index_ref, "timings": timings}
 
     if out_dir:
-        # Three independent sink chains execute CONCURRENTLY (driver
-        # threads; Ray pipelines the underlying tasks): the layer
-        # rollup and the kNN join don't depend on the joined
-        # checkpoint, so their wall time hides behind the join.
-        from concurrent.futures import ThreadPoolExecutor
-
+        # Independent chains execute CONCURRENTLY (driver threads; Ray
+        # pipelines the underlying tasks): layer rollup and kNN don't
+        # depend on the joined stage, and the tile rollup consumes the
+        # materialized join blocks while the joined parquet commit is
+        # still landing in the background.
         def chain_join():
+            # STREAMING write (not materialize-then-write): the joined
+            # stream is the big output; one pass straight to parquet,
+            # then a pruned single-column re-read for the tile rollup
             with StageTimer(timings, "join_and_write"):
                 t = checkpoint_dataset(tiled, f"{out_dir}/joined", fingerprint)
             with StageTimer(timings, "tile_counts"):
-                # prune at the re-read: counting needs ONLY the tile
-                # column of the joined checkpoint
-                from ..checkpoint import _data_files
-
                 tile_src = ray.data.read_parquet(
                     _data_files(f"{out_dir}/joined"), columns=["tile"]
                 )
@@ -207,11 +250,18 @@ def geotag_pipeline(
             results["joined"], results["tiles"] = f_join.result()
             results["layers"] = f_layers.result()
             results["knn"] = f_knn.result()
+        results["index"] = ray.get(index_ref)
+        with StageTimer(timings, "commit_wait"):
+            for fut in pending:
+                fut.result()  # every manifest committed before return
+        pool.shutdown(wait=True)
     else:
         results["tiles"] = tile_counts(tiled)
         results["layers"] = layers
         results["joined"] = tiled
         results["knn"] = knn_lazy
+        results["index"] = ray.get(index_ref)
+        pool.shutdown(wait=False)
     return results
 
 

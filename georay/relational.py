@@ -531,37 +531,87 @@ def customer_name_match(sf_dir: str, needle: str = "7"):
     )
 
 
+def _hash_bucket(keys: np.ndarray, n_parts: int) -> np.ndarray:
+    return np.abs((keys.astype(np.int64) * np.int64(2654435761)) % np.int64(n_parts))
+
+
+def _n_partitions() -> int:
+    """Partition count for hash-bucketed per-key shapes: a groupby on
+    the raw key runs one Python map_groups call per (tiny) key group;
+    bucketing the key first gives ~4xCPU vectorized partition calls
+    that process every key in the partition with numpy."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(16, 4 * cpus)
+
+
 def user_sessions(sf_dir: str, gap_minutes: int = 30):
     """Gap-based session windows over the events stream: a user's
-    events more than `gap_minutes` apart start a new session. The
-    shuffle key is user_id (sessionization is per-key order-dependent,
-    so co-locate each user's events once and compute sessions with
-    vectorized diff/cumsum inside map_groups). Output: one row per
-    (user, session) with start/end/count — ties in ts are harmless
-    (gap 0 keeps them in one session regardless of tie order)."""
+    events more than `gap_minutes` apart start a new session.
+
+    Shape: ONE shuffle on bucket = hash(user_id) % (4x cpus); inside a
+    partition every user sessionizes in the same numpy pass (lexsort by
+    (user, ts), session starts = user-change OR over-gap, reduceat for
+    per-session min/max/count). Ties in ts are harmless (gap 0 keeps
+    them in one session regardless of tie order)."""
     gap_us = gap_minutes * 60 * 1_000_000
+    n_parts = _n_partitions()
     ds = _read(sf_dir, "events", columns=["user_id", "ts"])
 
     def to_us(t: pa.Table) -> pa.Table:
         us = t["ts"].cast(pa.int64())
-        return pa.table({"user_id": t["user_id"], "us": us})
-
-    def sessionize(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("us")
-        gaps = df["us"].diff()
-        sess = ((gaps.isna()) | (gaps > gap_us)).cumsum()  # 1-based
-        g = df.groupby(sess).agg(
-            start_us=("us", "min"), end_us=("us", "max"), n_events=("us", "size")
+        uid = t["user_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": pa.array(uid, pa.int64()),
+                "us": us,
+                "__bucket": pa.array(_hash_bucket(uid, n_parts), pa.int64()),
+            }
         )
-        g = g.reset_index(drop=True)
-        g["session_idx"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        g["user_id"] = df["user_id"].iloc[0]
-        return g[["user_id", "session_idx", "start_us", "end_us", "n_events"]]
+
+    def sessionize_bucket(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        us = t["us"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((us, uid))
+        uid, us = uid[order], us[order]
+        n = len(uid)
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "session_idx": pa.array([], pa.int64()),
+                    "start_us": pa.array([], pa.int64()),
+                    "end_us": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        new_sess = new_user.copy()
+        new_sess[1:] |= (us[1:] - us[:-1]) > gap_us
+        starts = np.nonzero(new_sess)[0]
+        ends = np.concatenate([starts[1:], [n]])
+        # per-user 1-based session index: global session ordinal minus
+        # the ordinal of the user's first session
+        sess_ord = np.arange(len(starts), dtype=np.int64)
+        user_first = np.maximum.accumulate(np.where(new_user[starts], sess_ord, 0))
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts], pa.int64()),
+                "session_idx": pa.array(sess_ord - user_first + 1, pa.int64()),
+                "start_us": pa.array(us[starts], pa.int64()),
+                "end_us": pa.array(us[ends - 1], pa.int64()),
+                "n_events": pa.array(ends - starts, pa.int64()),
+            }
+        )
 
     return (
         ds.map_batches(to_us, batch_format="pyarrow")
-        .groupby("user_id")
-        .map_groups(sessionize, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(sessionize_bucket, batch_format="pyarrow")
     )
 
 
@@ -597,28 +647,64 @@ def asof_last_order(sf_dir: str):
             }
         )
 
-    both = events.map_batches(ev, batch_format="pyarrow").union(
-        orders.map_batches(od, batch_format="pyarrow")
+    n_parts = _n_partitions()
+
+    def bucketed(f):
+        def g(t: pa.Table) -> pa.Table:
+            t = f(t)
+            uid = t["user_id"].to_numpy(zero_copy_only=False)
+            return t.append_column(
+                "__bucket", pa.array(_hash_bucket(uid, n_parts), pa.int64())
+            )
+
+        return g
+
+    both = events.map_batches(bucketed(ev), batch_format="pyarrow").union(
+        orders.map_batches(bucketed(od), batch_format="pyarrow")
     )
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        e = df[df["side"] == 0]
-        o_us = np.sort(df.loc[df["side"] == 1, "us"].to_numpy())
-        ev_us = e["us"].to_numpy()
-        if len(o_us) == 0:  # key with events but no orders at all
-            last = np.full(len(ev_us), -1, dtype=np.int64)
-        else:
-            idx = np.searchsorted(o_us, ev_us, side="right") - 1
-            last = np.where(idx >= 0, o_us[np.maximum(idx, 0)], -1)
-        return pd.DataFrame(
+    def merge_bucket(t: pa.Table) -> pa.Table:
+        """All keys of one hash bucket in a single numpy pass: rows
+        lex-sorted by (user, us, orders-before-events-on-tie); the
+        as-of order timestamp is a running per-user max of order us
+        (us ascending makes latest == max), computed with one
+        maximum.accumulate — the cross-user leak is impossible because
+        a user's rows are contiguous, so the max order INDEX at-or-
+        before an event is same-user iff that user has a prior order,
+        which the user-of-last-order check enforces."""
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        us = t["us"].to_numpy(zero_copy_only=False)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        n = len(uid)
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "last_order_us": pa.array([], pa.int64()),
+                }
+            )
+        # orders (side=1) sort BEFORE events on equal us (at-or-before)
+        order = np.lexsort((1 - side, us, uid))
+        uid, us, side, eid = uid[order], us[order], side[order], eid[order]
+        is_order = side == 1
+        idx = np.arange(n, dtype=np.int64)
+        last_order_idx = np.maximum.accumulate(np.where(is_order, idx, -1))
+        ev_mask = ~is_order
+        li = last_order_idx[ev_mask]
+        safe = np.maximum(li, 0)
+        ok = (li >= 0) & (uid[safe] == uid[ev_mask])
+        last = np.where(ok, us[safe], -1)
+        return pa.table(
             {
-                "event_id": e["event_id"].to_numpy(),
-                "user_id": e["user_id"].to_numpy(),
-                "last_order_us": last.astype(np.int64),
+                "event_id": pa.array(eid[ev_mask], pa.int64()),
+                "user_id": pa.array(uid[ev_mask], pa.int64()),
+                "last_order_us": pa.array(last.astype(np.int64), pa.int64()),
             }
         )
 
-    return both.groupby("user_id").map_groups(merge, batch_format="pandas")
+    return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pyarrow")
 
 
 def event_session_assignment(
@@ -662,38 +748,68 @@ def event_session_assignment(
                 }
             )
 
-        both = events.map_batches(ev, batch_format="pyarrow").union(
-            sessions.map_batches(se, batch_format="pyarrow")
+        n_parts = _n_partitions()
+
+        def bucketed(f):
+            def g(t: pa.Table) -> pa.Table:
+                t = f(t)
+                uid = t["user_id"].to_numpy(zero_copy_only=False)
+                return t.append_column(
+                    "__bucket", pa.array(_hash_bucket(uid, n_parts), pa.int64())
+                )
+
+            return g
+
+        both = events.map_batches(bucketed(ev), batch_format="pyarrow").union(
+            sessions.map_batches(bucketed(se), batch_format="pyarrow")
         )
 
-        def assign(t: pa.Table) -> pa.Table:
-            side = t["side"].to_numpy(zero_copy_only=False)
+        def assign_bucket(t: pa.Table) -> pa.Table:
+            """All keys of one hash bucket in a single numpy pass:
+            lex-sort by (user, time, intervals-before-events-on-tie),
+            running per-user last interval row via maximum.accumulate,
+            then the containment check ev_us <= end."""
+            uid = t["user_id"].to_numpy(zero_copy_only=False)
             a = t["a"].to_numpy(zero_copy_only=False)
+            b = t["b"].to_numpy(zero_copy_only=False)
             idx = t["idx"].to_numpy(zero_copy_only=False)
-            em = side == 0
-            ev_us, eids = a[em], idx[em]
-            order = np.argsort(a[~em], kind="stable")
-            starts = a[~em][order]
-            ends = t["b"].to_numpy(zero_copy_only=False)[~em][order]
-            sess_idx = idx[~em][order]
-            out = np.full(len(ev_us), -1, dtype=np.int64)
-            if len(starts):
-                pos = np.searchsorted(starts, ev_us, side="right") - 1
-                safe = np.maximum(pos, 0)
-                ok = (pos >= 0) & (ev_us <= ends[safe])
-                out = np.where(ok, sess_idx[safe], -1)
-            uid = int(t["user_id"][0].as_py())
+            side = t["side"].to_numpy(zero_copy_only=False)
+            n = len(uid)
+            if n == 0:
+                return pa.table(
+                    {
+                        "event_id": pa.array([], pa.int64()),
+                        "user_id": pa.array([], pa.int64()),
+                        "session_idx": pa.array([], pa.int64()),
+                    }
+                )
+            # sessions (side=1) sort BEFORE events on equal timestamp
+            # (an event at a session's exact start belongs to it)
+            order = np.lexsort((-side, a, uid))
+            uid, a, b, idx, side = (
+                uid[order],
+                a[order],
+                b[order],
+                idx[order],
+                side[order],
+            )
+            is_sess = side == 1
+            rows = np.arange(n, dtype=np.int64)
+            last_sess = np.maximum.accumulate(np.where(is_sess, rows, -1))
+            em = ~is_sess
+            li = last_sess[em]
+            safe = np.maximum(li, 0)
+            ok = (li >= 0) & (uid[safe] == uid[em]) & (a[em] <= b[safe])
+            out = np.where(ok, idx[safe], -1)
             return pa.table(
                 {
-                    "event_id": pa.array(eids, pa.int64()),
-                    "user_id": pa.array(
-                        np.full(len(eids), uid, dtype=np.int64), pa.int64()
-                    ),
-                    "session_idx": pa.array(out, pa.int64()),
+                    "event_id": pa.array(idx[em], pa.int64()),
+                    "user_id": pa.array(uid[em], pa.int64()),
+                    "session_idx": pa.array(out.astype(np.int64), pa.int64()),
                 }
             )
 
-        return both.groupby("user_id").map_groups(assign, batch_format="pyarrow")
+        return both.groupby("__bucket").map_groups(assign_bucket, batch_format="pyarrow")
 
     sessions = user_sessions(sf_dir, gap_minutes).to_pandas()
     per_user: dict = {}

@@ -82,26 +82,33 @@ def _wkb_to_rings(wkb: bytes):
     return None
 
 
-def build_polygon_index(features, zoom: int = INDEX_ZOOM, id_prop: str = "polygon_id"):
-    """Compile the polygon side from a (reprojected) features Dataset.
-
-    Streams ONLY polygon feature rows to the driver, deduping by content
-    hash along the way (payload polygons repeat across blobs); everything
-    else stays distributed. Returns a PolygonIndex.
-    """
+def _polygon_rows_batch(t):
+    import pyarrow as pa
     import pyarrow.compute as pc
 
-    def polygon_rows(t):
-        mask = pc.and_(
-            pc.is_valid(t["wkb"]),
-            pc.is_in(t["geom_type"], value_set=__import__("pyarrow").array(["polygon", "multipolygon"])),
+    if "wkb" not in t.column_names:  # empty block with degenerate schema
+        return pa.table(
+            {
+                "wkb": pa.array([], pa.binary()),
+                "props_json": pa.array([], pa.string()),
+                "cols_json": pa.array([], pa.string()),
+            }
         )
-        return t.filter(mask).select(["wkb", "props_json", "cols_json"])
+    mask = pc.and_(
+        pc.is_valid(t["wkb"]),
+        pc.is_in(t["geom_type"], value_set=pa.array(["polygon", "multipolygon"])),
+    )
+    return t.filter(mask).select(["wkb", "props_json", "cols_json"])
 
+
+def _tables_to_polygons(tables, id_prop: str):
+    """Deduped polygon dicts from filtered feature tables (payload
+    polygons repeat across blobs; content hash is the identity)."""
     seen = set()
     polygons = []
-    ds = features.map_batches(polygon_rows, batch_format="pyarrow")
-    for batch in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+    for batch in tables:
+        if "wkb" not in batch.column_names:  # degenerate empty block
+            continue
         for wkb, props_json, cols_json in zip(
             batch["wkb"].to_pylist(),
             batch["props_json"].to_pylist(),
@@ -126,4 +133,183 @@ def build_polygon_index(features, zoom: int = INDEX_ZOOM, id_prop: str = "polygo
                     "rings": [ring for poly in polys for ring in poly],
                 }
             )
-    return PolygonIndex(polygons, zoom)
+    return polygons
+
+
+def build_polygon_index(features, zoom: int = INDEX_ZOOM, id_prop: str = "polygon_id"):
+    """Compile the polygon side from a (reprojected) features Dataset.
+
+    Streams ONLY polygon feature rows to the driver, deduping by content
+    hash along the way; everything else stays distributed. Returns a
+    PolygonIndex. (The flagship uses build_polygon_index_remote instead,
+    which compiles OFF the driver.)
+    """
+    ds = features.map_batches(_polygon_rows_batch, batch_format="pyarrow")
+    return PolygonIndex(
+        _tables_to_polygons(ds.iter_batches(batch_size=4096, batch_format="pyarrow"), id_prop),
+        zoom,
+    )
+
+
+def build_polygon_index_remote(features, zoom: int = INDEX_ZOOM, id_prop: str = "polygon_id"):
+    """Compile the polygon index inside a Ray task (VERDICT r01 #2:
+    index build off the driver — the driver thread stays free to drive
+    the other chains, and the compile CPU runs on a worker). Returns an
+    ObjectRef[PolygonIndex], directly usable as the broadcast handle
+    for the PIP/kNN tasks (they ray.get it per worker)."""
+    import ray
+
+    ds = features.map_batches(_polygon_rows_batch, batch_format="pyarrow")
+    refs = ds.to_arrow_refs()
+    return _compile_index_task.remote(zoom, id_prop, *refs)
+
+
+def _compile_index_task_impl(zoom, id_prop, *tables):
+    return PolygonIndex(_tables_to_polygons(tables, id_prop), zoom)
+
+
+try:  # decorated lazily so importing this module never needs a Ray session
+    import ray as _ray
+
+    _compile_index_task = _ray.remote(_compile_index_task_impl)
+except Exception:  # pragma: no cover
+    _compile_index_task = None
+
+
+# ----------------------------------------------------- sharded variant
+
+SHARD_ZOOM = 6  # ~600 km shard cells at the equator
+
+
+class ShardedPolygonIndex:
+    """Polygon side sharded by coarse cell (cell_parent at shard_zoom)
+    for polygon sets beyond the single-object broadcast contract
+    (index.py module docstring). Each shard is an independent
+    PolygonIndex in its own object-store object; a polygon is
+    REPLICATED into every shard cell its bbox covers, so a point needs
+    exactly its own shard — no shuffle, no cross-shard stitching, and
+    no duplicate (point, polygon) results. Workers fetch (and cache)
+    only the shards their batches actually touch, so per-worker memory
+    is bounded by the locally-relevant polygon universe, not the whole
+    one. PIP + tile cover route per shard; kNN needs the global
+    centroid set and stays on the single-object index.
+    """
+
+    def __init__(self, shard_refs: dict, zoom: int = INDEX_ZOOM, shard_zoom: int = SHARD_ZOOM):
+        self.shard_refs = shard_refs  # shard cell id -> ObjectRef[PolygonIndex]
+        self.zoom = zoom
+        self.shard_zoom = shard_zoom
+
+
+def _polygon_shard_rows(t, shard_zoom: int, id_prop: str):
+    """One output row per (polygon, covering shard cell), carrying the
+    pickled polygon dict — the replicate-then-groupby distribution
+    step."""
+    import pickle
+
+    import numpy as np
+    import pyarrow as pa
+
+    shard_ids, blobs = [], []
+    for wkb, props_json, cols_json in zip(
+        t["wkb"].to_pylist(), t["props_json"].to_pylist(), t["cols_json"].to_pylist()
+    ):
+        polys = _wkb_to_rings(wkb)
+        if polys is None:
+            continue
+        names, _ty = json.loads(cols_json)
+        props = dict(zip(names[1:], json.loads(props_json)))
+        rings = [ring for poly in polys for ring in poly]
+        pts = [p for ring in rings for p in ring]
+        if not pts:
+            continue
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+        poly = {
+            "polygon_id": props.get(id_prop),
+            "layer": props.get("layer"),
+            "name": props.get("name"),
+            "rings": rings,
+        }
+        blob = pickle.dumps(poly)
+        for cell in cells_covering_bbox(min(xs), min(ys), max(xs), max(ys), shard_zoom):
+            shard_ids.append(int(cell))
+            blobs.append(blob)
+    return pa.table(
+        {
+            "shard": pa.array(shard_ids, pa.int64()),
+            "poly": pa.array(blobs, pa.binary()),
+        }
+    )
+
+
+def build_sharded_polygon_index(
+    features,
+    zoom: int = INDEX_ZOOM,
+    shard_zoom: int = SHARD_ZOOM,
+    id_prop: str = "polygon_id",
+) -> ShardedPolygonIndex:
+    """Distributed build of the sharded polygon side: polygon rows are
+    content-deduped and replicated to covering shard cells inside
+    map_batches, ONE groupby(shard) co-locates each shard's polygons,
+    and each group compiles its own PolygonIndex (pickled into a
+    1-row block). The driver then streams shard blocks one at a time
+    into the object store — peak driver memory is a single shard, never
+    the whole polygon universe."""
+    import pickle
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray
+
+    def polygon_rows(t):
+        mask = pc.and_(
+            pc.is_valid(t["wkb"]),
+            pc.is_in(
+                t["geom_type"],
+                value_set=pa.array(["polygon", "multipolygon"]),
+            ),
+        )
+        t = t.filter(mask).select(["wkb", "props_json", "cols_json"])
+        # distributed content dedup: hash-keyed first-wins
+        keys = [
+            hashlib.sha1(w + (p or "").encode()).hexdigest()
+            for w, p in zip(t["wkb"].to_pylist(), t["props_json"].to_pylist())
+        ]
+        return t.append_column("__key", pa.array(keys, pa.string()))
+
+    def first_wins(g: pa.Table) -> pa.Table:
+        return g.slice(0, 1)
+
+    deduped = (
+        features.map_batches(polygon_rows, batch_format="pyarrow")
+        .groupby("__key")
+        .map_groups(first_wins, batch_format="pyarrow")
+    )
+    sharded_rows = deduped.map_batches(
+        lambda t: _polygon_shard_rows(t, shard_zoom, id_prop),
+        batch_format="pyarrow",
+    )
+
+    def compile_shard(g: pa.Table) -> pa.Table:
+        shard = int(g["shard"][0].as_py())
+        polys = [pickle.loads(b) for b in g["poly"].to_pylist()]
+        # deterministic order inside the shard
+        polys.sort(key=lambda p: (str(p.get("polygon_id")), p.get("name") or ""))
+        idx = PolygonIndex(polys, zoom=INDEX_ZOOM if zoom is None else zoom)
+        return pa.table(
+            {
+                "shard": pa.array([shard], pa.int64()),
+                "index": pa.array([pickle.dumps(idx)], pa.binary()),
+            }
+        )
+
+    shards = sharded_rows.groupby("shard").map_groups(
+        compile_shard, batch_format="pyarrow"
+    )
+    refs: dict = {}
+    for batch in shards.iter_batches(batch_size=1, batch_format="pyarrow"):
+        for shard, blob in zip(batch["shard"].to_pylist(), batch["index"].to_pylist()):
+            refs[int(shard)] = ray.put(pickle.loads(blob))
+    return ShardedPolygonIndex(refs, zoom=zoom, shard_zoom=shard_zoom)

@@ -278,3 +278,52 @@ def knn_join_batch(batch: pa.Table, index_ref, k: int) -> pa.Table:
         j = KNNJoiner(index_ref, k)
         _WORKER_JOINERS[key] = j
     return j(batch)
+
+
+_PIP_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("lon", pa.float64()),
+        ("lat", pa.float64()),
+        ("cell", pa.int64()),
+        ("polygon_id", pa.int64()),
+        ("polygon_layer", pa.int64()),
+        ("polygon_name", pa.string()),
+    ]
+)
+
+
+def sharded_pip_join_batch(batch: pa.Table, sharded) -> pa.Table:
+    """Task-mode PIP join against a ShardedPolygonIndex: the batch's
+    points are routed by their coarse shard cell, and only the touched
+    shards are fetched (then cached per worker process, keyed by
+    ObjectRef). A polygon is replicated into every shard cell its bbox
+    covers, so one shard lookup per point is complete and duplicate-free
+    — per-worker memory is bounded by the shards its batches touch, not
+    the whole polygon universe."""
+    from .cells import cell_encode as _enc
+
+    lon = batch["lon"].to_numpy(zero_copy_only=False)
+    lat = batch["lat"].to_numpy(zero_copy_only=False)
+    if len(lon) == 0:
+        return _PIP_SCHEMA.empty_table()
+    shard_cells = _enc(lon, lat, sharded.shard_zoom)
+    order = np.argsort(shard_cells, kind="stable")
+    sc = shard_cells[order]
+    bounds = np.nonzero(np.diff(sc))[0] + 1
+    outs = []
+    for grp in np.split(order, bounds):
+        if len(grp) == 0:
+            continue
+        ref = sharded.shard_refs.get(int(shard_cells[grp[0]]))
+        if ref is None:
+            continue
+        key = ("pip", ref.hex() if hasattr(ref, "hex") else id(ref))
+        joiner = _WORKER_JOINERS.get(key)
+        if joiner is None:
+            joiner = PIPJoiner(ref)
+            _WORKER_JOINERS[key] = joiner
+        outs.append(joiner(batch.take(pa.array(grp))))
+    if not outs:
+        return _PIP_SCHEMA.empty_table()
+    return pa.concat_tables(outs)

@@ -265,3 +265,58 @@ def test_knn_exact_on_skewed_distribution():
         want = np.sort(d)[:k]
         got = np.sort(by_url[u])
         assert np.allclose(got, want, rtol=1e-9), (u, got.tolist(), want.tolist())
+
+
+def test_sharded_index_matches_single(index, ray_session):
+    """ShardedPolygonIndex + sharded_pip_join_batch must reproduce the
+    single-object broadcast join exactly (same (url, polygon_id) set),
+    including polygons replicated across shard-cell boundaries."""
+    import ray
+    import ray.data
+
+    from georay.pages import pages_dir_for, pages_batch
+    from georay.pipeline import decode_features, extract_batch
+    from georay.spatial.index import build_sharded_polygon_index
+    from georay.spatial.join import pip_join_batch, sharded_pip_join_batch
+
+    pages = ray.data.from_arrow(pages_batch(0, 2000))
+    feats = decode_features(
+        pages.select_columns(["url", "html"])
+    ).materialize()
+    # shard_zoom 13 ≈ the grid cell size -> polygons genuinely span
+    # multiple shard cells (replication path exercised)
+    sharded = build_sharded_polygon_index(feats, shard_zoom=13)
+    assert len(sharded.shard_refs) > 4
+
+    pts = pages.map_batches(extract_batch, batch_format="pyarrow").drop_columns(["html"])
+    ref = ray.put(index)
+    single = pts.map_batches(
+        pip_join_batch, fn_kwargs={"index_ref": ref}, batch_format="pyarrow"
+    ).take_all()
+    shard_join = pts.map_batches(
+        sharded_pip_join_batch, fn_kwargs={"sharded": sharded}, batch_format="pyarrow"
+    ).take_all()
+
+    # compare against closed form, restricted to the polygon subset the
+    # 2000-page corpus actually decodes (payload k=0..19 -> pids 0..79)
+    got_single = {(r["url"], int(r["polygon_id"])) for r in single}
+    got_sharded = {(r["url"], int(r["polygon_id"])) for r in shard_join}
+    from georay.fixtures import payload_polygon_ids
+    from georay.pages import page_coords, page_url
+
+    decoded_pids = set()
+    for k in range(20):
+        decoded_pids.update(payload_polygon_ids(k))
+    expect = set()
+    for i in range(2000):
+        u = page_url(i)
+        lon, lat = page_coords(u)
+        pid = containing_polygon_id(lon, lat)
+        if pid is not None and pid in decoded_pids:
+            expect.add((u, pid))
+    assert got_sharded == expect
+    # no duplicate (url, polygon) rows from shard replication
+    assert len(shard_join) == len(got_sharded)
+    # every single-object-index hit on a decoded polygon appears in the
+    # sharded result too (the fixture index may hold a subset)
+    assert {p for p in got_single if p[1] in decoded_pids} <= got_sharded
