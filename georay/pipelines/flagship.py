@@ -31,7 +31,13 @@ from ..pipeline import (
 )
 from ..spatial.index import build_polygon_index_remote
 from ..spatial.join import KNNJoiner, PIPJoiner, knn_join_batch, pip_join_batch
-from ..spatial.tiles import assign_tiles_batch, tile_counts
+from ..spatial.tiles import (
+    TileCountAccumulator,
+    assign_tiles_and_count_batch,
+    assign_tiles_batch,
+    tile_counts,
+    tile_counts_table,
+)
 
 
 def _cluster_cpus() -> int:
@@ -70,7 +76,18 @@ def geotag_pipeline(
     ncpu = _cluster_cpus()
 
     timings: dict = {}
-    blocks = max(16, 6 * ncpu)
+    # block count from DATA SIZE (~128 MB of raw input per block, Ray's
+    # own target), floored at 2 blocks/CPU so small corpora still fan
+    # out. CPU-count-based splitting (the old 6x cpus) gave the same
+    # corpus 4x the per-task fixed overhead at 16 cpus vs 4 — a pure
+    # anti-scaling term.
+    import glob as _glob
+    import os as _os
+
+    in_bytes = sum(
+        _os.path.getsize(f) for f in _glob.glob(f"{pages_path}/*.parquet")
+    ) or (1 << 30)
+    blocks = max(16, 2 * ncpu, in_bytes // (128 << 20))
     # Stage boundaries STREAM to parquet checkpoints and downstream
     # stages do pruned column re-reads. (A materialize-then-write-async
     # variant was measured 2x WORSE on this box: holding full blocks in
@@ -191,7 +208,20 @@ def geotag_pipeline(
             concurrency=pip_concurrency,
             num_cpus=1,
         )
-    tiled = joined.map_batches(assign_tiles_batch, batch_format="pyarrow")
+    # tile partial counts accumulate in an idempotent actor DURING the
+    # join write (out_dir mode), so no separate read-back pass is needed
+    tile_acc = None
+    if out_dir and not is_complete(f"{out_dir}/joined", fingerprint or None):
+        import ray as _r
+
+        tile_acc = _r.remote(TileCountAccumulator).remote()
+        tiled = joined.map_batches(
+            assign_tiles_and_count_batch,
+            fn_kwargs={"acc": tile_acc},
+            batch_format="pyarrow",
+        )
+    else:
+        tiled = joined.map_batches(assign_tiles_batch, batch_format="pyarrow")
 
     knn_lazy = None
     if knn_k:
@@ -220,17 +250,24 @@ def geotag_pipeline(
         # still landing in the background.
         def chain_join():
             # STREAMING write (not materialize-then-write): the joined
-            # stream is the big output; one pass straight to parquet,
-            # then a pruned single-column re-read for the tile rollup
+            # stream is the big output; one pass straight to parquet.
             with StageTimer(timings, "join_and_write"):
                 t = checkpoint_dataset(tiled, f"{out_dir}/joined", fingerprint)
             with StageTimer(timings, "tile_counts"):
-                tile_src = ray.data.read_parquet(
-                    _data_files(f"{out_dir}/joined"), columns=["tile"]
-                )
-                tiles = checkpoint_dataset(
-                    tile_counts(tile_src), f"{out_dir}/tiles", fingerprint
-                )
+                if tile_acc is not None:
+                    # totals already accumulated during the write pass
+                    tiles = checkpoint_dataset(
+                        ray.data.from_arrow(tile_counts_table(tile_acc)),
+                        f"{out_dir}/tiles",
+                        fingerprint,
+                    )
+                else:  # resumed joined checkpoint: pruned re-read rollup
+                    tile_src = ray.data.read_parquet(
+                        _data_files(f"{out_dir}/joined"), columns=["tile"]
+                    )
+                    tiles = checkpoint_dataset(
+                        tile_counts(tile_src), f"{out_dir}/tiles", fingerprint
+                    )
             return t, tiles
 
         def chain_layers():

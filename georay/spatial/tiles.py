@@ -103,3 +103,68 @@ class TilePolygonJoiner:
                 "polygon_id": pa.array(out_p, pa.int64()),
             }
         )
+
+
+class TileCountAccumulator:
+    """Ray actor that folds per-batch partial tile counts INTO the join
+    write pass, removing the separate read-back + groupby of the joined
+    checkpoint (a fixed ~2s barrier per run that does not shrink with
+    cluster size). Idempotent under Ray task retries/speculation: each
+    batch ships a content key (first/last url, row count, tile
+    checksum); replays of the same key are dropped. State is one count
+    per distinct tile — bounded by the tile universe, not the data."""
+
+    def __init__(self):
+        self._seen = set()
+        self._counts: dict = {}
+
+    def update(self, key: bytes, tiles, counts) -> None:
+        if key in self._seen:
+            return
+        self._seen.add(key)
+        get = self._counts.get
+        for t, c in zip(tiles.tolist(), counts.tolist()):
+            self._counts[t] = get(t, 0) + c
+
+    def totals(self):
+        import numpy as np
+
+        tiles = np.fromiter(self._counts.keys(), dtype=np.int64, count=len(self._counts))
+        counts = np.fromiter(self._counts.values(), dtype=np.int64, count=len(self._counts))
+        order = np.argsort(tiles)
+        return tiles[order], counts[order]
+
+
+def assign_tiles_and_count_batch(batch: pa.Table, acc, zoom: int = TILE_ZOOM) -> pa.Table:
+    """assign_tiles_batch + fire-and-forget partial counts to the
+    accumulator actor (see TileCountAccumulator for the idempotence
+    contract)."""
+    import hashlib
+
+    out = assign_tiles_batch(batch, zoom)
+    tiles = out["tile"].to_numpy(zero_copy_only=False)
+    if len(tiles):
+        uniq, counts = np.unique(tiles, return_counts=True)
+        first = out["url"][0].as_py()
+        last = out["url"][-1].as_py()
+        key = hashlib.blake2b(
+            f"{first}|{last}|{len(tiles)}|{int(tiles.sum())}".encode(), digest_size=16
+        ).digest()
+        # SYNCHRONOUS: the task must not complete before the actor has
+        # processed its partial — otherwise the driver could read
+        # totals() after the write barrier with updates still in flight
+        import ray
+
+        ray.get(acc.update.remote(key, uniq, counts))
+    return out
+
+
+def tile_counts_table(acc, alias: str = "n_pages") -> pa.Table:
+    """Collect the accumulator's totals as the (tile, n_pages) table —
+    call only AFTER the consuming pipeline has fully executed."""
+    import ray
+
+    tiles, counts = ray.get(acc.totals.remote())
+    return pa.table(
+        {"tile": pa.array(tiles, pa.int64()), alias: pa.array(counts, pa.int64())}
+    )

@@ -67,3 +67,34 @@ def test_partial_tmp_dir_never_looks_committed(ds, tmp_path):
     os.makedirs(f"{stage}.tmp-deadbeef", exist_ok=True)  # simulated crash mid-write
     assert not cp.is_complete(stage)
     assert cp.load_manifest(stage) is None
+
+
+def test_flagship_resume_end_to_end(ray_session, tmp_path):
+    """Full flagship with out_dir: second run with the same fingerprint
+    resumes every stage from committed manifests (no recompute, same
+    results) — including the payload sidecar and the accumulator-based
+    tile rollup vs the re-read rollup on resume."""
+    from georay.pages import pages_dir_for
+    from georay.pipelines.flagship import geotag_pipeline
+
+    pages = pages_dir_for("/root/testdata/sf0.001")
+    out = str(tmp_path / "run")
+
+    r1 = geotag_pipeline(pages, out_dir=out, fingerprint="fp1")
+    tiles1 = sorted(
+        (row["tile"], row["n_pages"]) for row in r1["tiles"].take_all()
+    )
+    joined1 = r1["joined"].count()
+    created = {
+        name: cp.load_manifest(os.path.join(out, name))["created_at"]
+        for name in ("pages_store", "features", "joined", "tiles", "layers")
+    }
+
+    r2 = geotag_pipeline(pages, out_dir=out, fingerprint="fp1")
+    tiles2 = sorted(
+        (row["tile"], row["n_pages"]) for row in r2["tiles"].take_all()
+    )
+    assert tiles2 == tiles1
+    assert r2["joined"].count() == joined1
+    for name, ts in created.items():
+        assert cp.load_manifest(os.path.join(out, name))["created_at"] == ts, name
