@@ -136,7 +136,7 @@ def run_scaling():
         return json.loads(out.strip().splitlines()[-1])
 
     lo_cpus, hi_cpus = SCALING_CPUS
-    reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
     # Interleaved (lo, hi) pairs, efficiency per pair, median across
     # pairs: this sandbox VM shares a host and neighbor load steals
     # memory bandwidth — which hits the high-concurrency level harder —
