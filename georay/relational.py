@@ -22,8 +22,39 @@ import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 
-def _read(sf_dir: str, table: str, columns=None):
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+def _read(sf_dir: str, table: str, columns=None, num_blocks=None):
+    return ray.data.read_parquet(
+        f"{sf_dir}/{table}.parquet", columns=columns, override_num_blocks=num_blocks
+    )
+
+
+def _fact_blocks(sf_dir: str, table: str) -> int:
+    """Block count for a fact-table read, sized from DATA bytes
+    (~64 MB/block) with a floor of one block per CPU: small-sf test
+    inputs otherwise split into 64+ tiny blocks and every downstream
+    shuffle pays fixed per-block latency."""
+    import os
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    try:
+        nbytes = os.path.getsize(f"{sf_dir}/{table}.parquet")
+    except OSError:
+        nbytes = 1 << 30
+    return max(cpus, nbytes // (64 << 20))
+
+
+def _read_small(sf_dir: str, table: str, columns=None):
+    """Broadcast-side read: a small dimension table headed for ray.put
+    doesn't need a distributed read plan (each Ray Data read pays
+    ~0.5s of driver/scheduling latency); read it directly with arrow.
+    At a scale where the table stops being broadcast-sized, the caller
+    should be on bucket_hash_join anyway."""
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{sf_dir}/{table}.parquet", columns=columns).to_pandas()
 
 
 # ---------------------------------------------------------------- q1
@@ -75,7 +106,7 @@ def pricing_summary(sf_dir: str):
 def top_orders(sf_dir: str, k: int = 10):
     """orders x customer broadcast join -> top-k by totalprice
     (deterministic tie-break on orderkey)."""
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"]).to_pandas()
+    cust = _read_small(sf_dir, "customer", columns=["c_custkey", "c_name"])
     cust_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
 
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
@@ -164,9 +195,9 @@ def bucket_hash_join(
 def region_revenue(sf_dir: str):
     """lineitem |><| orders (bucketed hash join) with
     customer/nation/region broadcast -> revenue per region name."""
-    nation = _read(sf_dir, "nation").to_pandas()
-    region = _read(sf_dir, "region").to_pandas()
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read_small(sf_dir, "nation")
+    region = _read_small(sf_dir, "region")
+    cust = _read_small(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
     n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
     r2name = dict(zip(region["r_regionkey"], region["r_name"]))
     c2region = {
@@ -174,8 +205,14 @@ def region_revenue(sf_dir: str):
     }
     c2r_ref = ray.put(c2region)
 
-    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    lineitem = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey"],
+        num_blocks=_fact_blocks(sf_dir, "orders"),
+    )
+    lineitem = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        num_blocks=_fact_blocks(sf_dir, "lineitem"),
+    )
 
     def li_partial(t: pa.Table) -> pa.Table:
         # pre-aggregate revenue per orderkey INSIDE the batch before the
@@ -367,7 +404,7 @@ def priority_line_counts(sf_dir: str):
     lineitem |><| orders join: per returnflag, how many lines belong to
     URGENT/HIGH orders vs the rest. The orders side is broadcast
     (small projection), lineitem streams."""
-    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]).to_pandas()
+    orders = _read_small(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
     # broadcast a SORTED int64 key array (compact: 8 bytes/key, shared
     # via the object store), not a Python set; at a scale where orders
     # itself doesn't fit a worker heap, use bucket_hash_join instead
@@ -422,7 +459,7 @@ def top_orders_per_segment(sf_dir: str, k: int = 3):
     orders, per-batch partial top-k per segment (so the shuffle sees
     <= k x segments rows per batch), then a per-segment final top-k
     with rank."""
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    cust = _read_small(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
 
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
