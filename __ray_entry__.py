@@ -42,16 +42,36 @@ def entry() -> Any:
 # ------------------------------------------------------------- queries
 
 
+def _blocks_for(path: str) -> int:
+    """~64 MB/block, floored at one per CPU (tiny test inputs otherwise
+    split into 64+ blocks and every shuffle pays per-block latency)."""
+    import os
+
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    try:
+        nbytes = os.path.getsize(path)
+    except OSError:
+        nbytes = 1 << 30
+    return max(cpus, nbytes // (64 << 20))
+
+
 def _docs(sf_dir: str):
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    p = f"{sf_dir}/documents.parquet"
+    return ray.data.read_parquet(p, override_num_blocks=_blocks_for(p))
 
 
 def _emb(sf_dir: str):
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    p = f"{sf_dir}/embeddings.parquet"
+    return ray.data.read_parquet(p, override_num_blocks=_blocks_for(p))
 
 
 def _q_pricing(sf_dir):

@@ -23,6 +23,8 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 
 def _read(sf_dir: str, table: str, columns=None, num_blocks=None):
+    if num_blocks is None:
+        num_blocks = _fact_blocks(sf_dir, table)
     return ray.data.read_parquet(
         f"{sf_dir}/{table}.parquet", columns=columns, override_num_blocks=num_blocks
     )
@@ -205,13 +207,9 @@ def region_revenue(sf_dir: str):
     }
     c2r_ref = ray.put(c2region)
 
-    orders = _read(
-        sf_dir, "orders", columns=["o_orderkey", "o_custkey"],
-        num_blocks=_fact_blocks(sf_dir, "orders"),
-    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     lineitem = _read(
-        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"],
-        num_blocks=_fact_blocks(sf_dir, "lineitem"),
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
     )
 
     def li_partial(t: pa.Table) -> pa.Table:
