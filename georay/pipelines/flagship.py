@@ -1,14 +1,19 @@
 """The flagship geotag pipeline (north star end-to-end):
 
-  read pages parquet
-    -> extract text (byte-identical invariant) + page coordinates
-    -> decode embedded geo payloads (GeoJSON/KML/KMZ/SHP) with exact
+  read pages parquet  (ONE raw-html scan per run)
+    -> extract text (byte-identical invariant) + page coordinates,
+       payload subset split to an idempotent parquet sidecar
+    -> decode the payload sidecar (GeoJSON/KML/KMZ/SHP) with exact
        per-blob layer merging, normalize + reproject to EPSG:4326
-    -> compile the polygon index (dedup + STRtree + cell cover),
-       broadcast with ray.put
-    -> cell-encode + ray-casting PIP join (actor pool)
-    -> kNN (cell-ring expansion) and tile assignment + per-tile counts
+    -> compile the polygon index in a Ray task (dedup + STRtree +
+       cell cover); the returned ObjectRef is the broadcast handle
+    -> cell-encode + ray-casting PIP join (task mode, per-worker
+       joiner cache) fused with tile assignment; tile counts fold
+       into the write via an idempotent accumulator actor
+    -> kNN (exact ring expansion) and per-layer rollups on
+       concurrent driver-thread chains
     -> partitioned parquet outputs with manifest checkpoints
+       (streaming writes; resume via committed manifests)
 
 Everything before a sink is a lazy streaming Dataset; the only
 materializations are the tiny polygon index and the aggregates.
@@ -52,7 +57,6 @@ def geotag_pipeline(
     out_dir: str | None = None,
     knn_k: int = 0,
     pip_concurrency=None,
-    checkpoint: bool = False,
     fingerprint: str = "",
 ):
     """Run the full pipeline. Returns a dict with the result handles:
@@ -94,10 +98,7 @@ def geotag_pipeline(
     # the object store doubles memory-bus traffic, which is the binding
     # resource — compressed parquet through the page cache is cheaper
     # than plasma round-trips.)
-    pool = ThreadPoolExecutor(max_workers=4)
-    pending: list = []
-
-    def stage(ds_lazy, name: str, columns_out=None):
+    def stage(ds_lazy, name: str):
         """Checkpoint a stage (streaming write) or resume it from a
         committed manifest; returns a re-read Dataset."""
         if out_dir:
@@ -288,17 +289,12 @@ def geotag_pipeline(
             results["layers"] = f_layers.result()
             results["knn"] = f_knn.result()
         results["index"] = ray.get(index_ref)
-        with StageTimer(timings, "commit_wait"):
-            for fut in pending:
-                fut.result()  # every manifest committed before return
-        pool.shutdown(wait=True)
     else:
         results["tiles"] = tile_counts(tiled)
         results["layers"] = layers
         results["joined"] = tiled
         results["knn"] = knn_lazy
         results["index"] = ray.get(index_ref)
-        pool.shutdown(wait=False)
     return results
 
 
