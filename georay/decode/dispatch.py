@@ -14,7 +14,7 @@ import zipfile
 from ..errors import UnknownFileTypeError
 from .common import DecodeResult
 from .geojson_stream import decode_geojson_auto
-from .kml import decode_kml
+from .kml import decode_kml_auto
 from .kmz import decode_kmz
 from .ldjson import decode_ldjson
 from .shp import decode_shapefile_zip
@@ -22,7 +22,7 @@ from .shp import decode_shapefile_zip
 _BY_EXTENSION = {
     ".json": decode_geojson_auto,
     ".geojson": decode_geojson_auto,
-    ".kml": decode_kml,
+    ".kml": decode_kml_auto,
     ".kmz": decode_kmz,
     ".zip": decode_shapefile_zip,
     ".ldjson": decode_ldjson,
@@ -59,7 +59,7 @@ def _sniff(blob: bytes):
     if head.startswith(b"{"):
         return decode_geojson_auto
     if head.startswith(b"<"):
-        return decode_kml
+        return decode_kml_auto
     raise UnknownFileTypeError("unrecognized payload")
 
 

@@ -273,3 +273,72 @@ def decode_kml(blob: bytes) -> DecodeResult:
 
     walk(root)
     return DecodeResult(rows, None, [])
+
+
+# ------------------------------------------------------ streaming path
+
+KML_STREAM_GATE = int(__import__("os").environ.get("GEORAY_KML_STREAM_GATE", 64 * 1024 * 1024))
+
+
+def decode_kml_stream(fileobj) -> DecodeResult:
+    """Incremental KML decode (reference es6-lib/decoders/kml.js:280-442
+    SAX-streams with 2-row backpressure; this is the pull counterpart):
+    ElementTree.iterparse fires an end event per completed element;
+    Placemark and Schema subtrees are processed there and immediately
+    cleared (plus the classic root-husk prune), so memory is bounded by
+    one Placemark + parser state regardless of document size. Document
+    order is preserved, so Schema declarations take effect for
+    subsequent Placemarks exactly like the DOM walk.
+
+    Limitation: the undeclared-namespace-prefix retry (see _parse_xml)
+    needs the whole text, so defective over-gate documents fall back to
+    the whole-blob decoder at the dispatch layer."""
+    rows: list = []
+    schema: list = []
+    try:
+        context = ET.iterparse(fileobj, events=("start", "end"))
+        root = None
+        for event, elem in context:
+            if event == "start":
+                if root is None:
+                    root = elem
+                continue
+            name = _local(elem.tag)
+            if name == "schema":
+                for sf in elem.iter():
+                    if _local(sf.tag) == "simplefield":
+                        a = _attrs(sf)
+                        schema.append({"name": a.get("name"), "type": a.get("type")})
+                elem.clear()
+            elif name == "placemark":
+                rows.extend(_placemark_rows(elem, schema))
+                elem.clear()
+                if root is not None:
+                    # prune finished husks hanging off the root so the
+                    # skeleton doesn't grow with the document
+                    root.clear()
+    except ET.ParseError as e:
+        raise XMLParseError(str(e)) from None
+    return DecodeResult(rows, None, [])
+
+
+def decode_kml_auto(blob: bytes) -> DecodeResult:
+    """Whole-blob decode below the gate; streaming above it (with the
+    whole-blob path as fallback for defective-namespace documents that
+    need the declare-and-retry repair)."""
+    import io
+
+    if len(blob) <= KML_STREAM_GATE:
+        return decode_kml(blob)
+    try:
+        return decode_kml_stream(io.BytesIO(blob))
+    except XMLParseError as e:
+        if "unbound prefix" in str(e):
+            return decode_kml(blob)
+        raise
+
+
+def decode_kml_file(path: str) -> DecodeResult:
+    """Stream a KML document straight from disk."""
+    with open(path, "rb") as f:
+        return decode_kml_stream(f)

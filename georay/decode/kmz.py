@@ -9,9 +9,9 @@ from __future__ import annotations
 import io
 import zipfile
 
-from ..errors import ArchiveError
+from ..errors import ArchiveError, XMLParseError
 from .common import DecodeResult
-from .kml import decode_kml
+from .kml import KML_STREAM_GATE, decode_kml, decode_kml_stream
 
 
 def decode_kmz(blob: bytes) -> DecodeResult:
@@ -23,7 +23,20 @@ def decode_kmz(blob: bytes) -> DecodeResult:
     for name in zf.namelist():
         if not name.lower().endswith(".kml") or name.endswith("/"):
             continue
-        sub = decode_kml(zf.read(name))
+        # over-gate members stream straight off the zip entry (never
+        # decompressed into one bytes object, never a DOM); the
+        # whole-blob path remains for small members and as the fallback
+        # for defective-namespace documents (see kml.decode_kml_auto)
+        if zf.getinfo(name).file_size > KML_STREAM_GATE:
+            try:
+                sub = decode_kml_stream(zf.open(name))
+            except XMLParseError as e:
+                if "unbound prefix" in str(e):
+                    sub = decode_kml(zf.read(name))
+                else:
+                    raise
+        else:
+            sub = decode_kml(zf.read(name))
         rows.extend(sub.rows)
         errors.extend(sub.errors)
     return DecodeResult(rows, None, errors)

@@ -115,3 +115,97 @@ def test_stream_memory_bounded():
     tracemalloc.stop()
     assert len(obj["features"]) == 6005
     assert peak_dom > 2 * peak_stream  # DOM inflates; stream does not
+
+
+# ------------------------------------------------- streaming KML path
+
+
+def _big_kml(n=4000):
+    from georay.fixtures import kml_payload
+
+    # expand the 4-placemark fixture into a large document by repeating
+    # placemark bodies with distinct names
+    base = kml_payload(1).decode()
+    head, rest = base.split("<Placemark>", 1)
+    body = "<Placemark>" + rest.rsplit("</Placemark>", 1)[0] + "</Placemark>"
+    tail = base.rsplit("</Placemark>", 1)[1]
+    return (head + body * (n // 4) + tail).encode()
+
+
+def test_kml_stream_equals_whole_blob():
+    import io
+
+    from georay.decode.kml import decode_kml, decode_kml_stream
+
+    blob = _big_kml(400)
+    want = decode_kml(blob)
+    got = decode_kml_stream(io.BytesIO(blob))
+    assert len(got.rows) == len(want.rows)
+    for a, b in zip(got.rows, want.rows):
+        assert a == b
+
+
+def test_kml_auto_gate_and_kmz_stream(monkeypatch):
+    import io
+    import zipfile
+
+    import georay.decode.kml as km
+    from georay.decode.dispatch import decode_blob
+
+    blob = _big_kml(200)
+    want = km.decode_kml(blob)
+    monkeypatch.setattr(km, "KML_STREAM_GATE", 100)
+    got = km.decode_kml_auto(blob)
+    assert got.rows == want.rows
+
+    # kmz member over the (patched) gate streams off the zip entry
+    import georay.decode.kmz as kz
+
+    monkeypatch.setattr(kz, "KML_STREAM_GATE", 100)
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("doc.kml", blob)
+    got2 = decode_blob(buf.getvalue(), "x.kmz")
+    assert got2.rows == want.rows
+
+
+def test_kml_stream_memory_bounded():
+    import io
+    import tracemalloc
+
+    from georay.decode.kml import decode_kml_stream
+
+    from georay.decode.kml import decode_kml
+
+    blob = _big_kml(4000)  # ~1.6 MB xml
+    tracemalloc.start()
+    res = decode_kml_stream(io.BytesIO(blob))
+    _, peak_stream = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert len(res.rows) == 4000
+
+    tracemalloc.start()
+    res2 = decode_kml(blob)
+    _, peak_dom = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert len(res2.rows) == 4000
+    # the output rows dominate both; the streaming path must not ALSO
+    # hold the ElementTree DOM (which adds a multiple of the xml size)
+    assert peak_stream < peak_dom - 0.8 * len(blob)
+
+
+def test_kml_unbound_prefix_falls_back(monkeypatch):
+    import georay.decode.kml as km
+
+    # defective doc: undeclared prefix, over the gate -> auto falls back
+    # to the whole-blob declare-and-retry repair
+    blob = (
+        b'<kml xmlns="http://www.opengis.net/kml/2.2">'
+        b"<Document><Placemark xsi:nil=\"false\"><name>p</name>"
+        b"<Point><coordinates>1,2,0</coordinates></Point>"
+        b"</Placemark></Document></kml>"
+    )
+    want = km.decode_kml(blob)
+    monkeypatch.setattr(km, "KML_STREAM_GATE", 10)
+    got = km.decode_kml_auto(blob)
+    assert got.rows == want.rows and len(got.rows) == 1
