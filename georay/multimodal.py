@@ -350,34 +350,46 @@ def _kind(ds, kind: str):
     )
 
 
-def image_features(media, concurrency=(2, 8)):
+def _media_pool() -> tuple:
+    """Actor-pool size from the cluster: up to half the CPUs (heap per
+    actor stays batch x payload ≈ 25 MB, so the binding resource is
+    CPU, not memory; the old fixed cap of 8 idled 3/4 of a 32-cpu
+    box)."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return (2, max(8, cpus // 2))
+
+
+def image_features(media, concurrency=None):
     """media Dataset -> image feature table (actor pool, small batches:
     batch x payload bytes x concurrency bounds worker heap)."""
     return _kind(media, "image").map_batches(
         ImageDecoder,
         batch_format="pyarrow",
         batch_size=MEDIA_BATCH_SIZE,
-        concurrency=concurrency,
+        concurrency=concurrency or _media_pool(),
         num_cpus=1,
     )
 
 
-def audio_features(media, concurrency=(2, 8)):
+def audio_features(media, concurrency=None):
     return _kind(media, "audio").map_batches(
         AudioFeaturizer,
         batch_format="pyarrow",
         batch_size=MEDIA_BATCH_SIZE,
-        concurrency=concurrency,
+        concurrency=concurrency or _media_pool(),
         num_cpus=1,
     )
 
 
-def video_frame_sample(media, every_k: int = 4, concurrency=(2, 8)):
+def video_frame_sample(media, every_k: int = 4, concurrency=None):
     return _kind(media, "video").map_batches(
         VideoFrameSampler,
         fn_constructor_args=(every_k,),
         batch_format="pyarrow",
         batch_size=MEDIA_BATCH_SIZE,
-        concurrency=concurrency,
+        concurrency=concurrency or _media_pool(),
         num_cpus=1,
     )
