@@ -202,6 +202,30 @@ def _q_dedup_exact(sf_dir):
     return dedup_exact(_docs(sf_dir))
 
 
+def _q_rolling_event_sums(sf_dir):
+    from georay.relational import rolling_event_sums
+
+    return rolling_event_sums(sf_dir)
+
+
+def _q_customers_without_urgent(sf_dir):
+    from georay.relational import customers_without_urgent_orders
+
+    return customers_without_urgent_orders(sf_dir)
+
+
+def _q_order_price_quantiles(sf_dir):
+    from georay.relational import order_price_quantiles
+
+    return order_price_quantiles(sf_dir)
+
+
+def _q_top_words(sf_dir):
+    from georay.textops import top_words
+
+    return top_words(_docs(sf_dir), k=50)
+
+
 def _q_token_counts(sf_dir):
     from georay.textops import token_counts
 
@@ -438,6 +462,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_stats": _q_part_stats,
         "dedup_exact": _q_dedup_exact,
         "token_counts": _q_token_counts,
+        "top_words": _q_top_words,
+        "order_price_quantiles": _q_order_price_quantiles,
+        "rolling_event_sums": _q_rolling_event_sums,
+        "customers_without_urgent": _q_customers_without_urgent,
         "quality_counts": _q_quality_counts,
         "ngram_jaccard_dups": _q_ngram_jaccard,
         "minhash_near_dups": _q_minhash_near_dups,
@@ -619,6 +647,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
             FROM documents
             GROUP BY text
+        """,
+        "rolling_event_sums": """
+            SELECT event_id, user_id,
+                   CAST(SUM(CAST(ROUND(value*1000000) AS BIGINT)) OVER (
+                        PARTITION BY user_id
+                        ORDER BY epoch_us(ts), event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS w_sum_em6
+            FROM events
+        """,
+        "customers_without_urgent": """
+            SELECT c_custkey FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderpriority = '1-URGENT')
+        """,
+        "order_price_quantiles": """
+            SELECT c_mktsegment,
+                   CAST(quantile_disc(CAST(ROUND(o_totalprice*100) AS BIGINT), 0.5)
+                        AS BIGINT) AS p50_cents,
+                   CAST(quantile_disc(CAST(ROUND(o_totalprice*100) AS BIGINT), 0.9)
+                        AS BIGINT) AS p90_cents,
+                   COUNT(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "top_words": """
+            WITH toks AS (
+              SELECT UNNEST(regexp_split_to_array(TRIM(text), '\\s+')) AS word
+              FROM documents WHERE TRIM(text) <> ''
+            ),
+            c AS (SELECT word, COUNT(*) AS n FROM toks GROUP BY word)
+            SELECT word, n FROM c ORDER BY n DESC, word ASC LIMIT 50
         """,
         "token_counts": """
             SELECT doc_id,

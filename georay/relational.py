@@ -887,3 +887,175 @@ def event_session_assignment(
             )
 
     return events.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def order_price_quantiles(sf_dir: str, qs=(0.5, 0.9)):
+    """Exact grouped quantiles (DuckDB quantile_disc semantics: the
+    element at rank ceil(q*n)-1 of the sorted group): per market
+    segment, p50/p90 of order totals in exact cents. The broadcast
+    customer->segment map rides ray.put; the groupby sees per-batch
+    (segment, cents) rows and each of the few segment groups computes
+    its quantiles from one sorted array. Partitioning contract: one
+    group's values fit one worker (segments are low-cardinality); for
+    high-cardinality keys or over-worker groups, use a quantile sketch
+    instead of the exact path."""
+    cust = _read_small(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    class ToCents:
+        def __init__(self):
+            self.seg = ray.get(seg_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            cents = np.rint(
+                t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            segs = [self.seg.get(ck) for ck in t["o_custkey"].to_pylist()]
+            return pa.table(
+                {
+                    "c_mktsegment": pa.array(segs, pa.string()),
+                    "cents": pa.array(cents, pa.int64()),
+                }
+            )
+
+    def quantiles(g: pa.Table) -> pa.Table:
+        vals = np.sort(g["cents"].to_numpy(zero_copy_only=False))
+        n = len(vals)
+        row = {"c_mktsegment": [g["c_mktsegment"][0].as_py()], "n_orders": [n]}
+        for q in qs:
+            idx = max(0, int(np.ceil(q * n)) - 1)
+            row[f"p{int(q * 100)}_cents"] = [int(vals[idx])]
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(row["c_mktsegment"], pa.string()),
+                **{
+                    f"p{int(q * 100)}_cents": pa.array(
+                        row[f"p{int(q * 100)}_cents"], pa.int64()
+                    )
+                    for q in qs
+                },
+                "n_orders": pa.array(row["n_orders"], pa.int64()),
+            }
+        )
+
+    partials = orders.map_batches(ToCents, batch_format="pyarrow", concurrency=(1, 4))
+    return (
+        partials.groupby("c_mktsegment")
+        .map_groups(quantiles, batch_format="pyarrow")
+        .sort("c_mktsegment")
+    )
+
+
+def rolling_event_sums(sf_dir: str, window: int = 3):
+    """ROWS-window aggregate over a keyed stream: per user, the sum of
+    the last `window` event values (current row + window-1 preceding,
+    ordered by time then event id — the tie-break makes the window
+    deterministic). Values in exact 1e-6 units. Same bucketed shape as
+    the other per-key ops: hash(user) % (4x cpus) partitions, one
+    lexsort + cumsum difference per partition."""
+    n_parts = _n_partitions()
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": pa.array(uid, pa.int64()),
+                "event_id": t["event_id"].cast(pa.int64()),
+                "us": t["ts"].cast(pa.int64()),
+                "value_em6": pa.array(
+                    np.rint(
+                        t["value"].to_numpy(zero_copy_only=False) * 1e6
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+                "__bucket": pa.array(_hash_bucket(uid, n_parts), pa.int64()),
+            }
+        )
+
+    def window_bucket(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        us = g["us"].to_numpy(zero_copy_only=False)
+        val = g["value_em6"].to_numpy(zero_copy_only=False)
+        n = len(uid)
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "w_sum_em6": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((eid, us, uid))
+        uid, eid, us, val = uid[order], eid[order], us[order], val[order]
+        csum = np.concatenate([[0], np.cumsum(val)])
+        idx = np.arange(n, dtype=np.int64)
+        # window start: max(row - window + 1, first row of this user)
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        user_start = np.maximum.accumulate(np.where(new_user, idx, 0))
+        lo = np.maximum(idx - (window - 1), user_start)
+        w = csum[idx + 1] - csum[lo]
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "w_sum_em6": pa.array(w.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(window_bucket, batch_format="pyarrow")
+    )
+
+
+def customers_without_urgent_orders(sf_dir: str):
+    """ANTI-join: customers with no URGENT-priority order — the
+    co-partitioned tagged-union shape (one groupby on the key; a
+    vectorized post-filter keeps customer keys whose matching-order
+    count is zero). Nothing key-cardinality-sized touches the driver."""
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+
+    def o_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
+        keys = t["o_custkey"].to_numpy(zero_copy_only=False)
+        uniq = np.unique(keys)
+        return pa.table(
+            {
+                "key": pa.array(uniq, pa.int64()),
+                "n": pa.array(np.ones(len(uniq), dtype=np.int64)),
+                "left_flag": pa.array(np.zeros(len(uniq), dtype=np.int64)),
+            }
+        )
+
+    def c_partial(t: pa.Table) -> pa.Table:
+        keys = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.int64()),
+                "n": pa.array(np.zeros(len(keys), dtype=np.int64)),
+                "left_flag": pa.array(np.ones(len(keys), dtype=np.int64)),
+            }
+        )
+
+    both = cust.map_batches(c_partial, batch_format="pyarrow").union(
+        orders.map_batches(o_partial, batch_format="pyarrow")
+    )
+    agged = both.groupby("key").aggregate(
+        Sum("n", alias_name="n_urgent"), Sum("left_flag", alias_name="n_cust_rows")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(pc.greater(t["n_cust_rows"], 0), pc.equal(t["n_urgent"], 0))
+        )
+        return pa.table({"c_custkey": t["key"].cast(pa.int64())})
+
+    return agged.map_batches(finish, batch_format="pyarrow")

@@ -740,6 +740,37 @@ def langid_table(docs: ray.data.Dataset):
     return docs.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 8))
 
 
+def top_words(docs: ray.data.Dataset, k: int = 50):
+    """Global word-frequency top-k over the corpus: the canonical
+    pre-aggregated wide shuffle. Each batch collapses its token stream
+    to (word, n) partials with one np.unique, so the groupby moves one
+    row per (batch, distinct word) — never one per token; final order
+    is (n DESC, word ASC) for a deterministic oracle hash."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks: list = []
+        for t in batch["text"].to_pylist():
+            toks.extend(tokenize(t or ""))
+        if not toks:
+            return pa.table(
+                {"word": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        return pa.table(
+            {
+                "word": pa.array(uniq.tolist(), pa.string()),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    counted = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return counted.sort(["n", "word"], descending=[True, False]).limit(k)
+
+
 def token_counts(docs: ray.data.Dataset):
     def tc(batch: pa.Table) -> pa.Table:
         n = [len(tokenize(t or "")) for t in batch["text"].to_pylist()]
