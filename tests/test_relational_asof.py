@@ -41,3 +41,71 @@ def test_asof_miss_and_boundary(tmp_tables):
     assert rows[1] == 100  # order exactly AT the event time joins (<=)
     assert rows[2] == 200  # latest at-or-before 250
     assert rows[3] == -1  # user 9 has no orders -> miss marker
+
+
+# ------------------------------------------- rolling windows / quantiles
+
+
+def test_rolling_window_user_boundary(ray_session, tmp_path):
+    """The ROWS window must reset at user boundaries and tie-break by
+    event_id (deterministic window membership on equal timestamps)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from georay.relational import rolling_event_sums
+
+    # user 1: values 1,2,3,4 at ts 10,20,20,30 (tie at 20 ordered by id)
+    # user 2: single event — window is just itself
+    t = pa.table(
+        {
+            "event_id": pa.array([100, 101, 102, 103, 200], pa.int64()),
+            "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+            "ts": pa.array([10, 20, 20, 30, 10], pa.timestamp("us")),
+            "value": pa.array([1.0, 2.0, 3.0, 4.0, 9.0]),
+        }
+    )
+    pq.write_table(t, f"{tmp_path}/events.parquet")
+    out = {
+        r["event_id"]: r["w_sum_em6"]
+        for r in rolling_event_sums(str(tmp_path), window=3).take_all()
+    }
+    assert out == {
+        100: 1_000_000,            # [1]
+        101: 3_000_000,            # [1,2]
+        102: 6_000_000,            # [1,2,3]
+        103: 9_000_000,            # [2,3,4] — 1 fell out of the window
+        200: 9_000_000,            # user 2 resets
+    }
+
+
+def test_grouped_quantile_disc_semantics(ray_session, tmp_path):
+    """Engine quantile index must equal DuckDB quantile_disc
+    (rank ceil(q*n)-1 of the sorted group)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from georay.relational import order_price_quantiles
+
+    rng = np.random.default_rng(5)
+    n = 101
+    prices = np.round(rng.uniform(10, 1000, n), 2)
+    cust = pa.table(
+        {
+            "c_custkey": pa.array(np.arange(n, dtype=np.int64)),
+            "c_mktsegment": pa.array(["SEG"] * n),
+        }
+    )
+    orders = pa.table(
+        {
+            "o_custkey": pa.array(np.arange(n, dtype=np.int64)),
+            "o_totalprice": pa.array(prices),
+        }
+    )
+    pq.write_table(cust, f"{tmp_path}/customer.parquet")
+    pq.write_table(orders, f"{tmp_path}/orders.parquet")
+    row = order_price_quantiles(str(tmp_path)).take_all()[0]
+    cents = np.sort(np.rint(prices * 100).astype(np.int64))
+    assert row["p50_cents"] == int(cents[int(np.ceil(0.5 * n)) - 1])
+    assert row["p90_cents"] == int(cents[int(np.ceil(0.9 * n)) - 1])
+    assert row["n_orders"] == n
