@@ -376,11 +376,24 @@ def _geo_tile_counts(sf_dir):
 
 
 def _geo_knn(sf_dir):
+    import numpy as np
+    import pyarrow as pa
+
     from georay.pages import pages_dir_for
     from georay.pipelines.flagship import geotag_pipeline
 
     res = geotag_pipeline(pages_dir_for(sf_dir), knn_k=3)
-    return res["knn"]
+
+    def round_dist(t: pa.Table) -> pa.Table:
+        # millimeter rounding: engine numpy trig and DuckDB libm differ
+        # in the last ulp, which flips ~1e-3 of values at a 1e-6 grid
+        # boundary; at 1e-3 the flip probability is ~1e-6 of rows
+        d = np.round(t["distance_m"].to_numpy(zero_copy_only=False), 3)
+        return t.drop_columns(["distance_m"]).append_column(
+            "distance_m", pa.array(d, pa.float64())
+        )
+
+    return res["knn"].map_batches(round_dist, batch_format="pyarrow")
 
 
 def _geo_extract(sf_dir):
@@ -907,6 +920,49 @@ def oracle_sql() -> dict[str, str]:
             FROM r,
                  UNNEST(range(tx0, tx1 + 1)) AS ux(x),
                  UNNEST(range(ty0, ty1 + 1)) AS uy(y)
+        """,
+        "geo_knn": f"""
+            WITH p AS (
+              SELECT url,
+                     CAST(('0x' || substr(sha256('coord:' || url), 1, 16)) AS UBIGINT) AS h
+              FROM read_parquet('{_PAGES_GLOB}')
+            ),
+            pt AS (
+              SELECT url,
+                     -122.5 + (CAST(h % 4294967296 AS DOUBLE) / 4294967296.0)
+                              * (CAST(-122.2 AS DOUBLE) - CAST(-122.5 AS DOUBLE)) AS lon,
+                     47.4 + (CAST(h // 4294967296 AS DOUBLE) / 4294967296.0)
+                            * (CAST(47.8 AS DOUBLE) - CAST(47.4 AS DOUBLE)) AS lat
+              FROM p
+            ),
+            cent AS (
+              SELECT CAST(v AS BIGINT) AS polygon_id,
+                     ((-122.5 + (v % 16) * ((CAST(-122.2 AS DOUBLE) - CAST(-122.5 AS DOUBLE)) / 16))
+                      + ((-122.5 + (v % 16) * ((CAST(-122.2 AS DOUBLE) - CAST(-122.5 AS DOUBLE)) / 16))
+                         + ((CAST(-122.2 AS DOUBLE) - CAST(-122.5 AS DOUBLE)) / 16))) / 2 AS cx,
+                     ((47.4 + (v // 16) * ((CAST(47.8 AS DOUBLE) - CAST(47.4 AS DOUBLE)) / 16))
+                      + ((47.4 + (v // 16) * ((CAST(47.8 AS DOUBLE) - CAST(47.4 AS DOUBLE)) / 16))
+                         + ((CAST(47.8 AS DOUBLE) - CAST(47.4 AS DOUBLE)) / 16))) / 2 AS cy
+              FROM range(256) t(v)
+            ),
+            d AS (
+              SELECT pt.url, cent.polygon_id,
+                     2.0 * 6371008.8 * asin(sqrt(
+                         pow(sin(radians(cent.cy - pt.lat) / 2), 2)
+                         + cos(radians(pt.lat)) * cos(radians(cent.cy))
+                           * pow(sin(radians(cent.cx - pt.lon) / 2), 2)
+                     )) AS dist
+              FROM pt, cent
+            ),
+            r AS (
+              SELECT url, polygon_id, dist,
+                     ROW_NUMBER() OVER (PARTITION BY url
+                                        ORDER BY dist ASC, polygon_id ASC) - 1 AS rank
+              FROM d
+            )
+            SELECT url, CAST(rank AS INTEGER) AS rank, polygon_id,
+                   ROUND(dist, 3) AS distance_m
+            FROM r WHERE rank < 3
         """,
         "geo_layers": f"""
             WITH p AS (
