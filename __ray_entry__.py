@@ -214,6 +214,20 @@ def _q_customers_without_urgent(sf_dir):
     return customers_without_urgent_orders(sf_dir)
 
 
+def _q_approx_price_quantiles(sf_dir):
+    """Histogram quantile sketch over order totals: O(n_bins) memory
+    at any scale; deterministic (not probabilistic), so even the
+    approximate answer is oracle-verifiable."""
+    import ray.data
+
+    from georay.sketch import approx_quantiles
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice"]
+    )
+    return approx_quantiles(orders, "o_totalprice", qs=(0.5, 0.9, 0.99))
+
+
 def _q_order_price_quantiles(sf_dir):
     from georay.relational import order_price_quantiles
 
@@ -477,6 +491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": _q_token_counts,
         "top_words": _q_top_words,
         "order_price_quantiles": _q_order_price_quantiles,
+        "approx_price_quantiles": _q_approx_price_quantiles,
         "rolling_event_sums": _q_rolling_event_sums,
         "customers_without_urgent": _q_customers_without_urgent,
         "quality_counts": _q_quality_counts,
@@ -675,6 +690,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders
                               WHERE o_custkey = c_custkey
                                 AND o_orderpriority = '1-URGENT')
+        """,
+        "approx_price_quantiles": """
+            WITH v AS (SELECT o_totalprice AS x FROM orders),
+            s AS (SELECT CAST(MIN(x) AS DOUBLE) AS lo, CAST(MAX(x) AS DOUBLE) AS hi,
+                         COUNT(*) AS n FROM v),
+            p AS (SELECT lo, n, (hi - lo) / 4096 AS width FROM s),
+            b AS (SELECT LEAST(GREATEST(CAST(FLOOR((CAST(x AS DOUBLE) - lo) / width)
+                                         AS BIGINT), 0), 4095) AS bin
+                  FROM v, p),
+            h AS (SELECT bin, COUNT(*) AS c FROM b GROUP BY bin),
+            cum AS (SELECT bin, CAST(SUM(c) OVER (ORDER BY bin) AS BIGINT) AS cm FROM h)
+            SELECT n AS n_rows,
+                   lo + ((SELECT MIN(bin) FROM cum
+                          WHERE cm >= CAST(CEIL(CAST(0.5 AS DOUBLE) * n) AS BIGINT))
+                         + 1) * width AS p5,
+                   lo + ((SELECT MIN(bin) FROM cum
+                          WHERE cm >= CAST(CEIL(CAST(0.9 AS DOUBLE) * n) AS BIGINT))
+                         + 1) * width AS p9,
+                   lo + ((SELECT MIN(bin) FROM cum
+                          WHERE cm >= CAST(CEIL(CAST(0.99 AS DOUBLE) * n) AS BIGINT))
+                         + 1) * width AS p99
+            FROM p
         """,
         "order_price_quantiles": """
             SELECT c_mktsegment,

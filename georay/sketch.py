@@ -138,3 +138,66 @@ def grouped_approx_distinct(
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
     return parts.groupby(key).map_groups(finish, batch_format="pyarrow")
+
+
+# ------------------------------------------- quantile sketch (histogram)
+
+QSKETCH_BINS = 4096
+
+
+def approx_quantiles(
+    ds: "ray.data.Dataset",
+    col: str,
+    qs=(0.5, 0.9, 0.99),
+    n_bins: int = QSKETCH_BINS,
+):
+    """Approximate quantiles via a mergeable fixed-bin histogram sketch.
+
+    Two passes, both streaming: (1) a grouped Min/Max fixes the bin
+    domain; (2) each batch bincounts into n_bins equi-width bins (one
+    np.clip + np.bincount — no sort, no per-row Python) and partial
+    histograms merge by elementwise sum (a small fixed-size vector per
+    batch, the same shuffle shape as the HLL registers). The quantile
+    is read from the cumulative histogram with DuckDB quantile_disc
+    rank semantics applied at bin granularity.
+
+    Error bound: the reported value is the UPPER EDGE of the bin holding
+    the target rank, so it is within one bin width
+    ((max-min)/n_bins) above the exact quantile_disc value —
+    deterministic, not probabilistic. Memory is O(n_bins) per batch and
+    total, independent of row count (the property a 100-TB run needs;
+    the exact path sorts whole groups instead)."""
+    import ray.data
+    from ray.data.aggregate import Max as AggMax
+    from ray.data.aggregate import Min as AggMin
+
+    stats = ds.aggregate(AggMin(col), AggMax(col))
+    lo = float(stats[f"min({col})"])
+    hi = float(stats[f"max({col})"])
+    if not np.isfinite(lo) or not np.isfinite(hi) or hi <= lo:
+        hi = lo + 1.0
+    width = (hi - lo) / n_bins
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = np.clip(((v - lo) / width).astype(np.int64), 0, n_bins - 1)
+        h = np.bincount(idx, minlength=n_bins).astype(np.int64)
+        return pa.table({"hist": pa.array([h.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    total = np.zeros(n_bins, dtype=np.int64)
+    for row in parts:  # one fixed-size vector per input batch
+        total += np.frombuffer(row["hist"], dtype=np.int64)
+    n = int(total.sum())
+    cum = np.cumsum(total)
+    out = {"n_rows": [n]}
+    for q in qs:
+        rank = max(0, int(np.ceil(q * n)) - 1)  # quantile_disc rank
+        b = int(np.searchsorted(cum, rank + 1))
+        out[f"p{str(q).replace('0.', '')}"] = [lo + (b + 1) * width]
+    return pa.table(
+        {
+            **{k: pa.array(v, pa.int64() if k == "n_rows" else pa.float64())
+               for k, v in out.items()},
+        }
+    )

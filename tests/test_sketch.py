@@ -67,3 +67,26 @@ def test_grouped_approx_distinct_vs_exact(ray_session, sf_dir):
     assert set(approx) == set(exact)
     for k in exact:
         assert abs(approx[k] - exact[k]) / max(exact[k], 1) < 0.07, (k, approx[k], exact[k])
+
+
+def test_approx_quantiles_within_bin_width(ray_session):
+    """The histogram quantile sketch must land within one bin width
+    ABOVE the exact quantile_disc value (deterministic bound)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from georay.sketch import approx_quantiles
+
+    rng = np.random.default_rng(11)
+    vals = np.concatenate([rng.normal(100, 15, 20000), rng.exponential(50, 5000)])
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals)})).repartition(8)
+    out = approx_quantiles(ds, "v", qs=(0.5, 0.9, 0.99), n_bins=2048)
+    row = out.to_pylist()[0]
+    assert row["n_rows"] == len(vals)
+    width = (vals.max() - vals.min()) / 2048
+    s = np.sort(vals)
+    for q, name in [(0.5, "p5"), (0.9, "p9"), (0.99, "p99")]:
+        exact = s[max(0, int(np.ceil(q * len(s))) - 1)]
+        got = row[name]
+        assert exact <= got <= exact + 2 * width, (q, got, exact, width)
