@@ -341,13 +341,27 @@ def _q_video_frames(sf_dir):
 
 
 def _geo_features(sf_dir):
+    import numpy as np
+    import pyarrow as pa
     import ray.data
 
     from georay.pages import pages_dir_for
     from georay.pipeline import decode_features
 
     pages = ray.data.read_parquet(pages_dir_for(sf_dir))
-    return decode_features(pages).drop_columns(["wkb"])
+    feats = decode_features(pages)
+
+    def project(t: pa.Table) -> pa.Table:
+        # oracle-comparable projection: engine-internal QC columns
+        # (decode_error nulls, arity_ok) stay on the full features
+        # checkpoint; bboxes round to 9 decimals (KML reprojection ulp)
+        t = t.drop_columns(["wkb", "decode_error"])
+        for col in ("minx", "miny", "maxx", "maxy"):
+            vals = np.round(t[col].to_numpy(zero_copy_only=False), 9)
+            t = t.drop_columns([col]).append_column(col, pa.array(vals, pa.float64()))
+        return t
+
+    return feats.map_batches(project, batch_format="pyarrow").drop_columns(["arity_ok"])
 
 
 def _geo_layers(sf_dir):
@@ -957,6 +971,54 @@ def oracle_sql() -> dict[str, str]:
             FROM r,
                  UNNEST(range(tx0, tx1 + 1)) AS ux(x),
                  UNNEST(range(ty0, ty1 + 1)) AS uy(y)
+        """,
+        "geo_features": f"""
+            WITH p AS (
+              SELECT url,
+                     CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT) AS i
+              FROM read_parquet('{_PAGES_GLOB}')
+            ),
+            pay AS (SELECT url, i // 100 AS k FROM p WHERE i % 100 = 0),
+            f AS (
+              SELECT url, k, CAST(k % 4 AS BIGINT) AS fmt,
+                     CAST(u.j AS BIGINT) AS seq,
+                     (4 * k + CAST(u.j AS BIGINT)) % 256 AS pid
+              FROM pay, UNNEST(range(4)) AS u(j)
+            ),
+            b AS (
+              SELECT *,
+                     -122.5 + (pid % 16) * ((CAST(-122.2 AS DOUBLE) - CAST(-122.5 AS DOUBLE)) / 16) AS x0,
+                     47.4 + (pid // 16) * ((CAST(47.8 AS DOUBLE) - CAST(47.4 AS DOUBLE)) / 16) AS y0
+              FROM f
+            )
+            SELECT url, seq,
+                   CAST(0 AS INTEGER) AS layer_position,
+                   'layer_0' AS layer_name,
+                   CASE WHEN fmt = 0 THEN 'aedc508930994337'
+                        WHEN fmt = 3 THEN 'c32d6581c30de105'
+                        ELSE 'd21e8ba3813051f8' END AS layer_sig,
+                   CASE WHEN fmt = 0 THEN '+proj=longlat +ellps=WGS84 +no_defs'
+                        WHEN fmt = 3 THEN '{_SHP_WKT_SQL}'
+                        ELSE '+proj=longlat +ellps=WGS84 +datum=WGS84 +no_defs'
+                   END AS crs,
+                   CASE WHEN fmt = 3 THEN 'multipolygon' ELSE 'polygon' END
+                     AS layer_geom_type,
+                   CASE WHEN fmt = 3 THEN 'multipolygon' ELSE 'polygon' END
+                     AS geom_type,
+                   CASE WHEN fmt IN (1, 2)
+                        THEN '["cell_' || pid || '",' || pid || ',' || (pid % 2) || ']'
+                        ELSE '[' || pid || ',"cell_' || pid || '",' || (pid % 2) || ']'
+                   END AS props_json,
+                   CASE WHEN fmt IN (1, 2)
+                        THEN '[["the_geom","name","polygon_id","layer"],["polygon","string","number","number"]]'
+                        WHEN fmt = 0
+                        THEN '[["the_geom","polygon_id","name","layer"],["polygon","number","string","number"]]'
+                        ELSE '[["the_geom","polygon_id","name","layer"],["multipolygon","number","string","number"]]'
+                   END AS cols_json,
+                   ROUND(x0, 9) AS minx, ROUND(y0, 9) AS miny,
+                   ROUND(x0 + ((CAST(-122.2 AS DOUBLE) - CAST(-122.5 AS DOUBLE)) / 16), 9) AS maxx,
+                   ROUND(y0 + ((CAST(47.8 AS DOUBLE) - CAST(47.4 AS DOUBLE)) / 16), 9) AS maxy
+            FROM b
         """,
         "geo_knn": f"""
             WITH p AS (
