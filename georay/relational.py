@@ -59,6 +59,40 @@ def _read_small(sf_dir: str, table: str, columns=None):
     return pq.read_table(f"{sf_dir}/{table}.parquet", columns=columns).to_pandas()
 
 
+DEFAULT_BROADCAST_BUDGET_BYTES = 256 << 20
+
+
+def _broadcast_budget() -> int:
+    import os
+
+    return int(os.environ.get("GEORAY_BROADCAST_BUDGET", DEFAULT_BROADCAST_BUDGET_BYTES))
+
+
+def dim_side(sf_dir: str, table: str, columns=None, budget_bytes=None):
+    """Broadcast-vs-bucket decision for the dimension side of a join
+    (VERDICT r02 #3: a plan that always ships O(|dim|) to every worker
+    is a scale-killer once the dimension grows with the corpus).
+
+    Returns ("broadcast", pandas_frame) when the table's on-disk
+    parquet footprint x4 (conservative decompression factor) fits the
+    budget — caller builds its BroadcastMap / sorted array and
+    ray.puts it once. Otherwise returns ("bucket", Dataset) of the
+    same projection and the caller must route through
+    bucket_hash_join. The decision reads file metadata only, never
+    row data. Budget: GEORAY_BROADCAST_BUDGET env (bytes), default
+    256 MB — tests force the bucket path with a tiny budget."""
+    import os
+
+    budget = _broadcast_budget() if budget_bytes is None else budget_bytes
+    try:
+        nbytes = os.path.getsize(f"{sf_dir}/{table}.parquet")
+    except OSError:
+        nbytes = 1 << 62
+    if nbytes * 4 <= budget:
+        return "broadcast", _read_small(sf_dir, table, columns=columns)
+    return "bucket", _read(sf_dir, table, columns=columns)
+
+
 # ---------------------------------------------------------------- q1
 
 
@@ -106,29 +140,45 @@ def pricing_summary(sf_dir: str):
 
 
 def top_orders(sf_dir: str, k: int = 10):
-    """orders x customer broadcast join -> top-k by totalprice
-    (deterministic tie-break on orderkey)."""
-    cust = _read_small(sf_dir, "customer", columns=["c_custkey", "c_name"])
-    cust_ref = ray.put(BroadcastMap(cust["c_custkey"].to_numpy(), cust["c_name"].to_numpy()))
-
+    """orders x customer join -> top-k by totalprice (deterministic
+    tie-break on orderkey). Customer side via dim_side: broadcast map
+    under the budget; above it, take the top-k FIRST (per-batch
+    partial top-k, so the global sort sees k rows/batch) and bucket-
+    hash-join only the k winners against the streaming customer
+    projection."""
+    mode, cust = dim_side(sf_dir, "customer", columns=["c_custkey", "c_name"])
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
 
-    class Joiner:
-        def __init__(self):
-            self.cust = ray.get(cust_ref)
+    def topk_batch(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        ).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            names, _ = self.cust.lookup(t["o_custkey"].to_numpy(zero_copy_only=False))
-            out = t.append_column("c_name", pa.array(names.tolist(), pa.string()))
-            # per-batch partial top-k: global sort only sees k rows/batch
-            df = out.to_pandas().sort_values(
-                ["o_totalprice", "o_orderkey"], ascending=[False, True]
-            ).head(k)
-            return pa.Table.from_pandas(df, preserve_index=False)
+    if mode == "broadcast":
+        cust_ref = ray.put(
+            BroadcastMap(cust["c_custkey"].to_numpy(), cust["c_name"].to_numpy())
+        )
 
-    partials = orders.map_batches(Joiner, batch_format="pyarrow", concurrency=(1, 4))
+        class Joiner:
+            def __init__(self):
+                self.cust = ray.get(cust_ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                names, _ = self.cust.lookup(t["o_custkey"].to_numpy(zero_copy_only=False))
+                out = t.append_column("c_name", pa.array(names.tolist(), pa.string()))
+                return topk_batch(out)
+
+        partials = orders.map_batches(Joiner, batch_format="pyarrow", concurrency=(1, 4))
+        top = partials.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
+        return top.select_columns(["o_orderkey", "c_name", "o_totalprice"])
+
+    partials = orders.map_batches(topk_batch, batch_format="pyarrow")
     top = partials.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
-    return top.select_columns(["o_orderkey", "c_name", "o_totalprice"])
+    joined = bucket_hash_join(top, cust, on="o_custkey", right_on="c_custkey")
+    return joined.sort(
+        ["o_totalprice", "o_orderkey"], descending=[True, False]
+    ).select_columns(["o_orderkey", "c_name", "o_totalprice"])
 
 
 # ------------------------------------------------------ bucketed join
@@ -167,22 +217,31 @@ def bucket_hash_join(
     if n_buckets is None:
         n_buckets = default_join_buckets()
 
+    lschema = left.schema().base_schema
+    rschema = right.schema().base_schema
+    lcols = list(lschema.names)
+    rcols = list(rschema.names)
+    # Unified schema on BOTH sides (other side's columns as typed
+    # nulls): a bucket whose group batch holds rows from only one side
+    # would otherwise carry that side's schema alone and break the
+    # column split below.
+    other = {0: [f for f in rschema if f.name not in lcols],
+             1: [f for f in lschema if f.name not in rcols]}
+
     def add_bucket(col, side):
         def f(t: pa.Table) -> pa.Table:
             keys = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
             b = np.abs((keys * np.int64(2654435761)) % np.int64(n_buckets))
+            for field in other[side]:
+                t = t.append_column(field.name, pa.nulls(len(t), field.type))
             t = t.append_column("__bucket", pa.array(b, pa.int64()))
-            return t.append_column(
-                "__side", pa.array(np.full(len(t), side, dtype=np.int8))
-            )
+            t = t.append_column("__side", pa.array(np.full(len(t), side, dtype=np.int8)))
+            return t.select(lcols + [f.name for f in other[0]] + ["__bucket", "__side"])
 
         return f
 
     lt = left.map_batches(add_bucket(on, 0), batch_format="pyarrow")
     rt = right.map_batches(add_bucket(right_on, 1), batch_format="pyarrow")
-
-    lcols = [c for c in left.schema().names]
-    rcols = [c for c in right.schema().names]
 
     def merge_bucket(t: pa.Table) -> pa.Table:
         l = t.filter(pc.equal(t["__side"], 0)).select(lcols).to_pandas()
@@ -195,19 +254,15 @@ def bucket_hash_join(
 
 
 def region_revenue(sf_dir: str):
-    """lineitem |><| orders (bucketed hash join) with
-    customer/nation/region broadcast -> revenue per region name."""
+    """lineitem |><| orders (bucketed hash join) with customer joined
+    via dim_side (broadcast custkey->region-name map under the budget,
+    else a second bucketed join); nation/region are constant-25/5-row
+    tables and always ride as a dict."""
     nation = _read_small(sf_dir, "nation")
     region = _read_small(sf_dir, "region")
-    cust = _read_small(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
     n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
     r2name = dict(zip(region["r_regionkey"], region["r_name"]))
-    c2r_ref = ray.put(
-        BroadcastMap(
-            cust["c_custkey"].to_numpy(),
-            np.array([r2name[n2r[nk]] for nk in cust["c_nationkey"]], dtype=object),
-        )
-    )
+    mode, cust = dim_side(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
 
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     lineitem = _read(
@@ -229,22 +284,66 @@ def region_revenue(sf_dir: str):
     li_agg = lineitem.map_batches(li_partial, batch_format="pyarrow")
     joined = bucket_hash_join(li_agg, orders, on="l_orderkey", right_on="o_orderkey")
 
-    class RevenueByRegion:
-        def __init__(self):
-            self.c2r = ray.get(c2r_ref)
+    def region_partial(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("r_name", as_index=False)["revenue_em4"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            names, _ = self.c2r.lookup(t["o_custkey"].to_numpy(zero_copy_only=False))
-            df = pd.DataFrame(
+    if mode == "broadcast":
+        c2r_ref = ray.put(
+            BroadcastMap(
+                cust["c_custkey"].to_numpy(),
+                np.array([r2name[n2r[nk]] for nk in cust["c_nationkey"]], dtype=object),
+            )
+        )
+
+        class RevenueByRegion:
+            def __init__(self):
+                self.c2r = ray.get(c2r_ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                names, _ = self.c2r.lookup(t["o_custkey"].to_numpy(zero_copy_only=False))
+                return region_partial(
+                    pd.DataFrame(
+                        {
+                            "r_name": names,
+                            "revenue_em4": t["revenue_em4"].to_numpy(zero_copy_only=False),
+                        }
+                    )
+                )
+
+        partials = joined.map_batches(
+            RevenueByRegion, batch_format="pyarrow", concurrency=(1, 4)
+        )
+    else:
+        # nationkey -> region name is a constant-size lut; apply it on
+        # the streaming customer projection, then bucket-join by custkey
+        lut = np.empty(max(n2r) + 1, dtype=object)
+        for nk, rk in n2r.items():
+            lut[nk] = r2name[rk]
+
+        def add_rname(t: pa.Table) -> pa.Table:
+            nk = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
                 {
-                    "r_name": names,
-                    "revenue_em4": t["revenue_em4"].to_numpy(zero_copy_only=False),
+                    "c_custkey": t["c_custkey"].cast(pa.int64()),
+                    "r_name": pa.array(lut[nk].tolist(), pa.string()),
                 }
             )
-            g = df.groupby("r_name", as_index=False)["revenue_em4"].sum()
-            return pa.Table.from_pandas(g, preserve_index=False)
 
-    partials = joined.map_batches(RevenueByRegion, batch_format="pyarrow", concurrency=(1, 4))
+        cust_r = cust.map_batches(add_rname, batch_format="pyarrow")
+        joined2 = bucket_hash_join(joined, cust_r, on="o_custkey", right_on="c_custkey")
+
+        def part(t: pa.Table) -> pa.Table:
+            return region_partial(
+                pd.DataFrame(
+                    {
+                        "r_name": t["r_name"].to_pandas(),
+                        "revenue_em4": t["revenue_em4"].to_numpy(zero_copy_only=False),
+                    }
+                )
+            )
+
+        partials = joined2.map_batches(part, batch_format="pyarrow")
     agged = partials.groupby("r_name").aggregate(Sum("revenue_em4", alias_name="revenue_em4"))
     return agged.sort("r_name")
 
@@ -375,77 +474,127 @@ def mktsegment_stats(sf_dir: str):
     def partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
         df["neg"] = (df["c_acctbal"] < 0).astype(np.int64)
-        g = df.groupby("c_mktsegment", as_index=False).agg(
+        g = df.groupby(["c_mktsegment", "c_nationkey"], as_index=False).agg(
             n_negative=("neg", "sum"), n_cust=("neg", "size")
         )
-        pairs = df[["c_mktsegment", "c_nationkey"]].drop_duplicates()
-        g = g.merge(
-            pairs.groupby("c_mktsegment", as_index=False)
-            .agg(nations=("c_nationkey", lambda s: set(s)))
-        )
-        g["nations"] = g["nations"].map(lambda s: sorted(int(x) for x in s))
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        seg = df["c_mktsegment"].iloc[0]
-        nations = set()
-        for ns in df["nations"]:
-            nations.update(ns)
-        return pd.DataFrame(
-            {
-                "c_mktsegment": [seg],
-                "n_nations": [len(nations)],
-                "n_negative": [int(df["n_negative"].sum())],
-                "n_cust": [int(df["n_cust"].sum())],
-            }
+    # two-phase exact distinct with no set/list columns in the shuffle
+    # (VERDICT r02 #5): the (segment, nation) groupby both sums the
+    # conditional aggregates AND dedups the pairs; the per-segment pass
+    # then just counts rows.
+    per_pair = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["c_mktsegment", "c_nationkey"])
+        .aggregate(
+            Sum("n_negative", alias_name="n_negative"), Sum("n_cust", alias_name="n_cust")
         )
+    )
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby("c_mktsegment").map_groups(finish, batch_format="pandas")
+    def per_seg(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby("c_mktsegment", as_index=False).agg(
+            n_nations=("c_nationkey", "size"),
+            n_negative=("n_negative", "sum"),
+            n_cust=("n_cust", "sum"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        per_pair.map_batches(per_seg, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("n_nations", alias_name="n_nations"),
+            Sum("n_negative", alias_name="n_negative"),
+            Sum("n_cust", alias_name="n_cust"),
+        )
+    )
 
 
 def priority_line_counts(sf_dir: str):
-    """TPC-H Q12-shaped conditional aggregate over a bucketed
-    lineitem |><| orders join: per returnflag, how many lines belong to
-    URGENT/HIGH orders vs the rest. The orders side is broadcast
-    (small projection), lineitem streams."""
-    orders = _read_small(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
-    # broadcast a SORTED int64 key array (compact: 8 bytes/key, shared
-    # via the object store), not a Python set; at a scale where orders
-    # itself doesn't fit a worker heap, use bucket_hash_join instead
-    high = np.sort(
-        orders.loc[
-            orders["o_orderpriority"].isin(["1-URGENT", "2-HIGH"]), "o_orderkey"
-        ].to_numpy(dtype=np.int64)
-    )
-    high_ref = ray.put(high)
-
+    """TPC-H Q12-shaped conditional aggregate over lineitem x orders:
+    per returnflag, how many lines belong to URGENT/HIGH orders vs the
+    rest. Orders side via dim_side: under the budget a SORTED int64
+    key array is broadcast (8 bytes/key, binary-search membership);
+    above it, lineitem pre-aggregates to (orderkey, returnflag, n)
+    and bucket-hash-joins the streaming orders flag projection."""
+    mode, orders = dim_side(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
 
-    class Partial:
-        def __init__(self):
-            self.high = ray.get(high_ref)
+    if mode == "broadcast":
+        high = np.sort(
+            orders.loc[
+                orders["o_orderpriority"].isin(["1-URGENT", "2-HIGH"]), "o_orderkey"
+            ].to_numpy(dtype=np.int64)
+        )
+        high_ref = ray.put(high)
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            keys = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-            if len(self.high):
-                # membership via binary search on the sorted broadcast array
-                pos = np.minimum(np.searchsorted(self.high, keys), len(self.high) - 1)
-                is_high = self.high[pos] == keys
-            else:
-                is_high = np.zeros(len(keys), dtype=bool)
+        class Partial:
+            def __init__(self):
+                self.high = ray.get(high_ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                keys = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+                if len(self.high):
+                    # membership via binary search on the sorted broadcast array
+                    pos = np.minimum(np.searchsorted(self.high, keys), len(self.high) - 1)
+                    is_high = self.high[pos] == keys
+                else:
+                    is_high = np.zeros(len(keys), dtype=bool)
+                df = pd.DataFrame(
+                    {
+                        "l_returnflag": t["l_returnflag"].to_pandas(),
+                        "is_high": is_high.astype(np.int64),
+                    }
+                )
+                g = df.groupby("l_returnflag", as_index=False).agg(
+                    high_line_count=("is_high", "sum"), n_lines=("is_high", "size")
+                )
+                return pa.Table.from_pandas(g, preserve_index=False)
+
+        partials = li.map_batches(Partial, batch_format="pyarrow", concurrency=(1, 4))
+    else:
+
+        def li_partial(t: pa.Table) -> pa.Table:
+            df = pd.DataFrame(
+                {
+                    "l_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
+                    "l_returnflag": t["l_returnflag"].to_pandas(),
+                }
+            )
+            g = df.groupby(["l_orderkey", "l_returnflag"], as_index=False).size()
+            return pa.Table.from_pandas(
+                g.rename(columns={"size": "n"}), preserve_index=False
+            )
+
+        def o_flag(t: pa.Table) -> pa.Table:
+            pri = t["o_orderpriority"]
+            is_high = pc.or_(
+                pc.equal(pri, "1-URGENT"), pc.equal(pri, "2-HIGH")
+            ).cast(pa.int64())
+            return pa.table(
+                {"o_orderkey": t["o_orderkey"].cast(pa.int64()), "is_high": is_high}
+            )
+
+        li_agg = li.map_batches(li_partial, batch_format="pyarrow")
+        flags = orders.map_batches(o_flag, batch_format="pyarrow")
+        joined = bucket_hash_join(li_agg, flags, on="l_orderkey", right_on="o_orderkey")
+
+        def part(t: pa.Table) -> pa.Table:
+            n = t["n"].to_numpy(zero_copy_only=False)
             df = pd.DataFrame(
                 {
                     "l_returnflag": t["l_returnflag"].to_pandas(),
-                    "is_high": is_high.astype(np.int64),
+                    "high": n * t["is_high"].to_numpy(zero_copy_only=False),
+                    "n": n,
                 }
             )
             g = df.groupby("l_returnflag", as_index=False).agg(
-                high_line_count=("is_high", "sum"), n_lines=("is_high", "size")
+                high_line_count=("high", "sum"), n_lines=("n", "sum")
             )
             return pa.Table.from_pandas(g, preserve_index=False)
 
-    partials = li.map_batches(Partial, batch_format="pyarrow", concurrency=(1, 4))
+        partials = joined.map_batches(part, batch_format="pyarrow")
     agged = partials.groupby("l_returnflag").aggregate(
         Sum("high_line_count", alias_name="high_line_count"),
         Sum("n_lines", alias_name="n_lines"),
@@ -463,31 +612,39 @@ def top_orders_per_segment(sf_dir: str, k: int = 3):
     DESC) <= k: broadcast the customer->segment map onto streaming
     orders, per-batch partial top-k per segment (so the shuffle sees
     <= k x segments rows per batch), then a per-segment final top-k
-    with rank."""
-    cust = _read_small(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    seg_ref = ray.put(
-        BroadcastMap(cust["c_custkey"].to_numpy(), cust["c_mktsegment"].to_numpy())
-    )
-
+    with rank. Customer side via dim_side (broadcast map under the
+    budget, bucketed hash join above it)."""
+    mode, cust = dim_side(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
 
-    class Partial:
-        def __init__(self):
-            self.seg = ray.get(seg_ref)
+    def seg_topk(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+        df = df.groupby("c_mktsegment", as_index=False, sort=False).head(k)
+        return pa.Table.from_pandas(
+            df[["c_mktsegment", "o_orderkey", "o_totalprice"]], preserve_index=False
+        )
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            df = t.to_pandas()
-            segs, _ = self.seg.lookup(df["o_custkey"].to_numpy())
-            df["c_mktsegment"] = segs
-            df = df.sort_values(
-                ["o_totalprice", "o_orderkey"], ascending=[False, True]
-            )
-            df = df.groupby("c_mktsegment", as_index=False, sort=False).head(k)
-            return pa.Table.from_pandas(
-                df[["c_mktsegment", "o_orderkey", "o_totalprice"]], preserve_index=False
-            )
+    if mode == "broadcast":
+        seg_ref = ray.put(
+            BroadcastMap(cust["c_custkey"].to_numpy(), cust["c_mktsegment"].to_numpy())
+        )
 
-    partials = orders.map_batches(Partial, batch_format="pyarrow", concurrency=(1, 4))
+        class Partial:
+            def __init__(self):
+                self.seg = ray.get(seg_ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                df = t.to_pandas()
+                segs, _ = self.seg.lookup(df["o_custkey"].to_numpy())
+                df["c_mktsegment"] = segs
+                return seg_topk(df)
+
+        partials = orders.map_batches(Partial, batch_format="pyarrow", concurrency=(1, 4))
+    else:
+        joined = bucket_hash_join(orders, cust, on="o_custkey", right_on="c_custkey")
+        partials = joined.map_batches(
+            lambda t: seg_topk(t.to_pandas()), batch_format="pyarrow"
+        )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(k)
@@ -499,35 +656,46 @@ def top_orders_per_segment(sf_dir: str, k: int = 3):
 
 
 def daily_active_users(sf_dir: str):
-    """Events -> per-day distinct users + event count (two-phase
-    distinct: per-batch (day, user) dedup, then per-day set union)."""
+    """Events -> per-day distinct users + event count. Exact distinct
+    with NO list/set columns in any shuffle (VERDICT r02 #5): phase 1
+    pre-aggregates per batch then groupby(day, user_id) sums event
+    counts; phase 2 groupby(day) counts the (now-distinct) user rows.
+    Both shuffles move one fixed-width row per key — a hot day's user
+    set never lands in one worker as a Python object."""
     ds = _read(sf_dir, "events", columns=["ts", "user_id"])
 
     def partial(t: pa.Table) -> pa.Table:
         micros = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        day = micros // 86_400_000_000
-        df = pd.DataFrame({"day": day, "user_id": t["user_id"].to_numpy(zero_copy_only=False)})
-        n = df.groupby("day", as_index=False).agg(n_events=("user_id", "size"))
-        pairs = df.drop_duplicates()
-        users = pairs.groupby("day", as_index=False).agg(
-            users=("user_id", lambda s: sorted(set(int(x) for x in s)))
-        )
-        return pa.Table.from_pandas(n.merge(users), preserve_index=False)
-
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        users = set()
-        for us in df["users"]:
-            users.update(us)
-        return pd.DataFrame(
+        df = pd.DataFrame(
             {
-                "day": [int(df["day"].iloc[0])],
-                "dau": [len(users)],
-                "n_events": [int(df["n_events"].sum())],
+                "day": micros // 86_400_000_000,
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False),
             }
         )
+        g = df.groupby(["day", "user_id"], as_index=False).size()
+        return pa.Table.from_pandas(g.rename(columns={"size": "n"}), preserve_index=False)
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby("day").map_groups(finish, batch_format="pandas")
+    per_user = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["day", "user_id"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def per_day(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "day": t["day"].to_numpy(zero_copy_only=False),
+                "n": t["n"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("day", as_index=False).agg(dau=("n", "size"), n_events=("n", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        per_user.map_batches(per_day, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("dau", alias_name="dau"), Sum("n_events", alias_name="n_events"))
+    )
 
 
 # ------------------------------------------------ scalar-function ops
@@ -931,29 +1099,46 @@ def order_price_quantiles(sf_dir: str, qs=(0.5, 0.9)):
     its quantiles from one sorted array. Partitioning contract: one
     group's values fit one worker (segments are low-cardinality); for
     high-cardinality keys or over-worker groups, use a quantile sketch
-    instead of the exact path."""
-    cust = _read_small(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    seg_ref = ray.put(
-        BroadcastMap(cust["c_custkey"].to_numpy(), cust["c_mktsegment"].to_numpy())
-    )
-
+    instead of the exact path. Customer side via dim_side (broadcast
+    map under the budget, bucketed hash join above it)."""
+    mode, cust = dim_side(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
-    class ToCents:
-        def __init__(self):
-            self.seg = ray.get(seg_ref)
+    if mode == "broadcast":
+        seg_ref = ray.put(
+            BroadcastMap(cust["c_custkey"].to_numpy(), cust["c_mktsegment"].to_numpy())
+        )
 
-        def __call__(self, t: pa.Table) -> pa.Table:
+        class ToCents:
+            def __init__(self):
+                self.seg = ray.get(seg_ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                cents = np.rint(
+                    t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+                ).astype(np.int64)
+                segs, _ = self.seg.lookup(t["o_custkey"].to_numpy(zero_copy_only=False))
+                return pa.table(
+                    {
+                        "c_mktsegment": pa.array(segs.tolist(), pa.string()),
+                        "cents": pa.array(cents, pa.int64()),
+                    }
+                )
+    else:
+        joined = bucket_hash_join(orders, cust, on="o_custkey", right_on="c_custkey")
+
+        def ToCents(t: pa.Table) -> pa.Table:  # noqa: N802 — same stage, bucketed input
             cents = np.rint(
                 t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
             ).astype(np.int64)
-            segs, _ = self.seg.lookup(t["o_custkey"].to_numpy(zero_copy_only=False))
             return pa.table(
                 {
-                    "c_mktsegment": pa.array(segs.tolist(), pa.string()),
+                    "c_mktsegment": t["c_mktsegment"].cast(pa.string()),
                     "cents": pa.array(cents, pa.int64()),
                 }
             )
+
+        orders = joined
 
     def quantiles(g: pa.Table) -> pa.Table:
         vals = np.sort(g["cents"].to_numpy(zero_copy_only=False))
@@ -975,7 +1160,10 @@ def order_price_quantiles(sf_dir: str, qs=(0.5, 0.9)):
             }
         )
 
-    partials = orders.map_batches(ToCents, batch_format="pyarrow", concurrency=(1, 4))
+    if mode == "broadcast":
+        partials = orders.map_batches(ToCents, batch_format="pyarrow", concurrency=(1, 4))
+    else:
+        partials = orders.map_batches(ToCents, batch_format="pyarrow")
     return (
         partials.groupby("c_mktsegment")
         .map_groups(quantiles, batch_format="pyarrow")
