@@ -78,10 +78,16 @@ def extract_split_sidecar_batch(batch: pa.Table, sidecar_dir: str) -> pa.Table:
     out = extract_split_batch(batch)
     pay = out.filter(pc.is_valid(out["payload_html"])).select(["url", "payload_html"])
     if pay.num_rows:
-        first = pay["url"][0].as_py()
-        name = hashlib.blake2b(
-            f"{first}:{pay.num_rows}".encode(), digest_size=12
-        ).hexdigest()
+        # filename from the FULL content (every url and payload byte,
+        # zero-copy from the arrow buffers): distinct batches can never
+        # collide and silently overwrite each other (ADVICE r02), while
+        # lineage-deterministic retries still converge on one file
+        h = hashlib.blake2b(digest_size=12)
+        for col in ("url", "payload_html"):
+            for buf in pay[col].combine_chunks().buffers():
+                if buf is not None:
+                    h.update(buf)
+        name = h.hexdigest()
         path = os.path.join(sidecar_dir, f"payload-{name}.parquet")
         tmp = f"{path}.tmp-{os.getpid()}"
         pq.write_table(pay, tmp)

@@ -56,8 +56,12 @@ class PIPJoiner:
                     hit = grp[mask]
                     take_idx.extend(hit.tolist())
                     meta = self.index.polygons[ci]
-                    pids.extend([int(meta["polygon_id"])] * len(hit))
-                    players.extend([int(meta["layer"])] * len(hit))
+                    # a decoded polygon whose props lack id/layer emits
+                    # null, matching the pre-int64 float path (ADVICE
+                    # r02: int(None) killed the join task)
+                    pid, lay = meta["polygon_id"], meta["layer"]
+                    pids.extend([int(pid) if pid is not None else None] * len(hit))
+                    players.extend([int(lay) if lay is not None else None] * len(hit))
                     pnames.extend([meta["name"]] * len(hit))
 
         idx = pa.array(take_idx, pa.int64())
@@ -237,7 +241,8 @@ class KNNJoiner:
             for rank, j in enumerate(top):
                 out_url.append(urls[i])
                 out_rank.append(rank)
-                out_pid.append(int(self.index.polygons[int(cand[j])]["polygon_id"]))
+                pid = self.index.polygons[int(cand[j])]["polygon_id"]
+                out_pid.append(int(pid) if pid is not None else None)
                 out_dist.append(float(d[j]))
         return pa.table(
             {

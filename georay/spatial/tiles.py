@@ -58,9 +58,11 @@ def polygon_tile_table(index, zoom: int = TILE_ZOOM) -> pa.Table:
     tiles, pids = [], []
     for i, poly in enumerate(index.polygons):
         bb = index.bboxes[i]
+        pid = poly["polygon_id"]
+        pid = int(pid) if pid is not None else None  # null id -> null, not a crash
         for cell in cells_covering_bbox(bb[0], bb[1], bb[2], bb[3], zoom):
             tiles.append(int(cell))
-            pids.append(int(poly["polygon_id"]))
+            pids.append(pid)
     return pa.table(
         {"tile": pa.array(tiles, pa.int64()), "polygon_id": pa.array(pids, pa.int64())}
     )
@@ -110,9 +112,12 @@ class TileCountAccumulator:
     write pass, removing the separate read-back + groupby of the joined
     checkpoint (a fixed ~2s barrier per run that does not shrink with
     cluster size). Idempotent under Ray task retries/speculation: each
-    batch ships a content key (first/last url, row count, tile
-    checksum); replays of the same key are dropped. State is one count
-    per distinct tile — bounded by the tile universe, not the data."""
+    batch ships a FULL content hash (every tile value and every url
+    byte — ADVICE r02: a first/last-url heuristic silently drops
+    distinct batches that collide on real corpora with duplicate
+    urls); Ray Data replays are lineage-deterministic, so a replayed
+    batch re-hashes identically and is dropped. State is one count per
+    distinct tile — bounded by the tile universe, not the data."""
 
     def __init__(self):
         self._seen = set()
@@ -145,11 +150,14 @@ def assign_tiles_and_count_batch(batch: pa.Table, acc, zoom: int = TILE_ZOOM) ->
     tiles = out["tile"].to_numpy(zero_copy_only=False)
     if len(tiles):
         uniq, counts = np.unique(tiles, return_counts=True)
-        first = out["url"][0].as_py()
-        last = out["url"][-1].as_py()
-        key = hashlib.blake2b(
-            f"{first}|{last}|{len(tiles)}|{int(tiles.sum())}".encode(), digest_size=16
-        ).digest()
+        # full content hash: all tile values + all url bytes (zero-copy
+        # from the arrow buffers), so distinct batches can never collide
+        h = hashlib.blake2b(digest_size=16)
+        h.update(tiles.tobytes())
+        for buf in out["url"].combine_chunks().buffers():
+            if buf is not None:
+                h.update(buf)
+        key = h.digest()
         # SYNCHRONOUS: the task must not complete before the actor has
         # processed its partial — otherwise the driver could read
         # totals() after the write barrier with updates still in flight
