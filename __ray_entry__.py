@@ -548,10 +548,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # ---------------------------------------------------------- oracle sql
 
 # The geo oracles recompute the deterministic pages corpus closed-form
-# (georay/pages.py page_coords, georay/fixtures.py grid model) — they
-# pin the sf0.01 corpus path, which is where the driver's correctness
-# gate runs. pages_dir_for() synthesizes/caches it on first use.
-_PAGES_GLOB = "/tmp/georay_pages/n10000_seed42/*.parquet"
+# (georay/pages.py page_coords, georay/fixtures.py grid model). The
+# corpus path is NOT baked in (ADVICE r02: a hard-pinned sf0.01 glob
+# would falsely fail if the gate ever ran at another sf): the SQL
+# carries a token that oracle_sql() substitutes with the corpus for
+# GEORAY_ORACLE_SF_DIR (default sf0.01, where the driver's gate runs),
+# and the present-polygon count is computed FROM the corpus, so the
+# geo oracles are valid at any sf. pages_dir_for() synthesizes/caches
+# the corpus on first use.
+_PAGES_GLOB = "__PAGES_GLOB__"
+
+
+def _oracle_sf_dir() -> str:
+    import os
+
+    return os.environ.get("GEORAY_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 _SHP_WKT_SQL = (
     'GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",'
@@ -579,8 +590,21 @@ def _pack_cell_sql(zoom: int, x_sql: str, y_sql: str) -> str:
 # z13 cell + z15 tile — mirrors georay.fixtures closed forms exactly,
 # including the float op ORDER (w recomputed as x1-x0 for hole bounds,
 # as hole_bounds does)
+# LEAST(4K, 256) with K = payload-page count: the polygon ids present
+# in a corpus of n pages are exactly [0, min(4*ceil(n/100), 256))
+# (georay/fixtures.payload_polygon_ids) — computed FROM the corpus so
+# every geo oracle is valid at any sf, not just the driver's sf0.01.
+_NPOLY_CTE = f"""
+    npoly AS (
+      SELECT LEAST(4 * COUNT(*), 256) AS np
+      FROM read_parquet('{_PAGES_GLOB}')
+      WHERE CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT) % 100 = 0
+    )
+"""
+
 _GEO_JOIN_CTE = f"""
-    WITH p AS (
+    WITH {_NPOLY_CTE},
+    p AS (
       SELECT url,
              CAST(('0x' || substr(sha256('coord:' || url), 1, 16)) AS UBIGINT) AS h
       FROM read_parquet('{_PAGES_GLOB}')
@@ -613,26 +637,36 @@ _GEO_JOIN_CTE = f"""
              {_pack_cell_sql(13, "CAST(floor((lon + 180.0) / 360.0 * 8192) AS BIGINT)", _MERC_Y_SQL("lat", 8192))} AS cell,
              {_pack_cell_sql(15, "CAST(floor((lon + 180.0) / 360.0 * 32768) AS BIGINT)", _MERC_Y_SQL("lat", 32768))} AS tile
       FROM cb
-      WHERE NOT (polygon_id % 7 = 3
+      WHERE polygon_id < (SELECT np FROM npoly)
+        AND NOT (polygon_id % 7 = 3
                  AND lon > x0 + 0.25 * (x1 - x0) AND lon < x1 - 0.25 * (x1 - x0)
                  AND lat > y0 + 0.25 * (y1 - y0) AND lat < y1 - 0.25 * (y1 - y0))
     )
 """
 
 
-def _ensure_oracle_corpus() -> None:
+def _ensure_oracle_corpus() -> str:
     """The geo oracle SQL reads the synthesized pages parquet; make sure
-    it exists even if the driver evaluates oracles before queries."""
-    try:
-        from georay.pages import pages_dir_for
+    it exists even if the driver evaluates oracles before queries.
+    Returns the glob the geo oracles should read."""
+    from georay.pages import pages_dir_for
 
-        pages_dir_for("/root/testdata/sf0.01")
-    except Exception:
-        pass
+    return pages_dir_for(_oracle_sf_dir()) + "/*.parquet"
 
 
 def oracle_sql() -> dict[str, str]:
-    _ensure_oracle_corpus()
+    try:
+        glob = _ensure_oracle_corpus()
+    except Exception:
+        glob = None
+    sql = _oracle_sql_raw()
+    if glob is None:  # corpus unavailable: exclude geo oracles rather
+        # than hand the driver SQL that reads a missing path
+        return {k: v for k, v in sql.items() if _PAGES_GLOB not in v}
+    return {k: v.replace(_PAGES_GLOB, glob) for k, v in sql.items()}
+
+
+def _oracle_sql_raw() -> dict[str, str]:
     return {
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -946,7 +980,9 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY tile
         """,
         "geo_polygon_tiles": f"""
-            WITH pid AS (SELECT CAST(v AS BIGINT) AS polygon_id FROM range(256) t(v)),
+            WITH {_NPOLY_CTE},
+            pid AS (SELECT CAST(v AS BIGINT) AS polygon_id FROM range(256) t(v)
+                    WHERE v < (SELECT np FROM npoly)),
             b AS (
               SELECT polygon_id,
                      -122.5 + (polygon_id % 16) * ((CAST(-122.2 AS DOUBLE) - CAST(-122.5 AS DOUBLE)) / 16) AS x0,
@@ -1021,7 +1057,8 @@ def oracle_sql() -> dict[str, str]:
             FROM b
         """,
         "geo_knn": f"""
-            WITH p AS (
+            WITH {_NPOLY_CTE},
+            p AS (
               SELECT url,
                      CAST(('0x' || substr(sha256('coord:' || url), 1, 16)) AS UBIGINT) AS h
               FROM read_parquet('{_PAGES_GLOB}')
@@ -1042,7 +1079,7 @@ def oracle_sql() -> dict[str, str]:
                      ((47.4 + (v // 16) * ((CAST(47.8 AS DOUBLE) - CAST(47.4 AS DOUBLE)) / 16))
                       + ((47.4 + (v // 16) * ((CAST(47.8 AS DOUBLE) - CAST(47.4 AS DOUBLE)) / 16))
                          + ((CAST(47.8 AS DOUBLE) - CAST(47.4 AS DOUBLE)) / 16))) / 2 AS cy
-              FROM range(256) t(v)
+              FROM range(256) t(v), npoly WHERE v < npoly.np
             ),
             d AS (
               SELECT pt.url, cent.polygon_id,

@@ -297,12 +297,18 @@ def decode_kml_stream(fileobj) -> DecodeResult:
     schema: list = []
     try:
         context = ET.iterparse(fileobj, events=("start", "end"))
-        root = None
+        # ancestor stack from the start events: processed subtrees are
+        # detached from their IMMEDIATE parent (the standard iterparse
+        # prune). The old root.clear() only worked once — the first
+        # clear detached Document from root, after which cleared
+        # placemark husks accumulated on the detached Document and
+        # memory grew O(#placemarks) (ADVICE r02).
+        stack: list = []
         for event, elem in context:
             if event == "start":
-                if root is None:
-                    root = elem
+                stack.append(elem)
                 continue
+            stack.pop()  # == elem
             name = _local(elem.tag)
             if name == "schema":
                 for sf in elem.iter():
@@ -310,13 +316,13 @@ def decode_kml_stream(fileobj) -> DecodeResult:
                         a = _attrs(sf)
                         schema.append({"name": a.get("name"), "type": a.get("type")})
                 elem.clear()
+                if stack:
+                    stack[-1].remove(elem)
             elif name == "placemark":
                 rows.extend(_placemark_rows(elem, schema))
                 elem.clear()
-                if root is not None:
-                    # prune finished husks hanging off the root so the
-                    # skeleton doesn't grow with the document
-                    root.clear()
+                if stack:
+                    stack[-1].remove(elem)
     except ET.ParseError as e:
         raise XMLParseError(str(e)) from None
     return DecodeResult(rows, None, [])

@@ -162,9 +162,20 @@ def _pair_block(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """All (a<b) pairs of a candidate bucket; beyond MAX_LSH_BUCKET emit
     the star pattern (min id linked to every member): output stays
     linear and transitive closure still groups the near-identical
-    cluster for dedup."""
+    cluster for dedup. RECALL TRADEOFF (ADVICE r02): the star drops
+    direct pairs between non-anchor members, so pairwise output under-
+    reports inside hot buckets — logged loudly so an at-scale oracle
+    mismatch is diagnosable; see the minhash_near_dups docstring."""
     m = len(ids)
     if m > MAX_LSH_BUCKET:
+        import logging
+
+        logging.getLogger("georay.textops").warning(
+            "LSH bucket of %d docs exceeds MAX_LSH_BUCKET=%d: emitting "
+            "star pattern — non-anchor pair recall is reduced in this "
+            "bucket (cluster membership via transitive closure is "
+            "unaffected)", m, MAX_LSH_BUCKET,
+        )
         return np.full(m - 1, ids[0], dtype=np.int64), ids[1:]
     iu, ju = np.triu_indices(m, k=1)
     return ids[iu], ids[ju]
@@ -227,7 +238,15 @@ def minhash_near_dups(
     emit nothing), then groupby(a, b) brings a pair's two shingle sets
     together for an exact float64 Jaccard. An empty-shingle doc has no
     shingle row, so it can never verify into a pair — same semantics as
-    the exact n-gram path."""
+    the exact n-gram path.
+
+    Hot-bucket recall contract: a band bucket larger than
+    MAX_LSH_BUCKET emits a star pattern instead of all pairs (logged
+    per occurrence), which preserves transitive cluster membership but
+    drops direct non-anchor pairs — at that point pairwise output is a
+    subset of the exact n-gram oracle set. No synthetic or reference
+    corpus here triggers it; raise MAX_LSH_BUCKET for full pairwise
+    recall at the cost of O(bucket^2) pairs."""
     n_parts = _n_partitions()
     perdoc = docs.map_batches(
         _MinHasher,

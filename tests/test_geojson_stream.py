@@ -209,3 +209,27 @@ def test_kml_unbound_prefix_falls_back(monkeypatch):
     monkeypatch.setattr(km, "KML_STREAM_GATE", 10)
     got = km.decode_kml_auto(blob)
     assert got.rows == want.rows and len(got.rows) == 1
+
+
+def test_kml_stream_husks_pruned(monkeypatch):
+    """The iterparse prune must detach processed placemarks from their
+    IMMEDIATE parent: with row output suppressed, peak memory must be
+    ~flat in document length (the old root.clear() husk leak grew it
+    O(#placemarks) — ADVICE r02)."""
+    import io
+    import tracemalloc
+
+    import georay.decode.kml as km
+
+    monkeypatch.setattr(km, "_placemark_rows", lambda elem, schema: [])
+
+    def peak(n):
+        blob = _big_kml(n)
+        tracemalloc.start()
+        km.decode_kml_stream(io.BytesIO(blob))
+        _, p = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+        return p
+
+    p_small, p_big = peak(1000), peak(8000)
+    assert p_big < 2 * p_small, (p_small, p_big)

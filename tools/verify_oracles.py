@@ -14,6 +14,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+# geo oracle SQL reads the synthesized pages corpus for THIS sf
+os.environ["GEORAY_ORACLE_SF_DIR"] = SF_DIR
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -72,13 +74,8 @@ def main():
             print(f"FAIL {name}: query raised {type(e).__name__}: {str(e)[:200]}")
             continue
         wall = time.perf_counter() - t0
-        # the geo oracles recompute the pages corpus closed-form and pin
-        # the sf0.01 path (where the driver's gate runs) — at any other
-        # sf they'd compare against the wrong corpus
-        sf_pinned = name.startswith("geo_") and "sf0.01" not in SF_DIR
-        if name not in omap or sf_pinned:
-            tag = ", oracle pinned to sf0.01" if (sf_pinned and name in omap) else ""
-            print(f"ok   {name}: rows={len(got)} (rows-only{tag}, {wall:.1f}s)")
+        if name not in omap:
+            print(f"ok   {name}: rows={len(got)} (rows-only, {wall:.1f}s)")
             continue
         try:
             want = canon(con.execute(omap[name]).df())
