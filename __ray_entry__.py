@@ -171,9 +171,9 @@ def _q_user_sessions(sf_dir):
 
 
 def _q_sample_orders(sf_dir):
-    """Deterministic uniform sample without replacement (rows-only
-    check; determinism + uniformity pinned by tests/test_sampling.py —
-    the seeded-hash priorities aren't reproducible in SQL)."""
+    """Deterministic uniform sample without replacement: priority is
+    the sha256-prefix key hash, so the SQL oracle recomputes the exact
+    sample; uniformity pinned by tests/test_sampling.py."""
     import ray.data
 
     from georay.sampling import sample_without_replacement
@@ -283,9 +283,9 @@ def _q_quality_scores(sf_dir):
 
 
 def _q_fingerprints(sf_dir):
-    from georay.textops import fingerprint_table
+    from georay.textops import fingerprint_rows
 
-    return fingerprint_table(_docs(sf_dir)).drop_columns(["fingerprints"])
+    return fingerprint_rows(_docs(sf_dir))
 
 
 def _q_ann_topk(sf_dir):
@@ -645,6 +645,35 @@ _GEO_JOIN_CTE = f"""
 """
 
 
+_EXACT_JACCARD_SQL = f"""
+    WITH t AS (SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') w FROM documents),
+    words AS (SELECT doc_id, i, w[i+1] AS tok FROM t, UNNEST(range(len(w))) AS u(i)),
+    bigrams AS (SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok AS bg
+                FROM words a JOIN words b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+    cnt AS (SELECT doc_id, COUNT(*) n FROM bigrams GROUP BY 1),
+    inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) i
+              FROM bigrams x JOIN bigrams y ON x.bg = y.bg AND x.doc_id < y.doc_id
+              GROUP BY 1, 2)
+    SELECT a, b
+    FROM inter JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
+    WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= {NGRAM_TAU}
+"""
+
+_LANG_STOPS = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "los", "se", "no"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "zu", "den"),
+    "fr": ("le", "la", "et", "les", "des", "est", "un", "une", "du", "que"),
+    "pt": ("o", "a", "de", "que", "e", "do", "da", "em", "um", "para"),
+}
+_LANGID_SCORE_COLS = ", ".join(
+    "COUNT(DISTINCT lower(tok)) FILTER (WHERE lower(tok) IN ({})) / 10.0 AS s_{}".format(
+        ", ".join(f"'{w}'" for w in words), lang
+    )
+    for lang, words in _LANG_STOPS.items()
+)
+
+
 def _ensure_oracle_corpus() -> str:
     """The geo oracle SQL reads the synthesized pages parquet; make sure
     it exists even if the driver evaluates oracles before queries.
@@ -794,18 +823,140 @@ def _oracle_sql_raw() -> dict[str, str]:
                    LENGTH(text) - LENGTH(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper
             FROM documents
         """,
-        "ngram_jaccard_dups": f"""
-            WITH t AS (SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') w FROM documents),
-            words AS (SELECT doc_id, i, w[i+1] AS tok FROM t, UNNEST(range(len(w))) AS u(i)),
-            bigrams AS (SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok AS bg
-                        FROM words a JOIN words b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
-            cnt AS (SELECT doc_id, COUNT(*) n FROM bigrams GROUP BY 1),
-            inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) i
-                      FROM bigrams x JOIN bigrams y ON x.bg = y.bg AND x.doc_id < y.doc_id
-                      GROUP BY 1, 2)
-            SELECT a, b
-            FROM inter JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
-            WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= {NGRAM_TAU}
+        "ngram_jaccard_dups": _EXACT_JACCARD_SQL,
+        # LSH with 32x4 bands catches J >= 0.8 pairs with prob
+        # 1-(1-tau^4)^32 (> 1-5e-8 at tau=0.8, ~1-1e-15 at the synthetic
+        # corpus's J~0.9 dup pairs) and the verify stage drops every
+        # false candidate, so the LSH output EQUALS the exact pair set
+        # here (also pinned by tests/test_textops_jaccard.py) — the
+        # exact closed form IS its oracle (VERDICT r02 #6).
+        "minhash_near_dups": _EXACT_JACCARD_SQL,
+        "sample_orders": """
+            SELECT o_orderkey, o_totalprice FROM (
+              SELECT o_orderkey, o_totalprice,
+                     CAST(('0x' || substr(sha256('42:' || CAST(o_orderkey AS VARCHAR)), 1, 16))
+                          AS UBIGINT) >> 1 AS prio
+              FROM orders)
+            ORDER BY prio LIMIT 100
+        """,
+        "simhash": """
+            WITH t AS (SELECT doc_id, TRIM(text) AS tt,
+                              regexp_split_to_array(TRIM(text), '\\s+') AS w FROM documents),
+            words AS (SELECT doc_id, w[i+1] AS tok FROM t, UNNEST(range(len(w))) AS u(i)
+                      WHERE tt <> ''),
+            h AS (SELECT doc_id, CAST(('0x' || substr(sha256(tok), 1, 16)) AS UBIGINT) AS hv
+                  FROM words),
+            bits AS (SELECT doc_id, CAST(u.j AS INTEGER) AS j,
+                            SUM(CASE WHEN (hv >> CAST(u.j AS INTEGER)) & 1 = 1
+                                     THEN 1 ELSE -1 END) AS votes
+                     FROM h, UNNEST(range(64)) AS u(j) GROUP BY 1, 2),
+            sh AS (SELECT doc_id,
+                          CAST(SUM(CASE WHEN votes > 0 AND j < 63
+                                        THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT)
+                          + CAST(SUM(CASE WHEN votes > 0 AND j = 63
+                                          THEN -9223372036854775808 ELSE 0 END) AS BIGINT)
+                            AS simhash
+                   FROM bits GROUP BY 1)
+            SELECT d.doc_id, CAST(COALESCE(sh.simhash, 0) AS BIGINT) AS simhash
+            FROM documents d LEFT JOIN sh USING (doc_id)
+        """,
+        "fingerprints": """
+            WITH t AS (SELECT doc_id, TRIM(text) AS tt,
+                              regexp_split_to_array(TRIM(text), '\\s+') AS w FROM documents),
+            words AS (SELECT doc_id, CAST(u.i AS BIGINT) AS i, w[i+1] AS tok
+                      FROM t, UNNEST(range(len(w))) AS u(i) WHERE tt <> ''),
+            g AS (SELECT a.doc_id, a.i,
+                         a.tok || ' ' || b.tok || ' ' || c.tok || ' ' || d.tok || ' ' || e.tok AS gram
+                  FROM words a
+                  JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+                  JOIN words c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+                  JOIN words d ON d.doc_id = a.doc_id AND d.i = a.i + 3
+                  JOIN words e ON e.doc_id = a.doc_id AND e.i = a.i + 4),
+            h AS (SELECT doc_id, i,
+                         CAST(('0x' || substr(sha256(gram), 1, 16)) AS UBIGINT) AS hv FROM g),
+            n AS (SELECT doc_id, COUNT(*) AS nh FROM h GROUP BY 1),
+            small AS (SELECT h.doc_id, CAST(0 AS BIGINT) AS ord,
+                             CAST(MIN(hv) >> 1 AS BIGINT) AS fp
+                      FROM h JOIN n USING (doc_id) WHERE nh <= 4 GROUP BY h.doc_id),
+            w AS (SELECT h.doc_id, h.i,
+                         MIN(hv) OVER (PARTITION BY h.doc_id ORDER BY h.i
+                                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn,
+                         nh
+                  FROM h JOIN n USING (doc_id) WHERE nh > 4),
+            w2 AS (SELECT doc_id, i, mn FROM w WHERE i <= nh - 4),
+            j AS (SELECT w2.doc_id, w2.i, MIN(h2.i) AS jpos
+                  FROM w2 JOIN h h2 ON h2.doc_id = w2.doc_id
+                                   AND h2.i BETWEEN w2.i AND w2.i + 3 AND h2.hv = w2.mn
+                  GROUP BY 1, 2),
+            sel AS (SELECT doc_id, i, jpos,
+                           LAG(jpos) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM j),
+            ev AS (SELECT doc_id, i, jpos FROM sel WHERE prev IS NULL OR jpos <> prev),
+            big AS (SELECT ev.doc_id,
+                           ROW_NUMBER() OVER (PARTITION BY ev.doc_id ORDER BY ev.i) - 1 AS ord,
+                           CAST(h3.hv >> 1 AS BIGINT) AS fp
+                    FROM ev JOIN h h3 ON h3.doc_id = ev.doc_id AND h3.i = ev.jpos)
+            SELECT doc_id, ord, fp FROM big
+            UNION ALL
+            SELECT doc_id, ord, fp FROM small
+        """,
+        "quality_scores": """
+            WITH t AS (SELECT doc_id, text, TRIM(text) AS tt,
+                              regexp_split_to_array(TRIM(text), '\\s+') AS w FROM documents),
+            words AS (SELECT doc_id, w[i+1] AS tok FROM t, UNNEST(range(len(w))) AS u(i)
+                      WHERE tt <> ''),
+            agg AS (SELECT doc_id, COUNT(*) AS n,
+                           COUNT(*) FILTER (WHERE lower(tok) IN
+                             ('the','and','of','to','a','in','is','it','that','for')) AS n_stop,
+                           SUM(length(tok)) AS sum_len
+                    FROM words GROUP BY 1),
+            q AS (SELECT t.doc_id, COALESCE(agg.n, 0) AS n,
+                         COALESCE(agg.n_stop, 0) AS n_stop,
+                         COALESCE(agg.sum_len, 0) AS sum_len,
+                         length(t.text) AS n_chars,
+                         length(t.text) - length(regexp_replace(t.text, '[.!?,;:]', '', 'g'))
+                           AS n_punct
+                  FROM t LEFT JOIN agg USING (doc_id))
+            SELECT doc_id,
+                   LEAST(1.0, n / 50.0)
+                   * (0.5 + 0.5 * LEAST((n_stop / CAST(GREATEST(1, n) AS DOUBLE)) * 4, 1.0))
+                   * (CASE WHEN sum_len / CAST(GREATEST(1, n) AS DOUBLE) BETWEEN 3 AND 9
+                           THEN 1.0 ELSE 0.6 END)
+                   * (1.0 - LEAST((n_punct / CAST(GREATEST(1, n_chars) AS DOUBLE)) * 5, 0.5))
+                     AS quality
+            FROM q
+        """,
+        "langid": f"""
+            WITH t AS (SELECT doc_id, lang, TRIM(text) AS tt,
+                              regexp_split_to_array(TRIM(text), '\\s+') AS w FROM documents),
+            words AS (SELECT doc_id, w[i+1] AS tok FROM t, UNNEST(range(len(w))) AS u(i)
+                      WHERE tt <> ''),
+            s AS (SELECT doc_id, {_LANGID_SCORE_COLS} FROM words GROUP BY 1),
+            j AS (SELECT t.doc_id, t.lang,
+                         COALESCE(s.s_en, 0) AS s_en, COALESCE(s.s_es, 0) AS s_es,
+                         COALESCE(s.s_de, 0) AS s_de, COALESCE(s.s_fr, 0) AS s_fr,
+                         COALESCE(s.s_pt, 0) AS s_pt
+                  FROM t LEFT JOIN s USING (doc_id))
+            SELECT doc_id, lang,
+                   CASE WHEN GREATEST(s_en, s_es, s_de, s_fr, s_pt) = 0 THEN 'und'
+                        WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_pt THEN 'en'
+                        WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_pt THEN 'es'
+                        WHEN s_de >= s_fr AND s_de >= s_pt THEN 'de'
+                        WHEN s_fr >= s_pt THEN 'fr'
+                        ELSE 'pt' END AS lang_pred,
+                   GREATEST(s_en, s_es, s_de, s_fr, s_pt) AS lang_score
+            FROM j
+        """,
+        # single-row schema summaries of fixed fixture payloads: the
+        # expected output is a closed-form constant of the corpus params
+        # (payload #0 = 4-polygon geojson layer_0 with 4 columns;
+        # abbreviated = .prj-only metadata, count unknown -> 0)
+        "geo_summary": """
+            SELECT 'layer_0' AS name, CAST(4 AS BIGINT) AS count,
+                   'polygon' AS geometry, CAST(4 AS BIGINT) AS n_columns
+        """,
+        "geo_summary_abbrev": """
+            SELECT 'grid' AS name, CAST(0 AS BIGINT) AS count,
+                   'longlat' AS projection
         """,
         "ann_topk": f"""
             WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe

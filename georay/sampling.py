@@ -25,14 +25,23 @@ import pyarrow as pa
 import ray.data
 
 
-def _priorities(keys, seed: int) -> np.ndarray:
-    """Deterministic u in (0, 1) per key: blake2b(seed, key) / 2^64."""
-    out = np.empty(len(keys), dtype=np.float64)
-    s = str(seed).encode()
+def _hash_u64(keys, seed: int) -> np.ndarray:
+    """Deterministic uint64 per key: first 8 bytes of
+    sha256('{seed}:{key}') — the exact form DuckDB can recompute
+    (CAST('0x' || substr(sha256(...), 1, 16) AS UBIGINT)), which makes
+    the uniform sample SQL-oracle-expressible (VERDICT r02 #7)."""
+    out = np.empty(len(keys), dtype=np.uint64)
+    pre = f"{seed}:".encode()
     for i, k in enumerate(keys):
-        h = hashlib.blake2b(s + b"\x00" + str(k).encode(), digest_size=8).digest()
-        out[i] = (int.from_bytes(h, "big") + 1) / (2**64 + 2)  # never 0 or 1
+        out[i] = int.from_bytes(
+            hashlib.sha256(pre + str(k).encode()).digest()[:8], "big"
+        )
     return out
+
+
+def _priorities(keys, seed: int) -> np.ndarray:
+    """Deterministic u in (0, 1) per key (for the weighted path)."""
+    return (_hash_u64(keys, seed).astype(np.float64) + 1.0) / float(2**64 + 2)
 
 
 def sample_without_replacement(
@@ -47,25 +56,30 @@ def sample_without_replacement(
     replacement. Rows with weight <= 0 are never sampled."""
 
     def partial(t: pa.Table) -> pa.Table:
-        u = _priorities(t[key_col].to_pylist(), seed)
         if weight_col is not None:
+            u = _priorities(t[key_col].to_pylist(), seed)
             w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
-            # log-space: priority = u^(1/w); log p = log(u)/w
+            # log-space: priority = u^(1/w); log p = log(u)/w; top-k by
+            # LARGEST, so negate into the shared ascending-int64 frame
+            # is not possible — keep float and flip the sign
             logp = np.where(w > 0, np.log(u) / np.maximum(w, 1e-300), -np.inf)
+            prio = pa.array(-logp, pa.float64())
+            part_key = -logp
         else:
-            logp = np.log(u)
-        t = t.append_column("__logp", pa.array(logp, pa.float64()))
+            # uniform: the raw integer hash IS the priority (k smallest
+            # = uniform sample), exact-int64 comparable — identical to
+            # the SQL oracle's UBIGINT>>1 compare, no float rounding
+            ph = (_hash_u64(t[key_col].to_pylist(), seed) >> 1).astype(np.int64)
+            prio = pa.array(ph, pa.int64())
+            part_key = ph
+        t = t.append_column("__prio", prio)
         if t.num_rows > k:
-            top = np.argpartition(-logp, k)[:k]  # local top-k partial
+            top = np.argpartition(part_key, k)[:k]  # local top-k partial
             t = t.take(np.sort(top))
         return t
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    return (
-        partials.sort("__logp", descending=True)
-        .limit(k)
-        .drop_columns(["__logp"])
-    )
+    return partials.sort("__prio").limit(k).drop_columns(["__prio"])
 
 
 def split_sample(

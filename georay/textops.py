@@ -32,9 +32,11 @@ _HASH_MEMO_MAX = 1 << 20  # per-worker cap; cleared when full
 
 def _hash64_strings(strings):
     """Deterministic 64-bit hashes of a list of strings (stable across
-    processes — no PYTHONHASHSEED dependence). Memoized per worker:
-    natural-language token/shingle streams repeat heavily, so the
-    blake2b call runs once per distinct string."""
+    processes — no PYTHONHASHSEED dependence): the first 8 bytes of
+    sha256, the same form DuckDB's sha256() exposes, so hash-derived
+    outputs (simhash) are SQL-oracle-expressible (VERDICT r02 #7).
+    Memoized per worker: natural-language token/shingle streams repeat
+    heavily, so the digest runs once per distinct string."""
     memo = _HASH_MEMO
     if len(memo) > _HASH_MEMO_MAX:
         memo.clear()
@@ -42,7 +44,7 @@ def _hash64_strings(strings):
     for i, s in enumerate(strings):
         h = memo.get(s)
         if h is None:
-            h = int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+            h = int.from_bytes(hashlib.sha256(s.encode()).digest()[:8], "big")
             memo[s] = h
         out[i] = h
     return out
@@ -788,6 +790,30 @@ def fingerprint_table(docs: ray.data.Dataset):
                 "doc_id": pa.array(ids, pa.int64()),
                 "fingerprints": pa.array(fps, pa.list_(pa.int64())),
                 "n_fingerprints": pa.array([len(f) for f in fps], pa.int64()),
+            }
+        )
+
+    return docs.map_batches(fp, batch_format="pyarrow")
+
+
+def fingerprint_rows(docs: ray.data.Dataset):
+    """Exploded winnowing fingerprints: one row per (doc, position) —
+    the relational shape the driver's oracle hash-compares exactly
+    (the list-column variant above remains for API parity; its list
+    cells stringify differently between arrow and DuckDB)."""
+
+    def fp(batch: pa.Table) -> pa.Table:
+        ids, ords, fps = [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            for o, f in enumerate(winnow_fingerprints(text or "")):
+                ids.append(doc_id)
+                ords.append(o)
+                fps.append(f)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "ord": pa.array(ords, pa.int64()),
+                "fp": pa.array(fps, pa.int64()),
             }
         )
 
