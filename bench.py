@@ -28,7 +28,14 @@ SKIP_QUERIES = os.environ.get("GRAFT_SKIP_QUERIES", "") == "1"
 # page count override (the --scaling runs use a larger corpus so
 # per-CPU work dominates the fixed per-stage latencies)
 BENCH_N = int(os.environ.get("GRAFT_BENCH_N", "0")) or None
-SCALING_N = int(os.environ.get("GRAFT_SCALING_N", "32000000"))
+# 96M pages (round 3; was 32M): the ~6-8 s of per-RUN fixed cost
+# (checkpoint commit barriers, last-wave stragglers, stage spin-up) is
+# per-run, not per-page — at 32M it was ~15% of the 16-cpu wall and
+# capped measured efficiency at ~0.79 even when the engine itself
+# scaled; at 96M the same seconds are ~5% and the measurement reflects
+# the engine (VERDICT r02 #1: "grow the canonical corpus so those
+# seconds amortize").
+SCALING_N = int(os.environ.get("GRAFT_SCALING_N", "96000000"))
 # N and 4N CPUs. 4,16 rather than 8,32: this single box saturates its
 # memory bus around ~20 concurrent Arrow/Python workers, so the 8->32
 # pair measures the machine's bandwidth wall, not the engine (see
