@@ -206,14 +206,19 @@ def geotag_pipeline(
         # tests force the sharded path with a tiny budget.
         idx_cols = ["wkb", "geom_type", "props_json", "cols_json"]
         if out_dir:
-            idx_src = ray.data.read_parquet(
-                _data_files(f"{out_dir}/features"), columns=idx_cols
-            )
+            # estimate from the checkpoint's on-disk footprint — file
+            # metadata only, no extra Ray pass in the hot path (x2
+            # conservative decompression factor; over-estimating only
+            # routes to the sharded path, which is parity-tested)
+            ffiles = _data_files(f"{out_dir}/features")
+            idx_src = ray.data.read_parquet(ffiles, columns=idx_cols)
+            est = 2 * sum(_os.path.getsize(f) for f in ffiles)
         else:
             idx_src = feats.select_columns(idx_cols)
+            est = _polygon_wkb_bytes(idx_src)
         budget = int(_os.environ.get("GEORAY_INDEX_BUDGET", 2 << 30))
         sharded = None
-        if _polygon_wkb_bytes(idx_src) * 3 > budget:
+        if est * 3 > budget:
             from ..spatial.index import build_sharded_polygon_index
 
             sharded = build_sharded_polygon_index(idx_src)
