@@ -78,6 +78,42 @@ def page_html(i: int, url: str, text: str, payload_cap: int | None = None) -> by
     ).encode()
 
 
+def extract_texts_column(col) -> list:
+    """extract_text for every row of an arrow binary column, scanning
+    the column's single contiguous data buffer in place: one bytes
+    allocation per BATCH instead of one per page (at 16+ concurrent
+    workers the per-page allocation churn contends on the allocator —
+    a measured scaling tax). Output is byte-identical to
+    [extract_text(h) for h in col.to_pylist()] (equivalence test in
+    tests/test_pipeline.py)."""
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    bufs = col.buffers()
+    width = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+    offs = np.frombuffer(bufs[1], dtype=width)[col.offset : col.offset + len(col) + 1]
+    hay = bufs[2].to_pybytes()
+    find = hay.find
+    out = []
+    for i in range(len(col)):
+        start, end = int(offs[i]), int(offs[i + 1])
+        parts = []
+        pos = start
+        while True:
+            a = find(b"<p>", pos, end)
+            if a < 0:
+                break
+            b = find(b"</p>", a + 3, end)
+            if b < 0:
+                break
+            parts.append(hay[a + 3 : b])
+            pos = b + 4
+        out.append(b"\n".join(parts).decode("utf-8"))
+    return out
+
+
 _P_TAG = re.compile(rb"<p>(.*?)</p>", re.S)
 _GEO_TAG = re.compile(
     rb'<script type="application/x-geo" data-filename="([^"]+)">([^<]*)</script>'

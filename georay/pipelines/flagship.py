@@ -205,16 +205,18 @@ def geotag_pipeline(
         # Budget: GEORAY_INDEX_BUDGET env (bytes), default 2 GiB —
         # tests force the sharded path with a tiny budget.
         idx_cols = ["wkb", "geom_type", "props_json", "cols_json"]
+        # feats is the checkpoint's re-read dataset (or the materialized
+        # stream); select_columns prunes without a second read plan
+        idx_src = feats.select_columns(idx_cols)
         if out_dir:
             # estimate from the checkpoint's on-disk footprint — file
             # metadata only, no extra Ray pass in the hot path (x2
             # conservative decompression factor; over-estimating only
             # routes to the sharded path, which is parity-tested)
-            ffiles = _data_files(f"{out_dir}/features")
-            idx_src = ray.data.read_parquet(ffiles, columns=idx_cols)
-            est = 2 * sum(_os.path.getsize(f) for f in ffiles)
+            est = 2 * sum(
+                _os.path.getsize(f) for f in _data_files(f"{out_dir}/features")
+            )
         else:
-            idx_src = feats.select_columns(idx_cols)
             est = _polygon_wkb_bytes(idx_src)
         budget = int(_os.environ.get("GEORAY_INDEX_BUDGET", 2 << 30))
         sharded = None

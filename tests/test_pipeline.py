@@ -144,3 +144,34 @@ def test_metrics_actor_collects(ray_session):
     again = get_metrics_actor("test_metrics")
     assert ray.get(again.snapshot.remote())["counters"]["pages"] == 10
     ray.kill(actor)
+
+
+def test_extract_texts_column_equivalence():
+    """The batch-buffer scanner must equal per-row extract_text on
+    every input shape, including sliced and multi-chunk columns."""
+    import pyarrow as pa
+
+    from georay.pages import extract_text, extract_texts_column, page_html, page_text, page_url
+
+    cases = [
+        b"",
+        b"no tags at all",
+        b"<p>one</p>",
+        b"<p>a</p><p>b</p>",
+        b"<p>multi\nline\ncontent</p>",
+        b"<p>unclosed",
+        b"<p>a</p><p>unclosed tail",
+        b"<p>outer <p>inner</p> rest</p>",
+        b"</p>orphan close<p>x</p>",
+        b"<p></p>",
+    ] + [
+        page_html(i, page_url(i), page_text(page_url(i))) for i in range(0, 300, 7)
+    ]
+    col = pa.array(cases, pa.binary())
+    want = [extract_text(h) for h in cases]
+    assert extract_texts_column(col) == want
+    # sliced view (non-zero offset)
+    assert extract_texts_column(col.slice(3, 20)) == want[3:23]
+    # chunked column
+    chunked = pa.chunked_array([col.slice(0, 5), col.slice(5)])
+    assert extract_texts_column(chunked) == want
