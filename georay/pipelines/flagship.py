@@ -286,6 +286,14 @@ def geotag_pipeline(
         )
     else:
         tiled = joined.map_batches(assign_tiles_batch, batch_format="pyarrow")
+    # The PERSISTED sink carries the NORMALIZED join product (page key,
+    # polygon key, tile): at 10^12 rows, denormalizing polygon
+    # attributes and the page's lon/lat/cell into the fact table
+    # multiplies the write bytes ~2x for data re-derivable by keyed
+    # lookup (polygon attrs live in the features output; coords are
+    # f(url)). The enriched row shape remains the in-memory result and
+    # the geo_pip_join query.
+    tiled_sink = tiled.select_columns(["url", "polygon_id", "polygon_layer", "tile"])
 
     knn_lazy = None
     if knn_k:
@@ -316,7 +324,7 @@ def geotag_pipeline(
             # STREAMING write (not materialize-then-write): the joined
             # stream is the big output; one pass straight to parquet.
             with StageTimer(timings, "join_and_write"):
-                t = checkpoint_dataset(tiled, f"{out_dir}/joined", fingerprint)
+                t = checkpoint_dataset(tiled_sink, f"{out_dir}/joined", fingerprint)
             with StageTimer(timings, "tile_counts"):
                 if tile_acc is not None:
                     # totals already accumulated during the write pass
