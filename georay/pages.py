@@ -43,13 +43,29 @@ def page_url(i: int) -> str:
     return f"https://host-{i % 997}.example/{i}"
 
 
-def page_coords(url: str):
-    """Deterministic page coordinate, uniform over the test bbox."""
+def page_key_coords(url: str):
+    """(page_key, lon, lat) from ONE digest computation.
+
+    ``page_key`` is the page's stable 64-bit digest — the same sha256-
+    derived value the coordinate is drawn from, so the scan gets a
+    compact integer page key for free (no second hash pass). The
+    persisted fact table is keyed by it instead of the url string
+    (~8 B vs ~45 B per row); the pages store keeps the url <-> key
+    mapping. At 10^12 rows a 64-bit key has ~27k expected colliding
+    pairs (n^2/2^65) — a production deployment at that scale should
+    widen to a 128-bit digest (two int64 columns); the design is
+    unchanged by the width.
+    """
     h = _h64("coord:" + url)
     minx, miny, maxx, maxy = BBOX
     fx = (h & 0xFFFFFFFF) / 2**32
     fy = (h >> 32) / 2**32
-    return minx + fx * (maxx - minx), miny + fy * (maxy - miny)
+    return h, minx + fx * (maxx - minx), miny + fy * (maxy - miny)
+
+
+def page_coords(url: str):
+    """Deterministic page coordinate, uniform over the test bbox."""
+    return page_key_coords(url)[1:]
 
 
 def page_text(url: str, seed: int = SEED) -> str:

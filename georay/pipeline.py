@@ -111,14 +111,23 @@ def extract_split_batch(batch: pa.Table) -> pa.Table:
     not done). The north-rule headline metric is spatial-join +
     tile-assignment pages/sec; the text pipeline is extract_batch /
     the oracle-pinned `geo_extract` query, which users compose when
-    they want the text persisted."""
+    they want the text persisted.
+
+    The output is the MINIMAL join input plus the page key: (url,
+    page_key, lon, lat, payload_html). warc_ts/lang are not re-read by
+    any downstream flagship stage, and at 10^12 rows every unused
+    column in the persisted store is pure write + memory-bus traffic
+    (the binding resource at high concurrency)."""
     import pyarrow.compute as pc
 
+    from .pages import page_key_coords
+
     urls = batch["url"].to_pylist()
+    keys = np.empty(len(urls), np.uint64)
     lons = np.empty(len(urls))
     lats = np.empty(len(urls))
     for i, u in enumerate(urls):
-        lons[i], lats[i] = page_coords(u)
+        keys[i], lons[i], lats[i] = page_key_coords(u)
     has_payload = pc.match_substring(batch["html"], "application/x-geo")
     payload_html = pc.if_else(
         has_payload, batch["html"], pa.scalar(None, batch["html"].type)
@@ -126,11 +135,11 @@ def extract_split_batch(batch: pa.Table) -> pa.Table:
     return pa.table(
         {
             "url": batch["url"],
-            "warc_ts": batch["warc_ts"],
-            "lang": batch["lang"],
+            # stable 64-bit page digest (see pages.page_key_coords):
+            # the persisted fact-table key; int64 view, not a float
+            "page_key": pa.array(keys.view(np.int64)),
             "lon": pa.array(lons),
             "lat": pa.array(lats),
-            "has_payload": has_payload,
             "payload_html": payload_html,
         }
     )

@@ -139,7 +139,10 @@ def geotag_pipeline(
     # subset as `payload_html`; later stages consume pruned projections.
     pages = ray.data.read_parquet(
         pages_path,
-        columns=["url", "warc_ts", "lang", "html"],
+        # ONLY the columns the scan consumes: warc_ts/lang are never
+        # re-read by a flagship stage, and at 10^12 rows every extra
+        # column is read + store-write + memory-bus traffic
+        columns=["url", "html"],
         override_num_blocks=blocks,
     )
     with StageTimer(timings, "scan_extract"):
@@ -249,8 +252,13 @@ def geotag_pipeline(
     # ops — no actor-pool spawn latency or pool-size tuning. Passing
     # pip_concurrency switches back to the actor-pool classes.
     if out_dir:
+        # the PERSISTED run never moves url strings through the join:
+        # the int64 page_key (already in the store) is the fact-table
+        # key, and the store holds the url <-> key mapping. The url
+        # column stays in the in-memory (query) path below, whose
+        # result shape the geo_pip_join oracle pins.
         points = ray.data.read_parquet(
-            _data_files(f"{out_dir}/pages_store"), columns=["url", "lon", "lat"]
+            _data_files(f"{out_dir}/pages_store"), columns=["page_key", "lon", "lat"]
         )
     else:
         points = store.select_columns(["url", "lon", "lat"])
@@ -286,14 +294,16 @@ def geotag_pipeline(
         )
     else:
         tiled = joined.map_batches(assign_tiles_batch, batch_format="pyarrow")
-    # The PERSISTED sink carries the NORMALIZED join product (page key,
-    # polygon key, tile): at 10^12 rows, denormalizing polygon
-    # attributes and the page's lon/lat/cell into the fact table
-    # multiplies the write bytes ~2x for data re-derivable by keyed
-    # lookup (polygon attrs live in the features output; coords are
-    # f(url)). The enriched row shape remains the in-memory result and
-    # the geo_pip_join query.
-    tiled_sink = tiled.select_columns(["url", "polygon_id", "polygon_layer", "tile"])
+    # The PERSISTED sink carries the NORMALIZED join product (int64
+    # page key, polygon key, tile): at 10^12 rows, denormalizing
+    # polygon attributes, the url string and the page's lon/lat/cell
+    # into the fact table multiplies the write bytes ~4x for data
+    # re-derivable by keyed lookup (polygon attrs live in the features
+    # output; url <-> page_key lives in the pages store). The enriched
+    # row shape remains the in-memory result and the geo_pip_join
+    # query.
+    # (only consumed in out_dir mode, where points carry page_key)
+    tiled_sink = tiled.select_columns(["page_key", "polygon_id", "polygon_layer", "tile"])
 
     knn_lazy = None
     if knn_k:

@@ -33,7 +33,10 @@ class PIPJoiner:
     def __call__(self, batch: pa.Table) -> pa.Table:
         lon = batch["lon"].to_numpy(zero_copy_only=False)
         lat = batch["lat"].to_numpy(zero_copy_only=False)
-        urls = batch["url"]
+        # every non-coordinate input column passes through (the query
+        # path sends `url`; the persisted flagship path sends the int64
+        # `page_key` — the joiner is key-agnostic)
+        key_cols = [n for n in batch.column_names if n not in ("lon", "lat")]
         cells = cell_encode(lon, lat, self.index.zoom)
         pts = np.column_stack([lon, lat])
 
@@ -65,9 +68,12 @@ class PIPJoiner:
                     pnames.extend([meta["name"]] * len(hit))
 
         idx = pa.array(take_idx, pa.int64())
-        return pa.table(
+        cols: dict = {}
+        for name in key_cols:
+            c = batch[name]
+            cols[name] = c.take(idx) if len(take_idx) else c.slice(0, 0)
+        cols.update(
             {
-                "url": urls.take(idx) if len(take_idx) else pa.array([], urls.type),
                 "lon": pa.array(lon[take_idx], pa.float64()),
                 "lat": pa.array(lat[take_idx], pa.float64()),
                 "cell": pa.array(cells[take_idx], pa.int64()),
@@ -78,6 +84,7 @@ class PIPJoiner:
                 "polygon_name": pa.array(pnames, pa.string()),
             }
         )
+        return pa.table(cols)
 
 
 _EARTH_R = 6371008.8
@@ -224,9 +231,11 @@ class KNNJoiner:
     def __call__(self, batch: pa.Table) -> pa.Table:
         lon = batch["lon"].to_numpy(zero_copy_only=False)
         lat = batch["lat"].to_numpy(zero_copy_only=False)
-        urls = batch["url"].to_pylist()
+        # key-agnostic like PIPJoiner: non-coordinate columns pass
+        # through (url on the query path, int64 page_key when persisted)
+        key_cols = [n for n in batch.column_names if n not in ("lon", "lat")]
         cents = self.index.centroids
-        out_url, out_rank, out_pid, out_dist = [], [], [], []
+        out_idx, out_rank, out_pid, out_dist = [], [], [], []
         cache: dict[int, np.ndarray] = {}
         cells = cell_encode(lon, lat, self.zoom)
         for i, cell in enumerate(cells):
@@ -239,19 +248,24 @@ class KNNJoiner:
             d = haversine_m(lon[i], lat[i], cents[cand, 0], cents[cand, 1])
             top = np.argsort(d, kind="stable")[: self.k]
             for rank, j in enumerate(top):
-                out_url.append(urls[i])
+                out_idx.append(i)
                 out_rank.append(rank)
                 pid = self.index.polygons[int(cand[j])]["polygon_id"]
                 out_pid.append(int(pid) if pid is not None else None)
                 out_dist.append(float(d[j]))
-        return pa.table(
+        idx = pa.array(out_idx, pa.int64())
+        cols: dict = {}
+        for name in key_cols:
+            c = batch[name]
+            cols[name] = c.take(idx) if len(out_idx) else c.slice(0, 0)
+        cols.update(
             {
-                "url": pa.array(out_url, pa.string()),
                 "rank": pa.array(out_rank, pa.int32()),
                 "polygon_id": pa.array(out_pid, pa.int64()),
                 "distance_m": pa.array(out_dist, pa.float64()),
             }
         )
+        return pa.table(cols)
 
 
 # --------------------------------------------------- task-mode joiners
@@ -285,17 +299,20 @@ def knn_join_batch(batch: pa.Table, index_ref, k: int) -> pa.Table:
     return j(batch)
 
 
-_PIP_SCHEMA = pa.schema(
-    [
-        ("url", pa.string()),
-        ("lon", pa.float64()),
-        ("lat", pa.float64()),
-        ("cell", pa.int64()),
-        ("polygon_id", pa.int64()),
-        ("polygon_layer", pa.int64()),
-        ("polygon_name", pa.string()),
+def _pip_schema(batch: pa.Table) -> pa.Schema:
+    """PIP join output schema for a given input batch: the batch's
+    non-coordinate (key) columns pass through, then the fixed join
+    tail — mirrors PIPJoiner.__call__'s column layout."""
+    fields = [f for f in batch.schema if f.name not in ("lon", "lat")]
+    fields += [
+        pa.field("lon", pa.float64()),
+        pa.field("lat", pa.float64()),
+        pa.field("cell", pa.int64()),
+        pa.field("polygon_id", pa.int64()),
+        pa.field("polygon_layer", pa.int64()),
+        pa.field("polygon_name", pa.string()),
     ]
-)
+    return pa.schema(fields)
 
 
 def sharded_pip_join_batch(batch: pa.Table, sharded) -> pa.Table:
@@ -311,7 +328,7 @@ def sharded_pip_join_batch(batch: pa.Table, sharded) -> pa.Table:
     lon = batch["lon"].to_numpy(zero_copy_only=False)
     lat = batch["lat"].to_numpy(zero_copy_only=False)
     if len(lon) == 0:
-        return _PIP_SCHEMA.empty_table()
+        return _pip_schema(batch).empty_table()
     shard_cells = _enc(lon, lat, sharded.shard_zoom)
     order = np.argsort(shard_cells, kind="stable")
     sc = shard_cells[order]
@@ -330,5 +347,5 @@ def sharded_pip_join_batch(batch: pa.Table, sharded) -> pa.Table:
             _WORKER_JOINERS[key] = joiner
         outs.append(joiner(batch.take(pa.array(grp))))
     if not outs:
-        return _PIP_SCHEMA.empty_table()
+        return _pip_schema(batch).empty_table()
     return pa.concat_tables(outs)

@@ -150,11 +150,14 @@ def assign_tiles_and_count_batch(batch: pa.Table, acc, zoom: int = TILE_ZOOM) ->
     tiles = out["tile"].to_numpy(zero_copy_only=False)
     if len(tiles):
         uniq, counts = np.unique(tiles, return_counts=True)
-        # full content hash: all tile values + all url bytes (zero-copy
-        # from the arrow buffers), so distinct batches can never collide
+        # full content hash: all tile values + every byte of the page
+        # key column (zero-copy from the arrow buffers), so distinct
+        # batches can never collide (ADVICE r02). Key-agnostic like the
+        # joiners: page_key on the persisted path, url on the query path.
+        key_col = "page_key" if "page_key" in out.column_names else "url"
         h = hashlib.blake2b(digest_size=16)
         h.update(tiles.tobytes())
-        for buf in out["url"].combine_chunks().buffers():
+        for buf in out[key_col].combine_chunks().buffers():
             if buf is not None:
                 h.update(buf)
         key = h.digest()

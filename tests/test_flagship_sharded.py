@@ -14,7 +14,7 @@ def _run(pages, out, budget, monkeypatch):
     joined = (
         res["joined"]
         .to_pandas()
-        .sort_values(["url", "polygon_id"])
+        .sort_values(["page_key", "polygon_id"])
         .reset_index(drop=True)
     )
     tiles = res["tiles"].to_pandas().sort_values("tile").reset_index(drop=True)
