@@ -620,11 +620,20 @@ def ngram_jaccard_pairs(
     packed = shingled.map_batches(pack, batch_format="pyarrow").materialize()
     n_docs = packed.count()
     prefs = packed.to_arrow_refs()
-    # Group natural blocks into chunks: enough chunks that every chunk
-    # fits the object-store budget, but few enough that the pairwise
-    # task count stays O(parallelism) when the job is small. Memory in
+    # Group natural blocks into chunks. Two lower bounds on the chunk
+    # count: (a) memory — every chunk fits the object-store budget;
+    # (b) parallelism — enough chunk-PAIR tasks (c*(c+1)/2) to fill
+    # ~2x the cluster's CPUs, else one task runs the whole O(n^2)
+    # matmul on one core (the measured shape at sf0.1: 5k docs packed
+    # to 0.6 MB = 1 chunk = 1 task = ~6 s serial). Chunks never shrink
+    # below ~512 docs so per-task overhead stays amortized. Memory in
     # the matmul task is bounded separately by its internal row-chunking.
-    n_chunks = max(1, -(-(n_docs * max(n_bytes, 1)) // (32 << 20)), min(4, -(-n_docs // 8192)))
+    try:
+        ncpu = max(1, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        ncpu = 8
+    par_chunks = min(-(-n_docs // 512), int(np.ceil(np.sqrt(4 * ncpu))))
+    n_chunks = max(1, -(-(n_docs * max(n_bytes, 1)) // (32 << 20)), par_chunks)
     n_chunks = min(n_chunks, len(prefs))
     per = -(-len(prefs) // n_chunks)
     chunks = [prefs[i : i + per] for i in range(0, len(prefs), per)]
