@@ -185,9 +185,10 @@ def _q_sample_orders(sf_dir):
 
 
 def _q_approx_users_by_type(sf_dir):
-    """HyperLogLog per-group approximate COUNT(DISTINCT) — approximate
-    by design, so rows-only check here; accuracy (<7% vs exact) is
-    pinned by tests/test_sketch.py."""
+    """HyperLogLog per-group approximate COUNT(DISTINCT). The sketch is
+    deterministic (splitmix64 + fixed p=12 registers), so it has a full
+    SQL oracle that replays the hash and estimator in DuckDB; accuracy
+    (<7% vs exact) is pinned by tests/test_sketch.py."""
     import ray.data
 
     from georay.sketch import grouped_approx_distinct
@@ -767,6 +768,63 @@ def _oracle_sql_raw() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders
                               WHERE o_custkey = c_custkey
                                 AND o_orderpriority = '1-URGENT')
+        """,
+        # HLL is deterministic (splitmix64 on int64 user ids, fixed
+        # p=12 registers), so DuckDB can replay it exactly: the 64-bit
+        # mixer runs in HUGEINT with each 64x64 multiply split into
+        # 32-bit halves (a*b mod 2^64 without INT128 overflow), rho
+        # comes from length(bin(w)) (integer-exact bit_length), and the
+        # Flajolet estimator + linear-counting correction are plain
+        # float math. Verified equal to georay.sketch at sf 0.001/0.01/0.1.
+        "approx_users_by_type": """
+            WITH hashes AS (
+              SELECT event_type,
+                     xor(x2, x2 // 2147483648) AS h
+              FROM (
+                SELECT event_type,
+                       ((x1x % 4294967296) * 321982955
+                        + (((x1x // 4294967296) * 321982955
+                            + (x1x % 4294967296) * 2496678331) % 4294967296)
+                          * 4294967296) % 18446744073709551616 AS x2
+                FROM (
+                  SELECT event_type, xor(x1, x1 // 134217728) AS x1x
+                  FROM (
+                    SELECT event_type,
+                           ((x0x % 4294967296) * 484763065
+                            + (((x0x // 4294967296) * 484763065
+                                + (x0x % 4294967296) * 3210233709) % 4294967296)
+                              * 4294967296) % 18446744073709551616 AS x1
+                    FROM (
+                      SELECT event_type, xor(x0, x0 // 1073741824) AS x0x
+                      FROM (
+                        SELECT event_type,
+                               (user_id::HUGEINT + 11400714819323198485)
+                                 % 18446744073709551616 AS x0
+                        FROM events)))))
+            ),
+            regs AS (
+              SELECT event_type,
+                     (h // 4503599627370496)::BIGINT AS idx,
+                     MAX(CASE WHEN (h % 4503599627370496) = 0 THEN 53
+                              ELSE 53 - length(bin((h % 4503599627370496)::BIGINT))
+                         END) AS r
+              FROM hashes GROUP BY event_type, idx
+            ),
+            agg AS (
+              SELECT event_type, COUNT(*) AS n_present,
+                     SUM(power(2.0, -r)) AS sum_present
+              FROM regs GROUP BY event_type
+            )
+            SELECT event_type,
+                   CAST(round(CASE
+                     WHEN (0.7213/(1+1.079/4096))*4096*4096
+                          / (sum_present + (4096-n_present)) <= 2.5*4096
+                          AND (4096-n_present) > 0
+                     THEN 4096 * ln(4096.0/(4096-n_present))
+                     ELSE (0.7213/(1+1.079/4096))*4096*4096
+                          / (sum_present + (4096-n_present))
+                   END) AS BIGINT) AS approx_distinct
+            FROM agg
         """,
         "approx_price_quantiles": """
             WITH v AS (SELECT o_totalprice AS x FROM orders),
