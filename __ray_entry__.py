@@ -307,9 +307,13 @@ def _q_ann_topk_ivf(sf_dir):
     return ann_topk_ivf(_emb(sf_dir), ANN_QUERY_IDS, k=ANN_K, n_clusters=8, nprobe=8)
 
 
-# multimodal (deterministic GRB media corpus; rows-only checks + pytest
-# goldens in tests/test_multimodal.py — binary payloads aren't a
-# pre-registered DuckDB view)
+# multimodal (deterministic GRB media corpus). The GRB container is a
+# plain header + raw bytes, so DuckDB can replay the decoders byte-by-
+# byte (hex(payload) + substring + '0x' cast over a generate_series):
+# audio_features, video_frames, image_stats and audio_stats carry full
+# SQL oracles; image_features/audio features keep list/binary columns
+# for pipeline use and stay rows-only (list columns stringify
+# differently numpy-vs-python in the driver's hash).
 
 
 def _media(sf_dir):
@@ -336,6 +340,18 @@ def _q_video_frames(sf_dir):
     from georay.multimodal import video_frame_sample
 
     return video_frame_sample(_media(sf_dir)).drop_columns(["frame"])
+
+
+def _q_image_stats(sf_dir):
+    from georay.multimodal import image_stats
+
+    return image_stats(_media(sf_dir))
+
+
+def _q_audio_stats(sf_dir):
+    from georay.multimodal import audio_stats
+
+    return audio_stats(_media(sf_dir))
 
 
 # geo pipelines (pages corpus; rows-only checks + pytest goldens)
@@ -534,6 +550,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features": _q_image_features,
         "audio_features": _q_audio_features,
         "video_frames": _q_video_frames,
+        "image_stats": _q_image_stats,
+        "audio_stats": _q_audio_stats,
         "geo_extract": _geo_extract,
         "geo_features": _geo_features,
         "geo_layers": _geo_layers,
@@ -558,6 +576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # geo oracles are valid at any sf. pages_dir_for() synthesizes/caches
 # the corpus on first use.
 _PAGES_GLOB = "__PAGES_GLOB__"
+_MEDIA_GLOB = "__MEDIA_GLOB__"
 
 
 def _oracle_sf_dir() -> str:
@@ -684,16 +703,35 @@ def _ensure_oracle_corpus() -> str:
     return pages_dir_for(_oracle_sf_dir()) + "/*.parquet"
 
 
+def _ensure_media_corpus() -> str:
+    """The media oracle SQL reads the synthesized GRB media parquet;
+    synthesize it (cached) and return the glob to read."""
+    from georay.multimodal import media_dir_for
+
+    return media_dir_for(_oracle_sf_dir()) + "/*.parquet"
+
+
 def oracle_sql() -> dict[str, str]:
     try:
         glob = _ensure_oracle_corpus()
     except Exception:
         glob = None
+    try:
+        media_glob = _ensure_media_corpus()
+    except Exception:
+        media_glob = None
     sql = _oracle_sql_raw()
-    if glob is None:  # corpus unavailable: exclude geo oracles rather
-        # than hand the driver SQL that reads a missing path
-        return {k: v for k, v in sql.items() if _PAGES_GLOB not in v}
-    return {k: v.replace(_PAGES_GLOB, glob) for k, v in sql.items()}
+    # corpus unavailable: exclude the oracles that read a missing path
+    # rather than hand the driver failing SQL
+    if glob is None:
+        sql = {k: v for k, v in sql.items() if _PAGES_GLOB not in v}
+    else:
+        sql = {k: v.replace(_PAGES_GLOB, glob) for k, v in sql.items()}
+    if media_glob is None:
+        sql = {k: v for k, v in sql.items() if _MEDIA_GLOB not in v}
+    else:
+        sql = {k: v.replace(_MEDIA_GLOB, media_glob) for k, v in sql.items()}
+    return sql
 
 
 def _oracle_sql_raw() -> dict[str, str]:
@@ -825,6 +863,105 @@ def _oracle_sql_raw() -> dict[str, str]:
                           / (sum_present + (4096-n_present))
                    END) AS BIGINT) AS approx_distinct
             FROM agg
+        """,
+        # GRB media oracles: the container is magic + packed header +
+        # raw bytes, so SQL replays the decoder with hex(payload) +
+        # 2-char substrings + '0x' casts over a generate_series. The
+        # float outputs are chosen to be summation-order-independent
+        # (integer-exact sums / power-of-two divides, IEEE sqrt) so no
+        # rounding is needed — except the image std (two-pass variance
+        # of non-integer deviations), rounded to 6 dp on BOTH sides.
+        "audio_features": f"""
+            SELECT media_id, sample_rate,
+                   CAST((octet_length(payload) - 12) // 2 AS BIGINT) AS n_samples,
+                   CAST(((octet_length(payload) - 12) // 2) // 1024 AS INTEGER) AS n_frames
+            FROM read_parquet('{_MEDIA_GLOB}') WHERE kind = 'audio'
+        """,
+        "video_frames": f"""
+            WITH v AS (
+              SELECT media_id, width, height, octet_length(payload) AS blen,
+                     hex(payload) AS hx
+              FROM read_parquet('{_MEDIA_GLOB}') WHERE kind = 'video'
+            ),
+            meta AS (
+              SELECT media_id, width, height,
+                     CAST((blen - 11) // (width * height) AS INTEGER) AS nf,
+                     CAST(('0x' || substring(hx, 2*10 + 1, 2)) AS INTEGER) AS fps, hx
+              FROM v
+            ),
+            fr AS (
+              SELECT media_id, width, height, nf, fps, hx,
+                     CAST(j AS INTEGER) AS frame_idx
+              FROM meta, generate_series(0, 9999, 4) AS t(j) WHERE j < nf
+            ),
+            px AS (
+              SELECT media_id, frame_idx, fps,
+                     CAST(('0x' || substring(hx, 2*(11 + frame_idx*width*height + i) + 1, 2))
+                          AS INTEGER) AS v
+              FROM fr, generate_series(0, 99999) AS t(i) WHERE i < width*height
+            )
+            SELECT media_id, frame_idx,
+                   CAST(frame_idx * 1000 // fps AS INTEGER) AS t_ms,
+                   AVG(v) AS frame_mean
+            FROM px GROUP BY media_id, frame_idx, fps
+        """,
+        "image_stats": f"""
+            WITH im AS (
+              SELECT media_id, width, height, channels, hex(payload) AS hx
+              FROM read_parquet('{_MEDIA_GLOB}') WHERE kind = 'image'
+            ),
+            px AS (
+              SELECT media_id, width, height, CAST(i % channels AS INTEGER) AS channel,
+                     CAST(('0x' || substring(hx, 2*(9 + i) + 1, 2)) AS INTEGER) AS v
+              FROM im, generate_series(0, 99999) AS t(i)
+              WHERE i < width*height*channels
+            ),
+            mu AS (
+              SELECT media_id, channel, AVG(v) AS m FROM px
+              GROUP BY media_id, channel
+            )
+            SELECT p.media_id, p.width, p.height, p.channel,
+                   mu.m AS chan_mean,
+                   round(sqrt(AVG((p.v - mu.m)*(p.v - mu.m))), 6) AS chan_std
+            FROM px p JOIN mu ON p.media_id = mu.media_id AND p.channel = mu.channel
+            GROUP BY p.media_id, p.width, p.height, p.channel, mu.m
+        """,
+        "audio_stats": f"""
+            WITH au AS (
+              SELECT media_id, octet_length(payload) AS blen, hex(payload) AS hx
+              FROM read_parquet('{_MEDIA_GLOB}') WHERE kind = 'audio'
+            ),
+            meta AS (
+              SELECT media_id, hx,
+                     CAST(((blen - 12) // 2) // 1024 AS BIGINT) AS nf
+              FROM au
+            ),
+            smp AS (
+              SELECT media_id, i // 1024 AS frame_idx, i % 1024 AS j,
+                     CASE WHEN b0 + 256*b1 >= 32768 THEN b0 + 256*b1 - 65536
+                          ELSE b0 + 256*b1 END AS v
+              FROM (
+                SELECT media_id, i,
+                       CAST(('0x' || substring(hx, 2*(12 + 2*i) + 1, 2)) AS INTEGER) AS b0,
+                       CAST(('0x' || substring(hx, 2*(12 + 2*i + 1) + 1, 2)) AS INTEGER) AS b1
+                FROM meta, generate_series(0, 99999) AS t(i) WHERE i < nf * 1024
+              )
+            ),
+            rms AS (
+              SELECT media_id, frame_idx, sqrt(AVG(CAST(v AS DOUBLE) * v)) AS rms
+              FROM smp GROUP BY media_id, frame_idx
+            ),
+            zc AS (
+              SELECT media_id, frame_idx,
+                     COUNT(*) FILTER (WHERE (v < 0) <> (prev < 0)) / 1024.0 AS zcr
+              FROM (SELECT media_id, frame_idx, j, v,
+                           lag(v) OVER (PARTITION BY media_id, frame_idx ORDER BY j) AS prev
+                    FROM smp)
+              WHERE prev IS NOT NULL
+              GROUP BY media_id, frame_idx
+            )
+            SELECT r.media_id, CAST(r.frame_idx AS INTEGER) AS frame_idx, r.rms, z.zcr
+            FROM rms r JOIN zc z ON r.media_id = z.media_id AND r.frame_idx = z.frame_idx
         """,
         "approx_price_quantiles": """
             WITH v AS (SELECT o_totalprice AS x FROM orders),

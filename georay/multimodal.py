@@ -393,3 +393,64 @@ def video_frame_sample(media, every_k: int = 4, concurrency=None):
         concurrency=concurrency or _media_pool(),
         num_cpus=1,
     )
+
+
+def image_stats(media, concurrency=None):
+    """Per-(image, channel) scalar stats: media_id, width, height,
+    channel, chan_mean, chan_std (rounded to 6 dp so the DuckDB oracle's
+    different float-summation order in the two-pass std agrees bit-for-
+    bit after rounding; the mean is an exact integer-sum / count and
+    needs no rounding). Vectorized explode of the ImageDecoder output —
+    the list columns never cross an oracle hash (lists stringify
+    differently numpy-vs-python), scalar rows do."""
+    import pyarrow.compute as pc
+
+    feats = image_features(media, concurrency=concurrency)
+
+    def explode(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        nch = pc.list_value_length(t["chan_mean"]).to_numpy(zero_copy_only=False)
+        rep = np.repeat(np.arange(n, dtype=np.int64), nch)
+        chan = np.concatenate([np.arange(k, dtype=np.int32) for k in nch]) if n else np.array([], np.int32)
+        return pa.table(
+            {
+                "media_id": pa.array(t["media_id"].to_numpy(zero_copy_only=False)[rep], pa.int64()),
+                "width": pa.array(t["width"].to_numpy(zero_copy_only=False)[rep], pa.int32()),
+                "height": pa.array(t["height"].to_numpy(zero_copy_only=False)[rep], pa.int32()),
+                "channel": pa.array(chan, pa.int32()),
+                "chan_mean": pc.list_flatten(t["chan_mean"]),
+                "chan_std": pa.array(
+                    np.round(pc.list_flatten(t["chan_std"]).to_numpy(zero_copy_only=False), 6),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return feats.map_batches(explode, batch_format="pyarrow")
+
+
+def audio_stats(media, concurrency=None):
+    """Per-(audio, frame) scalar features: media_id, frame_idx, rms,
+    zcr. Exact float parity with the DuckDB oracle without rounding:
+    the frame RMS is sqrt(integer-exact mean of int16^2 / 1024) and the
+    ZCR is an integer count / 1024 — both bit-identical across any
+    summation order. Vectorized explode of the AudioFeaturizer output."""
+    import pyarrow.compute as pc
+
+    feats = audio_features(media, concurrency=concurrency)
+
+    def explode(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        nfr = pc.list_value_length(t["rms"]).to_numpy(zero_copy_only=False)
+        rep = np.repeat(np.arange(n, dtype=np.int64), nfr)
+        idx = np.concatenate([np.arange(k, dtype=np.int32) for k in nfr]) if n else np.array([], np.int32)
+        return pa.table(
+            {
+                "media_id": pa.array(t["media_id"].to_numpy(zero_copy_only=False)[rep], pa.int64()),
+                "frame_idx": pa.array(idx, pa.int32()),
+                "rms": pc.list_flatten(t["rms"]),
+                "zcr": pc.list_flatten(t["zcr"]),
+            }
+        )
+
+    return feats.map_batches(explode, batch_format="pyarrow")

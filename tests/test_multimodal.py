@@ -125,3 +125,36 @@ def test_video_frame_sample_pipeline(media_ds):
     f0 = mm.decode_image_payload(r0["frame"])
     assert np.array_equal(f0[:, :, 0], frames[0])
     assert r0["frame_mean"] == pytest.approx(frames[0].mean())
+
+
+def test_image_stats_explode(media_ds):
+    rows = mm.image_stats(media_ds).take_all()
+    # one row per (image, channel); 20 images x 3 channels
+    assert len(rows) == 60
+    by_key = {(r["media_id"], r["channel"]): r for r in rows}
+    mid = sorted(r["media_id"] for r in rows)[0]
+    img = mm.decode_image_payload(mm.synth_payload(mid)[1])
+    flat = img.reshape(-1, img.shape[2]).astype(np.float64)
+    for c in range(3):
+        r = by_key[(mid, c)]
+        assert r["chan_mean"] == flat[:, c].mean()  # integer-exact, no approx
+        assert r["chan_std"] == np.round(flat[:, c].std(), 6)
+        assert r["width"] == img.shape[1] and r["height"] == img.shape[0]
+
+
+def test_audio_stats_explode(media_ds):
+    rows = mm.audio_stats(media_ds).take_all()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert len(by_id) == 20
+    mid, frames = sorted(by_id.items())[0]
+    _, samples = mm.decode_audio_payload(mm.synth_payload(mid)[1])
+    nf = samples.size // mm.AUDIO_FRAME
+    assert sorted(r["frame_idx"] for r in frames) == list(range(nf))
+    x = samples[: nf * mm.AUDIO_FRAME].astype(np.float64).reshape(nf, mm.AUDIO_FRAME)
+    want_rms = np.sqrt((x * x).mean(axis=1))
+    want_zcr = (np.diff(np.signbit(x), axis=1) != 0).sum(axis=1) / mm.AUDIO_FRAME
+    for r in sorted(frames, key=lambda r: r["frame_idx"]):
+        assert r["rms"] == want_rms[r["frame_idx"]]  # bit-exact by design
+        assert r["zcr"] == want_zcr[r["frame_idx"]]
