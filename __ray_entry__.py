@@ -289,6 +289,28 @@ def _q_fingerprints(sf_dir):
     return fingerprint_rows(_docs(sf_dir))
 
 
+def _q_scrub_text(sf_dir):
+    from georay.textops import scrub_text
+
+    return scrub_text(_docs(sf_dir))
+
+
+def _q_doc_repetition(sf_dir):
+    from georay.textops import doc_repetition
+
+    return doc_repetition(_docs(sf_dir))
+
+
+def _q_url_host_stats(sf_dir):
+    import ray.data
+
+    from georay.pages import pages_dir_for
+    from georay.textops import url_host_stats
+
+    pages = ray.data.read_parquet(pages_dir_for(sf_dir), columns=["url", "lang"])
+    return url_host_stats(pages)
+
+
 def _q_ann_topk(sf_dir):
     from georay.textops import ann_topk
 
@@ -532,6 +554,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": _q_langid,
         "quality_scores": _q_quality_scores,
         "fingerprints": _q_fingerprints,
+        "scrub_text": _q_scrub_text,
+        "doc_repetition": _q_doc_repetition,
+        "url_host_stats": _q_url_host_stats,
         "ann_topk": _q_ann_topk,
         "ann_topk_ivf": _q_ann_topk_ivf,
         "embedding_near_dups": _q_emb_near_dups,
@@ -863,6 +888,70 @@ def _oracle_sql_raw() -> dict[str, str]:
                           / (sum_present + (4096-n_present))
                    END) AS BIGINT) AS approx_distinct
             FROM agg
+        """,
+        # Text-hygiene oracles: pyarrow and DuckDB both embed RE2, so
+        # regexp_replace/extract_all replay pc.replace_substring_regex /
+        # pc.count_substring_regex byte-for-byte; patterns apply in the
+        # same fixed order (email, ip, phone) with each count taken on
+        # the text that pattern actually saw.
+        "scrub_text": """
+            WITH s1 AS (
+              SELECT doc_id,
+                     regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                                    '<EMAIL>', 'g') AS x,
+                     LEN(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                       AS n_emails
+              FROM documents),
+            s2 AS (
+              SELECT doc_id,
+                     regexp_replace(x, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                                    '<IP>', 'g') AS x,
+                     n_emails,
+                     LEN(regexp_extract_all(x, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                       AS n_ips
+              FROM s1),
+            s3 AS (
+              SELECT doc_id,
+                     regexp_replace(x, '\\+?\\d[\\d\\- ]{7,}\\d', '<PHONE>', 'g') AS x,
+                     n_emails, n_ips,
+                     LEN(regexp_extract_all(x, '\\+?\\d[\\d\\- ]{7,}\\d')) AS n_phones
+              FROM s2)
+            SELECT doc_id, TRIM(regexp_replace(x, '\\s+', ' ', 'g')) AS clean_text,
+                   n_emails, n_ips, n_phones
+            FROM s3
+        """,
+        "doc_repetition": """
+            WITH base AS (
+              SELECT doc_id,
+                     CASE WHEN TRIM(text) = '' THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(TRIM(text), '\\s+') END AS a
+              FROM documents
+            ),
+            dst AS (
+              SELECT doc_id, COUNT(DISTINCT tok) AS n_distinct
+              FROM (SELECT doc_id, unnest(a) AS tok FROM base) GROUP BY doc_id
+            ),
+            grams AS (
+              SELECT doc_id, unnest(list_transform(generate_series(1, len(a) - 1),
+                                                   i -> a[i] || ' ' || a[i+1])) AS g
+              FROM base WHERE len(a) >= 2
+            ),
+            bg AS (
+              SELECT doc_id, MAX(c) AS top_bigram_n
+              FROM (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g)
+              GROUP BY doc_id
+            )
+            SELECT b.doc_id, len(b.a) AS n_tokens,
+                   COALESCE(d.n_distinct, 0) AS n_distinct,
+                   COALESCE(g.top_bigram_n, 0) AS top_bigram_n
+            FROM base b LEFT JOIN dst d USING (doc_id) LEFT JOIN bg g USING (doc_id)
+        """,
+        "url_host_stats": f"""
+            SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+                   COUNT(*) AS n_pages,
+                   COUNT(DISTINCT lang) AS n_langs
+            FROM read_parquet('{_PAGES_GLOB}')
+            GROUP BY host
         """,
         # GRB media oracles: the container is magic + packed header +
         # raw bytes, so SQL replays the decoder with hex(payload) +

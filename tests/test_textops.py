@@ -1,0 +1,61 @@
+"""Text-hygiene ops: PII scrubbing, repetition signals, host rollup."""
+
+import pyarrow as pa
+
+from georay import textops
+
+
+
+def test_scrub_text_redacts(ray_session):
+    import ray.data
+
+    t = pa.table(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "mail me: a.b+c@ex-ample.co.uk  now",
+                "ip 10.0.0.1 or call +1 555-123 4567",
+                "   plain   words   ",
+            ],
+        }
+    )
+    out = {r["doc_id"]: r for r in textops.scrub_text(ray.data.from_arrow(t)).take_all()}
+    assert out[0]["clean_text"] == "mail me: <EMAIL> now"
+    assert out[0]["n_emails"] == 1 and out[0]["n_ips"] == 0
+    assert out[1]["clean_text"] == "ip <IP> or call <PHONE>"
+    assert out[1]["n_ips"] == 1 and out[1]["n_phones"] == 1
+    assert out[2]["clean_text"] == "plain words"
+
+
+def test_doc_repetition_counts(ray_session):
+    import ray.data
+
+    t = pa.table(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["a b a b a", "x", ""],
+        }
+    )
+    rows = {r["doc_id"]: r for r in textops.doc_repetition(ray.data.from_arrow(t)).take_all()}
+    assert rows[0]["n_tokens"] == 5 and rows[0]["n_distinct"] == 2
+    assert rows[0]["top_bigram_n"] == 2  # "a b" twice
+    assert rows[1] == {"doc_id": 1, "n_tokens": 1, "n_distinct": 1, "top_bigram_n": 0}
+    assert rows[2]["n_tokens"] == 0
+
+
+def test_url_host_stats_rollup(ray_session):
+    import ray.data
+
+    t = pa.table(
+        {
+            "url": [
+                "https://a.example/1",
+                "https://a.example/2",
+                "https://b.example/1",
+            ],
+            "lang": ["en", "de", "en"],
+        }
+    )
+    rows = {r["host"]: r for r in textops.url_host_stats(ray.data.from_arrow(t)).take_all()}
+    assert rows["a.example"]["n_pages"] == 2 and rows["a.example"]["n_langs"] == 2
+    assert rows["b.example"]["n_pages"] == 1 and rows["b.example"]["n_langs"] == 1
