@@ -311,6 +311,18 @@ def _q_url_host_stats(sf_dir):
     return url_host_stats(pages)
 
 
+def _q_decontam_ngrams(sf_dir):
+    from georay.textops import decontam_ngrams
+
+    return decontam_ngrams(_docs(sf_dir), n=3)
+
+
+def _q_quality_filter(sf_dir):
+    from georay.textops import quality_filter
+
+    return quality_filter(_docs(sf_dir))
+
+
 def _q_ann_topk(sf_dir):
     from georay.textops import ann_topk
 
@@ -557,6 +569,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scrub_text": _q_scrub_text,
         "doc_repetition": _q_doc_repetition,
         "url_host_stats": _q_url_host_stats,
+        "decontam_ngrams": _q_decontam_ngrams,
+        "quality_filter": _q_quality_filter,
         "ann_topk": _q_ann_topk,
         "ann_topk_ivf": _q_ann_topk_ivf,
         "embedding_near_dups": _q_emb_near_dups,
@@ -952,6 +966,60 @@ def _oracle_sql_raw() -> dict[str, str]:
                    COUNT(DISTINCT lang) AS n_langs
             FROM read_parquet('{_PAGES_GLOB}')
             GROUP BY host
+        """,
+        # Decontamination: eval membership replays the sampling hash
+        # split (sha256-prefix UBIGINT vs the same int threshold the
+        # Ray side computes); gram identity compares the gram STRINGS,
+        # which equals the Ray side's 64-bit gram-hash membership
+        # modulo sha256-prefix collisions (~1e-8 at this scale).
+        "decontam_ngrams": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     CASE WHEN TRIM(text) = '' THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(TRIM(text), '\\s+') END AS a
+              FROM documents),
+            ev AS (
+              SELECT doc_id FROM documents
+              WHERE CAST(('0x' || substr(sha256('7:' || CAST(doc_id AS VARCHAR)), 1, 16))
+                         AS UBIGINT) < CAST({int(0.02 * float(2**64))} AS UBIGINT)),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(generate_series(1, len(a) - 2),
+                                           i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS g
+              FROM base WHERE len(a) >= 3),
+            evg AS (SELECT DISTINCT g FROM grams
+                    WHERE doc_id IN (SELECT doc_id FROM ev))
+            SELECT doc_id, COUNT(*) AS n_shared_grams
+            FROM grams
+            WHERE doc_id NOT IN (SELECT doc_id FROM ev)
+              AND g IN (SELECT g FROM evg)
+            GROUP BY doc_id
+        """,
+        "quality_filter": """
+            WITH base AS (
+              SELECT doc_id,
+                     CASE WHEN TRIM(text) = '' THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(TRIM(text), '\\s+') END AS a
+              FROM documents),
+            dst AS (
+              SELECT doc_id, COUNT(DISTINCT tok) AS n_distinct
+              FROM (SELECT doc_id, unnest(a) AS tok FROM base) GROUP BY doc_id),
+            bg AS (
+              SELECT doc_id, MAX(c) AS top_bigram_n
+              FROM (SELECT doc_id, g, COUNT(*) AS c FROM
+                    (SELECT doc_id, unnest(list_transform(generate_series(1, len(a) - 1),
+                                                          i -> a[i] || ' ' || a[i+1])) AS g
+                     FROM base WHERE len(a) >= 2) GROUP BY doc_id, g)
+              GROUP BY doc_id),
+            rep AS (
+              SELECT b.doc_id, len(b.a) AS n_tokens,
+                     COALESCE(d.n_distinct, 0) AS n_distinct,
+                     COALESCE(g.top_bigram_n, 0) AS top_bigram_n
+              FROM base b LEFT JOIN dst d USING (doc_id) LEFT JOIN bg g USING (doc_id))
+            SELECT * FROM rep
+            WHERE n_tokens >= 20 AND n_tokens <= 100000
+              AND 100 * n_distinct >= 40 * n_tokens
+              AND 100 * top_bigram_n <= 8 * n_tokens
         """,
         # GRB media oracles: the container is magic + packed header +
         # raw bytes, so SQL replays the decoder with hex(payload) +

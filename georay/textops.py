@@ -1172,3 +1172,112 @@ def url_host_stats(pages: ray.data.Dataset):
     return per_lang.groupby("host").aggregate(
         Sum("n", alias_name="n_pages"), Count(alias_name="n_langs")
     )
+
+
+# ---------------------------------------------- decontamination / filtering
+
+
+def decontam_ngrams(
+    docs: ray.data.Dataset,
+    n: int = 3,
+    eval_fraction: float = 0.02,
+    seed: int = 7,
+):
+    """GPT-3-style decontamination screen (ref: the published appendix-C
+    procedure): flag every training document that shares at least one
+    word n-gram with a held-out eval split. Eval membership is the
+    deterministic sha256 hash split (the sampling module's form, which
+    DuckDB replays verbatim). The eval side is the FIXED benchmark set
+    — small by contract at any corpus scale — so its distinct gram-hash
+    set is reduced per batch, gathered once (bounded by the benchmark,
+    not the corpus), and broadcast via ray.put; the corpus-side pass is
+    then a shuffle-free sorted-array membership test (np.searchsorted)
+    per batch. The published n is 13; the default here is sized to the
+    synthetic corpus vocabulary.
+
+    Output: one row per CONTAMINATED train doc: doc_id, n_shared_grams
+    (distinct n-grams of the doc that appear anywhere in the eval set).
+    """
+    from georay.sampling import _hash_u64
+
+    thr = np.uint64(int(eval_fraction * float(2**64)))
+
+    def eval_grams(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        keep = _hash_u64(ids, seed) < thr
+        hs = [
+            word_shingles(txt or "", n)
+            for txt, k in zip(t["text"].to_pylist(), keep)
+            if k
+        ]
+        out = np.unique(np.concatenate(hs)) if hs else np.empty(0, np.uint64)
+        return pa.table({"h": pa.array(out, pa.uint64())})
+
+    parts = docs.map_batches(eval_grams, batch_format="pyarrow").take_all()
+    ev = np.unique(np.array([r["h"] for r in parts], dtype=np.uint64))
+    ev_ref = ray.put(ev)
+
+    class Screen:
+        def __init__(self):
+            self.ev = ray.get(ev_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_pylist()
+            train = _hash_u64(ids, seed) >= thr
+            out_id, out_n = [], []
+            ev_arr = self.ev
+            if len(ev_arr):
+                for did, txt, tr in zip(ids, t["text"].to_pylist(), train):
+                    if not tr:
+                        continue
+                    g = word_shingles(txt or "", n)
+                    if not len(g):
+                        continue
+                    pos = np.searchsorted(ev_arr, g)
+                    pos_c = np.minimum(pos, len(ev_arr) - 1)
+                    cnt = int(((pos < len(ev_arr)) & (ev_arr[pos_c] == g)).sum())
+                    if cnt:
+                        out_id.append(int(did))
+                        out_n.append(cnt)
+            return pa.table(
+                {
+                    "doc_id": pa.array(out_id, pa.int64()),
+                    "n_shared_grams": pa.array(out_n, pa.int64()),
+                }
+            )
+
+    return docs.map_batches(Screen, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def quality_filter(
+    docs: ray.data.Dataset,
+    min_tokens: int = 20,
+    max_tokens: int = 100000,
+    min_distinct_pct: int = 40,
+    max_top_bigram_pct: int = 8,
+):
+    """Gopher/C4-style document filter composed from the repetition
+    signals: keep docs with min_tokens <= n_tokens <= max_tokens,
+    distinct-token ratio >= min_distinct_pct% and top-bigram share
+    <= max_top_bigram_pct%. Ratio thresholds are integer
+    cross-multiplications (100*n_distinct >= pct*n_tokens) so the
+    output — and its oracle hash — stays float-free. Same shuffle-free
+    per-batch shape as doc_repetition.
+
+    Output: the surviving docs' doc_id, n_tokens, n_distinct,
+    top_bigram_n."""
+    rep = doc_repetition(docs)
+
+    def keep(t: pa.Table) -> pa.Table:
+        n = t["n_tokens"].to_numpy(zero_copy_only=False)
+        d = t["n_distinct"].to_numpy(zero_copy_only=False)
+        b = t["top_bigram_n"].to_numpy(zero_copy_only=False)
+        m = (
+            (n >= min_tokens)
+            & (n <= max_tokens)
+            & (100 * d >= min_distinct_pct * n)
+            & (100 * b <= max_top_bigram_pct * n)
+        )
+        return t.filter(pa.array(m))
+
+    return rep.map_batches(keep, batch_format="pyarrow")
