@@ -323,6 +323,50 @@ def _q_quality_filter(sf_dir):
     return quality_filter(_docs(sf_dir))
 
 
+def _q_pack_sequences(sf_dir):
+    """Distributed prefix-sum sequence packing: per-doc start offset in
+    the doc_id-ordered concatenated token stream + 4096-token shard id
+    (georay/packing.py)."""
+    from georay.packing import pack_sequences
+
+    return pack_sequences(_docs(sf_dir), budget=4096)
+
+
+def _q_stratified_sample(sf_dir):
+    """Per-language uniform sample of 20 docs (seeded sha256-prefix
+    priorities, per-group top-k partials; georay/sampling.py)."""
+    from georay.sampling import stratified_sample
+
+    return stratified_sample(
+        _docs(sf_dir).select_columns(["doc_id", "lang"]), 20, "lang", "doc_id", seed=7
+    )
+
+
+def _q_domain_mix(sf_dir):
+    """Weighted per-source Bernoulli downsample (even sources keep 75%,
+    odd 25%) — exact integer hash-threshold compare, shuffle-free."""
+    from georay.sampling import domain_mix
+
+    def weight_of(src: str) -> float:
+        return 0.75 if int(src[3:]) % 2 == 0 else 0.25
+
+    return domain_mix(
+        _docs(sf_dir).select_columns(["doc_id", "source"]),
+        weight_of,
+        "source",
+        "doc_id",
+        seed=11,
+    )
+
+
+def _q_tfidf_top_terms(sf_dir):
+    """Per-doc top-3 keywords by TF-IDF (vocab-bounded broadcast df
+    table + per-batch scoring; georay/textops.py)."""
+    from georay.textops import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(sf_dir), k=3)
+
+
 def _q_ann_topk(sf_dir):
     from georay.textops import ann_topk
 
@@ -571,6 +615,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_host_stats": _q_url_host_stats,
         "decontam_ngrams": _q_decontam_ngrams,
         "quality_filter": _q_quality_filter,
+        "pack_sequences": _q_pack_sequences,
+        "stratified_sample": _q_stratified_sample,
+        "domain_mix": _q_domain_mix,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "ann_topk": _q_ann_topk,
         "ann_topk_ivf": _q_ann_topk_ivf,
         "embedding_near_dups": _q_emb_near_dups,
@@ -1020,6 +1068,68 @@ def _oracle_sql_raw() -> dict[str, str]:
             WHERE n_tokens >= 20 AND n_tokens <= 100000
               AND 100 * n_distinct >= 40 * n_tokens
               AND 100 * top_bigram_n <= 8 * n_tokens
+        """,
+        # sequence packing: the window prefix sum IS the distributed
+        # scan's contract (SUM over BIGINT goes HUGEINT in DuckDB ->
+        # cast back)
+        "pack_sequences": """
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN TRIM(text) = '' THEN 0
+                          ELSE LEN(regexp_split_to_array(TRIM(text), '\\s+'))
+                     END AS n_tokens
+              FROM documents),
+            s AS (
+              SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                     CAST(COALESCE(SUM(n_tokens) OVER (
+                        ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS start_offset
+              FROM t)
+            SELECT doc_id, n_tokens, start_offset,
+                   start_offset // 4096 AS shard_id
+            FROM s
+        """,
+        "stratified_sample": """
+            SELECT lang, doc_id FROM (
+              SELECT lang, doc_id,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY CAST(('0x' || substr(sha256('7:' || CAST(doc_id AS VARCHAR)), 1, 16))
+                                     AS UBIGINT) >> 1, doc_id) AS rn
+              FROM documents)
+            WHERE rn <= 20
+        """,
+        # thresholds are floor(w * 2^64) as exact UBIGINT literals
+        # (0.75 and 0.25 are dyadic, so the floats are exact)
+        "domain_mix": """
+            SELECT doc_id, source FROM documents
+            WHERE CAST(('0x' || substr(sha256('11:' || CAST(doc_id AS VARCHAR)), 1, 16))
+                       AS UBIGINT)
+                  < CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+                         THEN CAST('13835058055282163712' AS UBIGINT)
+                         ELSE CAST('4611686018427387904' AS UBIGINT) END
+        """,
+        # same float op order as the engine: ln(CAST(n AS DOUBLE)/df)
+        # first, then * tf, then round 6 — ranking on the rounded score
+        "tfidf_top_terms": """
+            WITH t AS (SELECT doc_id, TRIM(text) AS tt FROM documents),
+            words AS (
+              SELECT doc_id, UNNEST(regexp_split_to_array(tt, '\\s+')) AS term
+              FROM t WHERE tt <> ''),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+            df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY 1),
+            nd AS (SELECT COUNT(*) AS n FROM documents),
+            sc AS (
+              SELECT f.doc_id, f.term,
+                     ROUND(f.tf * ln(CAST(nd.n AS DOUBLE) / d.df), 6) AS tfidf
+              FROM tf f JOIN df d USING (term) CROSS JOIN nd),
+            r AS (
+              SELECT doc_id, term, tfidf,
+                     row_number() OVER (
+                       PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+              FROM sc)
+            SELECT doc_id, term, tfidf FROM r WHERE rn <= 3
         """,
         # GRB media oracles: the container is magic + packed header +
         # raw bytes, so SQL replays the decoder with hex(payload) +

@@ -82,6 +82,72 @@ def sample_without_replacement(
     return partials.sort("__prio").limit(k).drop_columns(["__prio"])
 
 
+def stratified_sample(
+    ds: ray.data.Dataset, k: int, group_col: str, key_col: str, seed: int = 42
+) -> ray.data.Dataset:
+    """Per-group uniform sample without replacement: the k smallest
+    priorities WITHIN each group (the balanced-per-language /
+    per-source sample a training-mix pipeline draws). Each batch emits
+    only its local per-group top-k partial, so the shuffle sees at
+    most k rows per (batch, group) — never the input; the final top-k
+    runs per group in one vectorized ``map_groups`` call. Deterministic
+    (seeded hash priorities), so SQL-oracle-expressible via
+    row_number() over (partition by group order by hash)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        prio = (_hash_u64(t[key_col].to_pylist(), seed) >> 1).astype(np.int64)
+        t = t.append_column("__prio", pa.array(prio, pa.int64()))
+        groups = t[group_col].to_numpy(zero_copy_only=False)
+        # sort by (group, prio); first k rows of each group run = the
+        # group's local top-k
+        codes = np.unique(groups, return_inverse=True)[1]
+        order = np.lexsort((prio, codes))
+        rank_in_group = np.arange(len(order)) - np.concatenate(
+            ([0], np.cumsum(np.bincount(codes)))
+        )[codes[order]]
+        return t.take(order[rank_in_group < k])
+
+    def finish(g: pa.Table) -> pa.Table:
+        prio = g["__prio"].to_numpy(zero_copy_only=False)
+        top = np.argsort(prio, kind="stable")[:k]
+        return g.take(np.sort(top)).drop_columns(["__prio"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
+def domain_mix(
+    ds: ray.data.Dataset,
+    weight_of,
+    group_col: str,
+    key_col: str,
+    seed: int = 42,
+) -> ray.data.Dataset:
+    """Weighted per-domain Bernoulli downsampling — the corpus-mixing
+    step of a training pipeline (keep 75% of one source, 25% of
+    another). ``weight_of(group_value) -> float in [0,1]``; a row is
+    kept iff hash64('{seed}:{key}') < floor(weight * 2**64) — an EXACT
+    integer compare, no float rounding at the boundary, so the SQL
+    oracle replays it bit-for-bit. Pure per-batch filter: no shuffle,
+    no state, streams at any scale. Thresholds are computed once per
+    distinct group value per batch (np.unique), not per row."""
+
+    def f(t: pa.Table) -> pa.Table:
+        u = _hash_u64(t[key_col].to_pylist(), seed)
+        groups = t[group_col].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(groups, return_inverse=True)
+        thresh = np.array(
+            [min(int(weight_of(g) * (1 << 64)), (1 << 64) - 1) for g in uniq],
+            dtype=np.uint64,
+        )
+        return t.filter(pa.array(u < thresh[inv]))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def split_sample(
     ds: ray.data.Dataset, fraction: float, key_col: str, seed: int = 42
 ) -> ray.data.Dataset:

@@ -1281,3 +1281,75 @@ def quality_filter(
         return t.filter(pa.array(m))
 
     return rep.map_batches(keep, batch_format="pyarrow")
+
+
+def tfidf_top_terms(docs: ray.data.Dataset, k: int = 3):
+    """Per-document top-k keyword extraction by TF-IDF: tf = term
+    count within the doc, df = number of docs containing the term,
+    score = tf * ln(n_docs / df), rounded to 6 decimals (so the DuckDB
+    oracle's ln replays the float hash). Ranking is (score DESC, term
+    ASC) per doc.
+
+    Shape: the df table is built from per-batch partials (one row per
+    (batch, distinct term) — never one per token) and is vocab-
+    bounded, so it broadcasts via ray.put like every other small dim
+    side in this repo (above a byte budget the same postings shape
+    would bucket by term hash instead — see relational.dim_side for
+    the gate pattern). Scoring is then a pure per-batch pass: each
+    doc's tokens never leave its batch, so the corpus itself is
+    scanned exactly twice and shuffled zero times.
+    """
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        terms: list = []
+        for t in batch["text"].to_pylist():
+            terms.extend(set(tokenize(t or "")))
+        if not terms:
+            return pa.table(
+                {"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+            )
+        uniq, counts = np.unique(np.asarray(terms, dtype=object), return_counts=True)
+        return pa.table(
+            {
+                "term": pa.array(uniq.tolist(), pa.string()),
+                "df": pa.array(counts, pa.int64()),
+            }
+        )
+
+    df_tbl = (
+        docs.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()
+    )
+    n_docs = int(docs.count())
+    terms_all = df_tbl["term"].to_numpy()
+    order = np.argsort(terms_all, kind="stable")
+    terms_sorted = terms_all[order]
+    dfs_sorted = df_tbl["df"].to_numpy()[order].astype(np.float64)
+    handle = ray.put((terms_sorted, np.log(n_docs / dfs_sorted)))
+
+    def score(batch: pa.Table) -> pa.Table:
+        ts, idf = ray.get(handle)
+        out_id: list = []
+        out_term: list = []
+        out_score: list = []
+        for doc_id, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            toks = tokenize(t or "")
+            if not toks:
+                continue
+            uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+            sc = np.round(counts * idf[np.searchsorted(ts, uniq)], 6)
+            top = np.lexsort((uniq, -sc))[:k]
+            out_id.extend([doc_id] * len(top))
+            out_term.extend(uniq[top].tolist())
+            out_score.extend(sc[top].tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "term": pa.array(out_term, pa.string()),
+                "tfidf": pa.array(out_score, pa.float64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")

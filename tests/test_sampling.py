@@ -78,3 +78,72 @@ def test_split_sample_disjoint_and_complete(ds):
     assert abs(len(a) - 3000) < 200  # ~binomial(10000, 0.3)
     # determinism: re-running yields the identical split
     assert a == set(_ids(split_sample(ds, 0.3, "id", seed=11)))
+
+
+# ------------------------------------------------- stratified / domain mix
+
+
+@pytest.fixture(scope="module")
+def grouped_ds(ray_session):
+    import ray.data
+
+    t = pa.table(
+        {
+            "id": pa.array(range(5_000), pa.int64()),
+            "grp": pa.array(["g%d" % (i % 4) for i in range(5_000)], pa.string()),
+        }
+    )
+    return ray.data.from_arrow(t)
+
+
+def test_stratified_sample_k_per_group(grouped_ds):
+    from georay.sampling import stratified_sample
+
+    out = stratified_sample(grouped_ds, 25, "grp", "id", seed=7).to_pandas()
+    sizes = out.groupby("grp").size()
+    assert set(sizes.index) == {"g0", "g1", "g2", "g3"}
+    assert (sizes == 25).all()
+    # membership respects the group column
+    assert (out["id"].to_numpy() % 4 == out["grp"].str[1:].astype(int)).all()
+
+
+def test_stratified_sample_partition_invariant(grouped_ds):
+    from georay.sampling import stratified_sample
+
+    a = stratified_sample(grouped_ds, 10, "grp", "id", seed=7).to_pandas()
+    b = stratified_sample(
+        grouped_ds.repartition(37), 10, "grp", "id", seed=7
+    ).to_pandas()
+    key = lambda d: sorted(map(tuple, d[["grp", "id"]].to_numpy()))
+    assert key(a) == key(b)
+
+
+def test_stratified_sample_small_group_returns_all(ray_session):
+    import ray.data
+
+    from georay.sampling import stratified_sample
+
+    t = pa.table(
+        {
+            "id": pa.array(range(30), pa.int64()),
+            "grp": pa.array(["a"] * 3 + ["b"] * 27, pa.string()),
+        }
+    )
+    out = stratified_sample(ray.data.from_arrow(t), 10, "grp", "id").to_pandas()
+    sizes = out.groupby("grp").size()
+    assert sizes["a"] == 3 and sizes["b"] == 10
+
+
+def test_domain_mix_fraction_and_determinism(grouped_ds):
+    from georay.sampling import domain_mix
+
+    w = {"g0": 1.0, "g1": 0.5, "g2": 0.0, "g3": 0.25}
+    run = lambda ds: domain_mix(ds, w.__getitem__, "grp", "id", seed=11).to_pandas()
+    a = run(grouped_ds)
+    b = run(grouped_ds.repartition(13))
+    assert sorted(a["id"]) == sorted(b["id"])
+    sizes = a.groupby("grp").size()
+    assert sizes.get("g2", 0) == 0  # weight 0 keeps nothing
+    assert sizes["g0"] == 1250  # weight 1 keeps everything
+    assert abs(sizes["g1"] / 1250 - 0.5) < 0.06
+    assert abs(sizes["g3"] / 1250 - 0.25) < 0.06

@@ -100,3 +100,40 @@ def test_quality_filter_rules(ray_session):
     rows = textops.quality_filter(ray.data.from_arrow(t)).take_all()
     assert [r["doc_id"] for r in rows] == [0]
     assert rows[0]["n_tokens"] == 30 and rows[0]["n_distinct"] == 30
+
+
+def test_tfidf_top_terms_closed_form(ray_session):
+    import math
+
+    import ray.data
+
+    from georay.textops import tfidf_top_terms
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                ["apple apple banana", "banana cherry", "cherry cherry cherry", ""],
+                pa.string(),
+            ),
+        }
+    )
+    out = (
+        tfidf_top_terms(ray.data.from_arrow(t), k=2)
+        .to_pandas()
+        .sort_values(["doc_id", "tfidf"], ascending=[True, False])
+        .reset_index(drop=True)
+    )
+    # n_docs=4 (the empty doc counts toward the corpus size);
+    # df: apple=1, banana=2, cherry=2
+    def s(tf, df):
+        return round(tf * math.log(4 / df), 6)
+
+    rows = list(map(tuple, out[["doc_id", "term", "tfidf"]].to_numpy()))
+    assert rows == [
+        (0, "apple", s(2, 1)),
+        (0, "banana", s(1, 2)),
+        (1, "banana", s(1, 2)),
+        (1, "cherry", s(1, 2)),
+        (2, "cherry", s(3, 2)),
+    ]
