@@ -359,6 +359,15 @@ def _q_domain_mix(sf_dir):
     )
 
 
+def _q_dedup_clusters(sf_dir):
+    """Near-dup CLUSTER ids: MinHash+LSH pairs -> distributed connected
+    components (BSP min-label propagation with pointer doubling;
+    georay/graph.py). cluster_id = min doc_id of the component."""
+    from georay.graph import dedup_clusters
+
+    return dedup_clusters(_docs(sf_dir))
+
+
 def _q_tfidf_top_terms(sf_dir):
     """Per-doc top-3 keywords by TF-IDF (vocab-bounded broadcast df
     table + per-batch scoring; georay/textops.py)."""
@@ -619,6 +628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "domain_mix": _q_domain_mix,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "dedup_clusters": _q_dedup_clusters,
         "ann_topk": _q_ann_topk,
         "ann_topk_ivf": _q_ann_topk_ivf,
         "embedding_near_dups": _q_emb_near_dups,
@@ -1068,6 +1078,24 @@ def _oracle_sql_raw() -> dict[str, str]:
             WHERE n_tokens >= 20 AND n_tokens <= 100000
               AND 100 * n_distinct >= 40 * n_tokens
               AND 100 * top_bigram_n <= 8 * n_tokens
+        """,
+        # connected components over the near-dup pair graph: the LSH
+        # pair set equals the exact-Jaccard pair set at this scale (see
+        # minhash_near_dups), so the oracle computes reachability
+        # closure over the exact pairs with a recursive CTE and takes
+        # the per-node minimum
+        "dedup_clusters": f"""
+            WITH RECURSIVE
+            pairs AS (SELECT a, b FROM ({_EXACT_JACCARD_SQL})),
+            e AS (SELECT a AS u, b AS v FROM pairs
+                  UNION ALL SELECT b, a FROM pairs),
+            walk (node, reach) AS (
+              SELECT u, u FROM e
+              UNION
+              SELECT w.node, e.v FROM walk w JOIN e ON e.u = w.reach
+            )
+            SELECT node AS doc_id, MIN(reach) AS cluster_id
+            FROM walk GROUP BY node
         """,
         # sequence packing: the window prefix sum IS the distributed
         # scan's contract (SUM over BIGINT goes HUGEINT in DuckDB ->
