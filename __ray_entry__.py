@@ -359,6 +359,14 @@ def _q_domain_mix(sf_dir):
     )
 
 
+def _q_unigram_logprob(sf_dir):
+    """Per-doc log-prob under the corpus unigram LM, in integer
+    micro-nats (order-independent int64 sums; georay/textops.py)."""
+    from georay.textops import unigram_logprob
+
+    return unigram_logprob(_docs(sf_dir))
+
+
 def _q_dedup_clusters(sf_dir):
     """Near-dup CLUSTER ids: MinHash+LSH pairs -> distributed connected
     components (BSP min-label propagation with pointer doubling;
@@ -629,6 +637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_mix": _q_domain_mix,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "dedup_clusters": _q_dedup_clusters,
+        "unigram_logprob": _q_unigram_logprob,
         "ann_topk": _q_ann_topk,
         "ann_topk_ivf": _q_ann_topk_ivf,
         "embedding_near_dups": _q_emb_near_dups,
@@ -1078,6 +1087,30 @@ def _oracle_sql_raw() -> dict[str, str]:
             WHERE n_tokens >= 20 AND n_tokens <= 100000
               AND 100 * n_distinct >= 40 * n_tokens
               AND 100 * top_bigram_n <= 8 * n_tokens
+        """,
+        # unigram LM scoring: token log-probs quantized half-up to
+        # integer micro-nats on BOTH sides, per-doc scores are exact
+        # int64 sums (no float accumulation order in the hash)
+        "unigram_logprob": """
+            WITH t AS (SELECT doc_id, TRIM(text) AS tt FROM documents),
+            words AS (
+              SELECT doc_id, UNNEST(regexp_split_to_array(tt, '\\s+')) AS w
+              FROM t WHERE tt <> ''),
+            cnt AS (SELECT w, COUNT(*) AS n FROM words GROUP BY w),
+            tot AS (SELECT SUM(n) AS total FROM cnt),
+            lp AS (SELECT w,
+                          CAST(floor(ln(CAST(n AS DOUBLE) / total) * 1000000 + 0.5)
+                               AS BIGINT) AS unats
+                   FROM cnt CROSS JOIN tot),
+            per_doc AS (
+              SELECT words.doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                     CAST(SUM(lp.unats) AS BIGINT) AS logprob_unats
+              FROM words JOIN lp ON words.w = lp.w GROUP BY words.doc_id)
+            SELECT d.doc_id,
+                   COALESCE(p.n_tokens, 0) AS n_tokens,
+                   COALESCE(p.logprob_unats, 0) AS logprob_unats
+            FROM documents d LEFT JOIN per_doc p USING (doc_id)
         """,
         # connected components over the near-dup pair graph: the LSH
         # pair set equals the exact-Jaccard pair set at this scale (see

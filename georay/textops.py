@@ -1353,3 +1353,77 @@ def tfidf_top_terms(docs: ray.data.Dataset, k: int = 3):
         )
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+def unigram_logprob(docs: ray.data.Dataset):
+    """Per-doc log-probability under the corpus's own unigram LM — the
+    model-free "perplexity" quality filter of a training pipeline
+    (docs far less likely than the corpus average are boilerplate or
+    noise). Two passes, zero corpus shuffles:
+
+      1. global word counts via per-batch np.unique partials (the
+         top_words shape) + the total token count — a vocab-bounded
+         table, broadcast once via ray.put;
+      2. per-batch scoring: logprob(doc) = sum over tokens of
+         ln(count(w) / total).
+
+    Token log-probs are quantized to integer MICRO-NATS
+    (floor(ln(p) * 1e6 + 0.5), half-up so DuckDB's arithmetic
+    replays it), and the per-doc score is an int64 sum — exact and
+    summation-order-independent, so the oracle hash never touches a
+    float accumulation order.
+
+    Output: (doc_id, n_tokens, logprob_unats); mean per-token quality
+    = logprob_unats / n_tokens / 1e6 nats."""
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        toks: list = []
+        for t in batch["text"].to_pylist():
+            toks.extend(tokenize(t or ""))
+        if not toks:
+            return pa.table(
+                {"word": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        return pa.table(
+            {
+                "word": pa.array(uniq.tolist(), pa.string()),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    counts = (
+        docs.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    total = int(counts["n"].sum())
+    words = counts["word"].to_numpy()
+    order = np.argsort(words, kind="stable")
+    words_sorted = words[order]
+    n_sorted = counts["n"].to_numpy()[order].astype(np.float64)
+    lp_unats = np.floor(np.log(n_sorted / total) * 1e6 + 0.5).astype(np.int64)
+    handle = ray.put((words_sorted, lp_unats))
+
+    def score(batch: pa.Table) -> pa.Table:
+        ws, lp = ray.get(handle)
+        out_id, out_n, out_lp = [], [], []
+        for doc_id, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            toks = tokenize(t or "")
+            out_id.append(doc_id)
+            out_n.append(len(toks))
+            if toks:
+                idx = np.searchsorted(ws, np.asarray(toks, dtype=object))
+                out_lp.append(int(lp[idx].sum()))
+            else:
+                out_lp.append(0)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "n_tokens": pa.array(out_n, pa.int64()),
+                "logprob_unats": pa.array(out_lp, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")

@@ -137,3 +137,28 @@ def test_tfidf_top_terms_closed_form(ray_session):
         (1, "cherry", s(1, 2)),
         (2, "cherry", s(3, 2)),
     ]
+
+
+def test_unigram_logprob_closed_form(ray_session):
+    import math
+
+    import ray.data
+
+    from georay.textops import unigram_logprob
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["a a b", "b c", ""], pa.string()),
+        }
+    )
+    out = (
+        unigram_logprob(ray.data.from_arrow(t))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # counts: a=2, b=2, c=1; total=5
+    u = lambda n: math.floor(math.log(n / 5) * 1e6 + 0.5)
+    assert out["n_tokens"].tolist() == [3, 2, 0]
+    assert out["logprob_unats"].tolist() == [2 * u(2) + u(2), u(2) + u(1), 0]
