@@ -359,6 +359,19 @@ def _q_domain_mix(sf_dir):
     )
 
 
+def _q_doc_rank_ntile(sf_dir):
+    """Exact global row_number + NTILE(10) over (n_chars, doc_id) —
+    distributed rank via histogram range buckets (georay/rank.py)."""
+    from georay.rank import rank_by
+
+    return rank_by(
+        _docs(sf_dir).select_columns(["doc_id", "n_chars"]),
+        "n_chars",
+        "doc_id",
+        ntile=10,
+    )
+
+
 def _q_unigram_logprob(sf_dir):
     """Per-doc log-prob under the corpus unigram LM, in integer
     micro-nats (order-independent int64 sums; georay/textops.py)."""
@@ -638,6 +651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "dedup_clusters": _q_dedup_clusters,
         "unigram_logprob": _q_unigram_logprob,
+        "doc_rank_ntile": _q_doc_rank_ntile,
         "ann_topk": _q_ann_topk,
         "ann_topk_ivf": _q_ann_topk_ivf,
         "embedding_near_dups": _q_emb_near_dups,
@@ -1087,6 +1101,12 @@ def _oracle_sql_raw() -> dict[str, str]:
             WHERE n_tokens >= 20 AND n_tokens <= 100000
               AND 100 * n_distinct >= 40 * n_tokens
               AND 100 * top_bigram_n <= 8 * n_tokens
+        """,
+        "doc_rank_ntile": """
+            SELECT doc_id, n_chars,
+                   row_number() OVER (ORDER BY n_chars, doc_id) AS rnk,
+                   NTILE(10) OVER (ORDER BY n_chars, doc_id) AS ntile_10
+            FROM documents
         """,
         # unigram LM scoring: token log-probs quantized half-up to
         # integer micro-nats on BOTH sides, per-doc scores are exact
