@@ -359,6 +359,14 @@ def _q_domain_mix(sf_dir):
     )
 
 
+def _q_pmi_collocations(sf_dir):
+    """Top-20 bigram collocations by PMI (integer micro-nats;
+    georay/textops.py)."""
+    from georay.textops import pmi_collocations
+
+    return pmi_collocations(_docs(sf_dir), k=20, min_count=5)
+
+
 def _q_doc_rank_ntile(sf_dir):
     """Exact global row_number + NTILE(10) over (n_chars, doc_id) —
     distributed rank via histogram range buckets (georay/rank.py)."""
@@ -652,6 +660,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": _q_dedup_clusters,
         "unigram_logprob": _q_unigram_logprob,
         "doc_rank_ntile": _q_doc_rank_ntile,
+        "pmi_collocations": _q_pmi_collocations,
         "ann_topk": _q_ann_topk,
         "ann_topk_ivf": _q_ann_topk_ivf,
         "embedding_near_dups": _q_emb_near_dups,
@@ -1101,6 +1110,35 @@ def _oracle_sql_raw() -> dict[str, str]:
             WHERE n_tokens >= 20 AND n_tokens <= 100000
               AND 100 * n_distinct >= 40 * n_tokens
               AND 100 * top_bigram_n <= 8 * n_tokens
+        """,
+        # PMI in integer micro-nats, same float op order as the engine:
+        # (n_ab/N_bi) / ((n_a/N_uni)*(n_b/N_uni)), ln, *1e6, half-up
+        "pmi_collocations": """
+            WITH t AS (SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS w
+                       FROM documents WHERE TRIM(text) <> ''),
+            words AS (SELECT doc_id, i, w[i+1] AS tok
+                      FROM t, UNNEST(range(len(w))) AS u(i)),
+            uni AS (SELECT tok, COUNT(*) AS n FROM words GROUP BY tok),
+            nu AS (SELECT CAST(SUM(n) AS DOUBLE) AS n_uni FROM uni),
+            big AS (SELECT a.tok AS ta, b.tok AS tb,
+                           a.tok || ' ' || b.tok AS bigram
+                    FROM words a JOIN words b
+                      ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+            bc AS (SELECT bigram, MIN(ta) AS ta, MIN(tb) AS tb, COUNT(*) AS n
+                   FROM big GROUP BY bigram HAVING COUNT(*) >= 5),
+            nb AS (SELECT CAST(SUM(n) AS DOUBLE) AS n_bi
+                   FROM (SELECT COUNT(*) AS n FROM big GROUP BY bigram)),
+            sc AS (SELECT bc.bigram, CAST(bc.n AS BIGINT) AS n,
+                          CAST(floor(ln((CAST(bc.n AS DOUBLE) / nb.n_bi) /
+                                        ((CAST(ua.n AS DOUBLE) / nu.n_uni) *
+                                         (CAST(ub.n AS DOUBLE) / nu.n_uni)))
+                                     * 1000000 + 0.5) AS BIGINT) AS pmi_unats
+                   FROM bc
+                   JOIN uni ua ON ua.tok = bc.ta
+                   JOIN uni ub ON ub.tok = bc.tb
+                   CROSS JOIN nu CROSS JOIN nb)
+            SELECT bigram, n, pmi_unats FROM sc
+            ORDER BY pmi_unats DESC, bigram LIMIT 20
         """,
         "doc_rank_ntile": """
             SELECT doc_id, n_chars,

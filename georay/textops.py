@@ -1427,3 +1427,103 @@ def unigram_logprob(docs: ray.data.Dataset):
         )
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+def pmi_collocations(docs: ray.data.Dataset, k: int = 20, min_count: int = 5):
+    """Top-k word-bigram collocations by pointwise mutual information:
+    PMI(a,b) = ln( (n_ab / N_bi) / ((n_a / N_uni) * (n_b / N_uni)) ),
+    over corpus-level counts, keeping bigrams with n_ab >= min_count.
+    The "find multiword expressions" pass of corpus analysis.
+
+    Shape: bigram and unigram counts are per-batch np.unique partials
+    (one row per (batch, distinct gram) — the top_words shape) merged
+    by ONE groupby each; the vocab-bounded unigram table broadcasts
+    via ray.put into a map over the aggregated bigram table (which is
+    itself vocab²-bounded but already reduced — never per-token).
+    Scores quantize to integer MICRO-NATS (floor(x*1e6 + 0.5), the
+    unigram_logprob convention) so ranking and the oracle hash are
+    float-accumulation-free; final order (pmi_unats DESC, bigram ASC).
+    """
+
+    def grams(batch: pa.Table):
+        uni: list = []
+        bi: list = []
+        for t in batch["text"].to_pylist():
+            toks = tokenize(t or "")
+            uni.extend(toks)
+            bi.extend(
+                [toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)]
+            )
+        return uni, bi
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        uni, _ = grams(batch)
+        if not uni:
+            return pa.table(
+                {"word": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        u, c = np.unique(np.asarray(uni, dtype=object), return_counts=True)
+        return pa.table(
+            {"word": pa.array(u.tolist(), pa.string()), "n": pa.array(c, pa.int64())}
+        )
+
+    def bi_partial(batch: pa.Table) -> pa.Table:
+        _, bi = grams(batch)
+        if not bi:
+            return pa.table(
+                {"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        u, c = np.unique(np.asarray(bi, dtype=object), return_counts=True)
+        return pa.table(
+            {"bigram": pa.array(u.tolist(), pa.string()), "n": pa.array(c, pa.int64())}
+        )
+
+    uni_tbl = (
+        docs.map_batches(uni_partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    n_uni = int(uni_tbl["n"].sum())
+    w = uni_tbl["word"].to_numpy()
+    order = np.argsort(w, kind="stable")
+    uni_h = ray.put((w[order], uni_tbl["n"].to_numpy()[order].astype(np.float64)))
+
+    bi_ds = (
+        docs.map_batches(bi_partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    # N_bi = N_uni - (#docs with >=1 token): compute exactly from the
+    # aggregated tables rather than a third corpus pass
+    n_bi = int(bi_ds.sum("n"))
+
+    def score(t: pa.Table) -> pa.Table:
+        ws, cnts = ray.get(uni_h)
+        bg = t["bigram"].to_numpy(zero_copy_only=False)
+        n_ab = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = n_ab >= min_count
+        bg, n_ab = bg[keep], n_ab[keep]
+        if len(bg) == 0:
+            return pa.table(
+                {
+                    "bigram": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "pmi_unats": pa.array([], pa.int64()),
+                }
+            )
+        parts = np.array([b.split(" ") for b in bg], dtype=object)
+        na = cnts[np.searchsorted(ws, parts[:, 0])]
+        nb = cnts[np.searchsorted(ws, parts[:, 1])]
+        pmi = np.log((n_ab / n_bi) / ((na / n_uni) * (nb / n_uni)))
+        unats = np.floor(pmi * 1e6 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "bigram": pa.array(bg.tolist(), pa.string()),
+                "n": pa.array(n_ab.astype(np.int64), pa.int64()),
+                "pmi_unats": pa.array(unats, pa.int64()),
+            }
+        )
+
+    scored = bi_ds.map_batches(score, batch_format="pyarrow")
+    return scored.sort(["pmi_unats", "bigram"], descending=[True, False]).limit(k)

@@ -162,3 +162,34 @@ def test_unigram_logprob_closed_form(ray_session):
     u = lambda n: math.floor(math.log(n / 5) * 1e6 + 0.5)
     assert out["n_tokens"].tolist() == [3, 2, 0]
     assert out["logprob_unats"].tolist() == [2 * u(2) + u(2), u(2) + u(1), 0]
+
+
+def test_pmi_collocations_closed_form(ray_session):
+    import math
+
+    import ray.data
+
+    from georay.textops import pmi_collocations
+
+    # "x y" always co-occurs (8 times); fillers break other pairings
+    texts = ["x y a%d" % i for i in range(8)] + ["a%d b c" % i for i in range(4)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = (
+        pmi_collocations(ray.data.from_arrow(t), k=5, min_count=4)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    # unigrams: x=8, y=8, b=4, c=4, a0..a7 = 2 or 1...; bigrams with n>=4: "x y"=8, "b c"=4
+    n_uni = sum(len(s.split()) for s in texts)
+    n_bi = sum(len(s.split()) - 1 for s in texts)
+    u = lambda nab, na, nb: math.floor(
+        math.log((nab / n_bi) / ((na / n_uni) * (nb / n_uni))) * 1e6 + 0.5
+    )
+    rows = list(map(tuple, out[["bigram", "n", "pmi_unats"]].to_numpy()))
+    assert ("x y", 8, u(8, 8, 8)) in rows and ("b c", 4, u(4, 4, 4)) in rows
+    assert len(rows) == 2  # nothing else reaches min_count
