@@ -81,11 +81,17 @@ def connected_components(
     n_parts = max(2, min(2 * cpus, ebi.num_blocks()))
 
     def init_labels(t: pa.Table) -> pa.Table:
-        nodes = np.unique(t["src"].to_numpy(zero_copy_only=False))
+        # fused first superstep: label(x) = min(x, neighbors(x)) comes
+        # straight out of the edge rows ((dst, src) pairs plus the
+        # self-label), so the loop below starts one propagation round
+        # ahead — for the common near-dup case (pair/star clusters)
+        # that is already the fixed point and the loop only confirms it
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "node": pa.array(nodes, pa.int64()),
-                "label": pa.array(nodes, pa.int64()),
+                "node": pa.array(np.concatenate([dst, src]), pa.int64()),
+                "label": pa.array(np.concatenate([src, src]), pa.int64()),
             }
         )
 
