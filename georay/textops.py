@@ -1445,7 +1445,10 @@ def pmi_collocations(docs: ray.data.Dataset, k: int = 20, min_count: int = 5):
     float-accumulation-free; final order (pmi_unats DESC, bigram ASC).
     """
 
-    def grams(batch: pa.Table):
+    def gram_partial(batch: pa.Table) -> pa.Table:
+        # ONE tokenization pass emits a tagged gram stream (kind 0 =
+        # unigram, 1 = bigram); a single groupby then merges both
+        # count tables in one shuffle instead of two corpus passes
         uni: list = []
         bi: list = []
         for t in batch["text"].to_pylist():
@@ -1454,45 +1457,42 @@ def pmi_collocations(docs: ray.data.Dataset, k: int = 20, min_count: int = 5):
             bi.extend(
                 [toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)]
             )
-        return uni, bi
-
-    def uni_partial(batch: pa.Table) -> pa.Table:
-        uni, _ = grams(batch)
-        if not uni:
-            return pa.table(
-                {"word": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
-            )
-        u, c = np.unique(np.asarray(uni, dtype=object), return_counts=True)
+        grams_all: list = []
+        kinds: list = []
+        counts: list = []
+        for vals, kind in ((uni, 0), (bi, 1)):
+            if vals:
+                u, c = np.unique(np.asarray(vals, dtype=object), return_counts=True)
+                grams_all.extend(u.tolist())
+                kinds.extend([kind] * len(u))
+                counts.extend(c.tolist())
         return pa.table(
-            {"word": pa.array(u.tolist(), pa.string()), "n": pa.array(c, pa.int64())}
+            {
+                "gram": pa.array(grams_all, pa.string()),
+                "kind": pa.array(kinds, pa.int8()),
+                "n": pa.array(counts, pa.int64()),
+            }
         )
 
-    def bi_partial(batch: pa.Table) -> pa.Table:
-        _, bi = grams(batch)
-        if not bi:
-            return pa.table(
-                {"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
-            )
-        u, c = np.unique(np.asarray(bi, dtype=object), return_counts=True)
-        return pa.table(
-            {"bigram": pa.array(u.tolist(), pa.string()), "n": pa.array(c, pa.int64())}
-        )
-
-    uni_tbl = (
-        docs.map_batches(uni_partial, batch_format="pyarrow")
-        .groupby("word")
+    counted = (
+        docs.map_batches(gram_partial, batch_format="pyarrow")
+        .groupby(["kind", "gram"])
         .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()
+        .materialize()  # two consumers (uni table + bigram stream)
     )
+    uni_tbl = counted.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], 0)).select(["gram", "n"]),
+        batch_format="pyarrow",
+    ).to_pandas()
     n_uni = int(uni_tbl["n"].sum())
-    w = uni_tbl["word"].to_numpy()
+    w = uni_tbl["gram"].to_numpy()
     order = np.argsort(w, kind="stable")
     uni_h = ray.put((w[order], uni_tbl["n"].to_numpy()[order].astype(np.float64)))
 
-    bi_ds = (
-        docs.map_batches(bi_partial, batch_format="pyarrow")
-        .groupby("bigram")
-        .aggregate(Sum("n", alias_name="n"))
+    bi_ds = counted.map_batches(
+        lambda t: pa.table({"bigram": t.filter(pc.equal(t["kind"], 1))["gram"],
+                            "n": t.filter(pc.equal(t["kind"], 1))["n"]}),
+        batch_format="pyarrow",
     )
     # N_bi = N_uni - (#docs with >=1 token): compute exactly from the
     # aggregated tables rather than a third corpus pass
