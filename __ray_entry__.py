@@ -359,6 +359,20 @@ def _q_domain_mix(sf_dir):
     )
 
 
+def _q_curriculum_pack(sf_dir):
+    """Curriculum pipeline composition: unigram-LM score -> global
+    rank by (logprob_unats, doc_id) -> prefix-sum packing of the
+    rank-ordered token stream into 4096-token shards (textops ->
+    rank.rank_by -> packing.pack_by_rank)."""
+    from georay.packing import pack_by_rank
+    from georay.rank import rank_by
+    from georay.textops import unigram_logprob
+
+    scored = unigram_logprob(_docs(sf_dir))
+    ranked = rank_by(scored, "logprob_unats", "doc_id")
+    return pack_by_rank(ranked, budget=4096)
+
+
 def _q_pmi_collocations(sf_dir):
     """Top-20 bigram collocations by PMI (integer micro-nats;
     georay/textops.py)."""
@@ -661,6 +675,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob": _q_unigram_logprob,
         "doc_rank_ntile": _q_doc_rank_ntile,
         "pmi_collocations": _q_pmi_collocations,
+        "curriculum_pack": _q_curriculum_pack,
         "ann_topk": _q_ann_topk,
         "ann_topk_ivf": _q_ann_topk_ivf,
         "embedding_near_dups": _q_emb_near_dups,
@@ -712,6 +727,29 @@ def _oracle_sf_dir() -> str:
     import os
 
     return os.environ.get("GEORAY_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+_UNIGRAM_LM_SQL = """
+            WITH t AS (SELECT doc_id, TRIM(text) AS tt FROM documents),
+            words AS (
+              SELECT doc_id, UNNEST(regexp_split_to_array(tt, '\\s+')) AS w
+              FROM t WHERE tt <> ''),
+            cnt AS (SELECT w, COUNT(*) AS n FROM words GROUP BY w),
+            tot AS (SELECT SUM(n) AS total FROM cnt),
+            lp AS (SELECT w,
+                          CAST(floor(ln(CAST(n AS DOUBLE) / total) * 1000000 + 0.5)
+                               AS BIGINT) AS unats
+                   FROM cnt CROSS JOIN tot),
+            per_doc AS (
+              SELECT words.doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                     CAST(SUM(lp.unats) AS BIGINT) AS logprob_unats
+              FROM words JOIN lp ON words.w = lp.w GROUP BY words.doc_id)
+            SELECT d.doc_id,
+                   COALESCE(p.n_tokens, 0) AS n_tokens,
+                   COALESCE(p.logprob_unats, 0) AS logprob_unats
+            FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
 
 _SHP_WKT_SQL = (
     'GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",'
@@ -1149,26 +1187,24 @@ def _oracle_sql_raw() -> dict[str, str]:
         # unigram LM scoring: token log-probs quantized half-up to
         # integer micro-nats on BOTH sides, per-doc scores are exact
         # int64 sums (no float accumulation order in the hash)
-        "unigram_logprob": """
-            WITH t AS (SELECT doc_id, TRIM(text) AS tt FROM documents),
-            words AS (
-              SELECT doc_id, UNNEST(regexp_split_to_array(tt, '\\s+')) AS w
-              FROM t WHERE tt <> ''),
-            cnt AS (SELECT w, COUNT(*) AS n FROM words GROUP BY w),
-            tot AS (SELECT SUM(n) AS total FROM cnt),
-            lp AS (SELECT w,
-                          CAST(floor(ln(CAST(n AS DOUBLE) / total) * 1000000 + 0.5)
-                               AS BIGINT) AS unats
-                   FROM cnt CROSS JOIN tot),
-            per_doc AS (
-              SELECT words.doc_id,
-                     CAST(COUNT(*) AS BIGINT) AS n_tokens,
-                     CAST(SUM(lp.unats) AS BIGINT) AS logprob_unats
-              FROM words JOIN lp ON words.w = lp.w GROUP BY words.doc_id)
-            SELECT d.doc_id,
-                   COALESCE(p.n_tokens, 0) AS n_tokens,
-                   COALESCE(p.logprob_unats, 0) AS logprob_unats
-            FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        "unigram_logprob": _UNIGRAM_LM_SQL,
+        # curriculum packing: rank by LM score then prefix-sum-pack the
+        # ordered token stream — the composed pipeline's oracle is the
+        # composed SQL (row_number + window prefix sum over the LM CTE)
+        "curriculum_pack": f"""
+            WITH lm AS ({_UNIGRAM_LM_SQL}),
+            r AS (SELECT doc_id, n_tokens, logprob_unats,
+                         row_number() OVER (ORDER BY logprob_unats, doc_id) AS rnk
+                  FROM lm),
+            s AS (SELECT *,
+                         CAST(COALESCE(SUM(n_tokens) OVER (
+                            ORDER BY rnk
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                           AS BIGINT) AS start_offset
+                  FROM r)
+            SELECT doc_id, n_tokens, logprob_unats, rnk, start_offset,
+                   start_offset // 4096 AS shard_id
+            FROM s
         """,
         # connected components over the near-dup pair graph: the LSH
         # pair set equals the exact-Jaccard pair set at this scale (see

@@ -124,3 +124,73 @@ def pack_sequences(
         .groupby("bucket")
         .map_groups(pack_bucket, batch_format="pyarrow")
     )
+
+
+def pack_by_rank(
+    ranked: ray.data.Dataset,
+    rank_col: str = "rnk",
+    tokens_col: str = "n_tokens",
+    budget: int = 4096,
+) -> ray.data.Dataset:
+    """Sequence packing along a PRECOMPUTED global order: rows carry a
+    dense 1-based rank (from georay.rank.rank_by) and a token count;
+    output adds the start offset in the rank-ordered token stream and
+    the budget shard id. Same two-pass distributed scan as
+    pack_sequences, but bucketed by rank range — exact because ranks
+    are dense, whatever the key that produced them was.
+
+    This is the composition a curriculum pipeline runs: score docs →
+    rank by score → pack the ordered stream into fixed-token shards.
+    """
+
+    def bucket_of(rnk: np.ndarray) -> np.ndarray:
+        return (rnk - 1) // BUCKET_WIDTH
+
+    def partial_sums(t: pa.Table) -> pa.Table:
+        rnk = t[rank_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ntok = t[tokens_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        buckets = bucket_of(rnk)
+        uniq, inv = np.unique(buckets, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, ntok)
+        return pa.table(
+            {
+                "bucket": pa.array(uniq, pa.int64()),
+                "tok_sum": pa.array(sums, pa.int64()),
+            }
+        )
+
+    bucket_sums = (
+        ranked.map_batches(partial_sums, batch_format="pyarrow")
+        .groupby("bucket")
+        .sum("tok_sum")
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    buckets = bucket_sums["bucket"].to_numpy().astype(np.int64)
+    totals = bucket_sums["sum(tok_sum)"].to_numpy().astype(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(totals)[:-1]))
+    handle = ray.put((buckets, offsets))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        rnk = t[rank_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("bucket", pa.array(bucket_of(rnk), pa.int64()))
+
+    def pack_bucket(g: pa.Table) -> pa.Table:
+        bkts, offs = ray.get(handle)
+        rnk = g[rank_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(rnk, kind="stable")
+        g = g.take(order)
+        rnk = rnk[order]
+        ntok = g[tokens_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = offs[np.searchsorted(bkts, bucket_of(rnk[:1])[0])]
+        start = base + np.concatenate(([0], np.cumsum(ntok)[:-1]))
+        g = g.drop_columns(["bucket"])
+        g = g.append_column("start_offset", pa.array(start, pa.int64()))
+        return g.append_column("shard_id", pa.array(start // budget, pa.int64()))
+
+    return (
+        ranked.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pack_bucket, batch_format="pyarrow")
+    )

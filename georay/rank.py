@@ -120,11 +120,10 @@ def rank_by(
         base = offs[np.searchsorted(bids, g["__bucket"][0].as_py())]
         rnk = np.empty(len(order), dtype=np.int64)
         rnk[order] = base + 1 + np.arange(len(order))
-        cols = {
-            tie_col: g[tie_col],
-            key_col: g[key_col],
-            "rnk": pa.array(rnk, pa.int64()),
-        }
+        # carry every input column through (rank composes into
+        # downstream stages, e.g. packing.pack_by_rank)
+        cols = {c: g[c] for c in g.column_names if c != "__bucket"}
+        cols["rnk"] = pa.array(rnk, pa.int64())
         if k is not None:
             # SQL NTILE: the first r tiles have q+1 rows, the rest q
             i0 = rnk - 1

@@ -63,3 +63,35 @@ def test_budget_changes_only_shards(ray_session, docs_tbl):
     # every shard except the last starts within budget of its id
     s = a.groupby("shard_id")["start_offset"].min()
     assert (s.to_numpy() // 256 == s.index.to_numpy()).all()
+
+
+def test_pack_by_rank_matches_ordered_prefix_sum(ray_session):
+    import ray.data
+
+    from georay.packing import pack_by_rank
+
+    rng = np.random.default_rng(11)
+    n = 2500
+    ntok = rng.integers(1, 60, n)
+    # ranks are a permutation (dense 1-based), decoupled from doc_id
+    rnk = rng.permutation(n) + 1
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "n_tokens": pa.array(ntok, pa.int64()),
+            "rnk": pa.array(rnk, pa.int64()),
+        }
+    )
+    out = (
+        pack_by_rank(ray.data.from_arrow(t).repartition(7), budget=512)
+        .to_pandas()
+        .sort_values("rnk")
+        .reset_index(drop=True)
+    )
+    exp_ntok = ntok[np.argsort(rnk)]
+    start = np.concatenate(([0], np.cumsum(exp_ntok)[:-1]))
+    assert (out["n_tokens"].to_numpy() == exp_ntok).all()
+    assert (out["start_offset"].to_numpy() == start).all()
+    assert (out["shard_id"].to_numpy() == start // 512).all()
+    # all original columns survive
+    assert set(out.columns) >= {"doc_id", "n_tokens", "rnk", "start_offset", "shard_id"}
