@@ -359,6 +359,14 @@ def _q_domain_mix(sf_dir):
     )
 
 
+def _q_user_event_deltas(sf_dir):
+    """LAG window: per user in (ts, event_id) order, microseconds and
+    cents-value delta since the previous event (georay/relational.py)."""
+    from georay.relational import user_event_deltas
+
+    return user_event_deltas(sf_dir)
+
+
 def _q_curriculum_pack(sf_dir):
     """Curriculum pipeline composition: unigram-LM score -> global
     rank by (logprob_unats, doc_id) -> prefix-sum packing of the
@@ -676,6 +684,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rank_ntile": _q_doc_rank_ntile,
         "pmi_collocations": _q_pmi_collocations,
         "curriculum_pack": _q_curriculum_pack,
+        "user_event_deltas": _q_user_event_deltas,
         "ann_topk": _q_ann_topk,
         "ann_topk_ivf": _q_ann_topk_ivf,
         "embedding_near_dups": _q_emb_near_dups,
@@ -1177,6 +1186,15 @@ def _oracle_sql_raw() -> dict[str, str]:
                    CROSS JOIN nu CROSS JOIN nb)
             SELECT bigram, n, pmi_unats FROM sc
             ORDER BY pmi_unats DESC, bigram LIMIT 20
+        """,
+        "user_event_deltas": """
+            SELECT event_id, user_id,
+                   ts_us - LAG(ts_us) OVER w AS gap_us,
+                   val_c - LAG(val_c) OVER w AS dvalue_cents
+            FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                         CAST(ROUND(value * 100) AS BIGINT) AS val_c
+                  FROM events)
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
         """,
         "doc_rank_ntile": """
             SELECT doc_id, n_chars,

@@ -851,6 +851,75 @@ def user_sessions(sf_dir: str, gap_minutes: int = 30):
     )
 
 
+def user_event_deltas(sf_dir: str):
+    """LAG window over the events stream: per user, in (ts, event_id)
+    order, the microseconds since the user's previous event and the
+    value change from it (first event per user -> nulls). The standard
+    per-entity time-series featurization (inter-arrival gaps, deltas).
+
+    Shape: the user_sessions shape — ONE shuffle on bucket =
+    hash(user_id) % (4x cpus); inside a partition every user's lag
+    computes in the same numpy pass (lexsort by (user, ts, event_id),
+    shifted diffs, user-change positions masked to null). event_id
+    breaks ts ties so the order — and the oracle's LAG — is total."""
+    n_parts = _n_partitions()
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": pa.array(uid, pa.int64()),
+                "us": t["ts"].cast(pa.int64()),
+                "value_c": pa.array(
+                    np.rint(
+                        t["value"].to_numpy(zero_copy_only=False) * 100
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+                "__bucket": pa.array(_hash_bucket(uid, n_parts), pa.int64()),
+            }
+        )
+
+    def lag_bucket(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        us = t["us"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        val = t["value_c"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, us, uid))
+        uid, us, eid, val = uid[order], us[order], eid[order], val[order]
+        n = len(uid)
+        gap = np.empty(n, dtype=np.int64)
+        dval = np.empty(n, dtype=np.int64)
+        first = np.empty(n, dtype=bool)
+        first[:1] = True
+        if n:
+            first[1:] = uid[1:] != uid[:-1]
+            gap[1:] = us[1:] - us[:-1]
+            dval[1:] = val[1:] - val[:-1]
+            gap[0] = dval[0] = 0
+        mask = pa.array(~first)
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "gap_us": pc.if_else(
+                    mask, pa.array(gap, pa.int64()), pa.scalar(None, pa.int64())
+                ),
+                "dvalue_cents": pc.if_else(
+                    mask, pa.array(dval, pa.int64()), pa.scalar(None, pa.int64())
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(to_us, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(lag_bucket, batch_format="pyarrow")
+    )
+
+
 def asof_last_order(sf_dir: str):
     """AS-OF join (an operator Ray Data has no primitive for): each
     event joins the latest order of the same customer at-or-before the

@@ -109,3 +109,36 @@ def test_grouped_quantile_disc_semantics(ray_session, tmp_path):
     assert row["p50_cents"] == int(cents[int(np.ceil(0.5 * n)) - 1])
     assert row["p90_cents"] == int(cents[int(np.ceil(0.9 * n)) - 1])
     assert row["n_orders"] == n
+
+
+def test_user_event_deltas_lag_semantics(ray_session):
+    sf_dir_small = "/root/testdata/sf0.001"
+    import duckdb
+    import pandas as pd
+
+    from georay.relational import user_event_deltas
+
+    got = (
+        user_event_deltas(sf_dir_small)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    exp = con.execute(
+        f"""
+        SELECT event_id, user_id,
+               ts_us - LAG(ts_us) OVER w AS gap_us,
+               val_c - LAG(val_c) OVER w AS dvalue_cents
+        FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                     CAST(ROUND(value * 100) AS BIGINT) AS val_c
+              FROM read_parquet('{sf_dir_small}/events.parquet'))
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        ORDER BY event_id
+        """
+    ).df()
+    pd.testing.assert_frame_equal(
+        got.astype({"gap_us": "float64", "dvalue_cents": "float64"}),
+        exp.astype({"gap_us": "float64", "dvalue_cents": "float64"}),
+        check_dtype=False,
+    )
