@@ -117,22 +117,26 @@ def connected_components(
     for it in range(max_iters):
         # neighbor min: one bucketed shuffle of |E| + |V|
         joined = bucket_hash_join(ebi, labels, on="src", right_on="node")
-        msgs = joined.map_batches(msg, batch_format="pyarrow")
+        cand = labels.union(joined.map_batches(msg, batch_format="pyarrow"))
         # pointer doubling: label(label(x)) — a labels⨝labels self-join.
         # Neighbor-min alone converges in O(component diameter)
         # supersteps (a 1000-link chain = 1000 barriers); the hop
         # halves the distance-to-root every step, so the loop is
         # O(log n) supersteps at the cost of one extra |V|-sized join.
-        hops = bucket_hash_join(
-            labels,
-            labels.map_batches(relabel, batch_format="pyarrow"),
-            on="label",
-            right_on="node2",
-        ).map_batches(hop, batch_format="pyarrow")
+        # The neighbor-min fixed point alone is the true convergence
+        # condition (labels constant across every edge), so the first
+        # iteration — which after the fused init is usually just the
+        # confirmation round — skips the hop entirely.
+        if it > 0:
+            hops = bucket_hash_join(
+                labels,
+                labels.map_batches(relabel, batch_format="pyarrow"),
+                on="label",
+                right_on="node2",
+            ).map_batches(hop, batch_format="pyarrow")
+            cand = cand.union(hops)
         labels = (
-            labels.union(msgs)
-            .union(hops)
-            .groupby("node")
+            cand.groupby("node")
             .aggregate(Min("label", alias_name="label"))
             .repartition(n_parts)
             .materialize()
