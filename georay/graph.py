@@ -70,6 +70,12 @@ def connected_components(
     # pin the edge set: supersteps re-read it, and its upstream is the
     # whole pair-detection pipeline
     ebi = edges.map_batches(bidir, batch_format="pyarrow").materialize()
+    if ebi.count() == 0:  # no pairs: no nodes, no clusters
+        return ray.data.from_arrow(
+            pa.table(
+                {"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}
+            )
+        )
     # every superstep's joins and groupbys pay fixed latency PER BLOCK,
     # and an unchecked groupby fans each labels table out to ~200 tiny
     # blocks — after a few iterations the loop is all block overhead.

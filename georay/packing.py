@@ -88,10 +88,14 @@ def pack_sequences(
         .sum("tok_sum")
         .to_pandas()
     )
-    bucket_sums = bucket_sums.sort_values("bucket")
-    buckets = bucket_sums["bucket"].to_numpy().astype(np.int64)
-    totals = bucket_sums["sum(tok_sum)"].to_numpy().astype(np.int64)
-    offsets = np.concatenate(([0], np.cumsum(totals)[:-1]))
+    if len(bucket_sums) == 0:  # drained input: nothing to pack
+        buckets = np.empty(0, dtype=np.int64)
+        offsets = np.empty(0, dtype=np.int64)
+    else:
+        bucket_sums = bucket_sums.sort_values("bucket")
+        buckets = bucket_sums["bucket"].to_numpy().astype(np.int64)
+        totals = bucket_sums["sum(tok_sum)"].to_numpy().astype(np.int64)
+        offsets = np.concatenate(([0], np.cumsum(totals)[:-1]))
     handle = ray.put((buckets, offsets))
 
     def add_bucket(t: pa.Table) -> pa.Table:

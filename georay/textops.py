@@ -1323,11 +1323,16 @@ def tfidf_top_terms(docs: ray.data.Dataset, k: int = 3):
         .to_pandas()
     )
     n_docs = int(docs.count())
-    terms_all = df_tbl["term"].to_numpy()
-    order = np.argsort(terms_all, kind="stable")
-    terms_sorted = terms_all[order]
-    dfs_sorted = df_tbl["df"].to_numpy()[order].astype(np.float64)
-    handle = ray.put((terms_sorted, np.log(n_docs / dfs_sorted)))
+    if len(df_tbl) == 0:  # every doc tokenized to nothing
+        terms_sorted = np.empty(0, dtype=object)
+        idf = np.empty(0, dtype=np.float64)
+    else:
+        terms_all = df_tbl["term"].to_numpy()
+        order = np.argsort(terms_all, kind="stable")
+        terms_sorted = terms_all[order]
+        dfs_sorted = df_tbl["df"].to_numpy()[order].astype(np.float64)
+        idf = np.log(n_docs / dfs_sorted)
+    handle = ray.put((terms_sorted, idf))
 
     def score(batch: pa.Table) -> pa.Table:
         ts, idf = ray.get(handle)
@@ -1398,12 +1403,16 @@ def unigram_logprob(docs: ray.data.Dataset):
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
     )
-    total = int(counts["n"].sum())
-    words = counts["word"].to_numpy()
-    order = np.argsort(words, kind="stable")
-    words_sorted = words[order]
-    n_sorted = counts["n"].to_numpy()[order].astype(np.float64)
-    lp_unats = np.floor(np.log(n_sorted / total) * 1e6 + 0.5).astype(np.int64)
+    if len(counts) == 0:  # every doc tokenized to nothing
+        words_sorted = np.empty(0, dtype=object)
+        lp_unats = np.empty(0, dtype=np.int64)
+    else:
+        total = int(counts["n"].sum())
+        words = counts["word"].to_numpy()
+        order = np.argsort(words, kind="stable")
+        words_sorted = words[order]
+        n_sorted = counts["n"].to_numpy()[order].astype(np.float64)
+        lp_unats = np.floor(np.log(n_sorted / total) * 1e6 + 0.5).astype(np.int64)
     handle = ray.put((words_sorted, lp_unats))
 
     def score(batch: pa.Table) -> pa.Table:
