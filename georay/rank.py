@@ -59,6 +59,15 @@ def rank_by(
         n_buckets = 4 * cpus
 
     stats = ds.aggregate(AggMin(key_col), AggMax(key_col))
+    if stats is None or stats.get(f"min({key_col})") is None:  # empty input
+        # same schema as the non-empty path: every input column plus
+        # rnk (+ ntile_k), so downstream composition still binds
+        sch = ds.schema()
+        fields = {n: pa.array([], t) for n, t in zip(sch.names, sch.types)}
+        fields["rnk"] = pa.array([], pa.int64())
+        if ntile is not None:
+            fields[f"ntile_{ntile}"] = pa.array([], pa.int64())
+        return ray.data.from_arrow(pa.table(fields))
     lo = float(stats[f"min({key_col})"])
     hi = float(stats[f"max({key_col})"])
     if not np.isfinite(lo) or not np.isfinite(hi) or hi <= lo:

@@ -98,3 +98,20 @@ def test_stratified_sample_single_row_groups(ray_session):
     )
     out = stratified_sample(_ds(t), 3, "grp", "id").to_pandas()
     assert len(out) == 5  # every singleton group keeps its row
+
+
+def test_rank_by_empty(ray_session):
+    from georay.rank import rank_by
+
+    t = pa.table(
+        {
+            "id": pa.array([], pa.int64()),
+            "v": pa.array([], pa.int64()),
+            "text": pa.array([], pa.string()),
+        }
+    )
+    out = rank_by(_ds(t), "v", "id", ntile=4)
+    assert out.count() == 0
+    # schema matches the non-empty path: inputs carried + rnk + ntile
+    # (to_pandas drops columns on empty datasets, so check the schema)
+    assert set(out.schema().names) == {"id", "v", "text", "rnk", "ntile_4"}
