@@ -253,6 +253,12 @@ def _q_quality_counts(sf_dir):
     return quality_counts(_docs(sf_dir))
 
 
+def _q_chunk_texts(sf_dir):
+    from georay.chunk import chunk_texts
+
+    return chunk_texts(_docs(sf_dir), window=32, overlap=8)
+
+
 def _q_ngram_jaccard(sf_dir):
     from georay.textops import ngram_jaccard_pairs
 
@@ -449,9 +455,12 @@ def _q_ann_topk_ivf(sf_dir):
 # plain header + raw bytes, so DuckDB can replay the decoders byte-by-
 # byte (hex(payload) + substring + '0x' cast over a generate_series):
 # audio_features, video_frames, image_stats and audio_stats carry full
-# SQL oracles; image_features/audio features keep list/binary columns
-# for pipeline use and stay rows-only (list columns stringify
-# differently numpy-vs-python in the driver's hash).
+# SQL oracles. image_features keeps list columns in the LIBRARY op
+# (pipeline use); its driver projection joins each list into a
+# comma-separated string of integer micro-units (exact integer-sum
+# means; stds quantized the same way image_stats rounds to 6 dp), so
+# the hash gate can compare it too — lists themselves stringify
+# differently numpy-vs-python in the driver's hash.
 
 
 def _media(sf_dir):
@@ -463,9 +472,31 @@ def _media(sf_dir):
 
 
 def _q_image_features(sf_dir):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     from georay.multimodal import image_features
 
-    return image_features(_media(sf_dir)).drop_columns(["thumb"])
+    feats = image_features(_media(sf_dir)).drop_columns(["thumb"])
+
+    def project(t: pa.Table) -> pa.Table:
+        # list<float> -> "m0,m1,..." of micro-unit ints, one string per
+        # image: floor(x*1e6+0.5) is exact for the integer-sum means and
+        # matches the DuckDB side's identical quantization for the stds
+        cols = {c: t[c] for c in ("media_id", "width", "height", "channels")}
+        for col in ("chan_mean", "chan_std"):
+            arr = t[col].combine_chunks()
+            flat = pc.list_flatten(arr).to_numpy(zero_copy_only=False)
+            micro = np.floor(flat * 1e6 + 0.5).astype(np.int64).astype("U")
+            offs = arr.offsets.to_numpy(zero_copy_only=False)
+            cols[f"{col}_micro"] = pa.array(
+                [",".join(micro[offs[i] : offs[i + 1]]) for i in range(t.num_rows)],
+                pa.string(),
+            )
+        return pa.table(cols)
+
+    return feats.map_batches(project, batch_format="pyarrow")
 
 
 def _q_audio_features(sf_dir):
@@ -658,6 +689,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_stats": _q_part_stats,
         "dedup_exact": _q_dedup_exact,
         "token_counts": _q_token_counts,
+        "chunk_texts": _q_chunk_texts,
         "top_words": _q_top_words,
         "order_price_quantiles": _q_order_price_quantiles,
         "approx_price_quantiles": _q_approx_price_quantiles,
@@ -1345,6 +1377,37 @@ def _oracle_sql_raw() -> dict[str, str]:
                    AVG(v) AS frame_mean
             FROM px GROUP BY media_id, frame_idx, fps
         """,
+        "image_features": f"""
+            WITH im AS (
+              SELECT media_id, width, height, channels, hex(payload) AS hx
+              FROM read_parquet('{_MEDIA_GLOB}') WHERE kind = 'image'
+            ),
+            px AS (
+              SELECT media_id, width, height, channels,
+                     CAST(i % channels AS INTEGER) AS channel,
+                     CAST(('0x' || substring(hx, 2*(9 + i) + 1, 2)) AS INTEGER) AS v
+              FROM im, generate_series(0, 99999) AS t(i)
+              WHERE i < width*height*channels
+            ),
+            mu AS (
+              SELECT media_id, channel, AVG(v) AS m FROM px
+              GROUP BY media_id, channel
+            ),
+            st AS (
+              SELECT p.media_id, p.width, p.height, p.channels, p.channel,
+                     CAST(FLOOR(mu.m * 1000000 + 0.5) AS BIGINT) AS mean_micro,
+                     CAST(FLOOR(sqrt(AVG((p.v - mu.m)*(p.v - mu.m))) * 1000000 + 0.5)
+                          AS BIGINT) AS std_micro
+              FROM px p JOIN mu ON p.media_id = mu.media_id AND p.channel = mu.channel
+              GROUP BY p.media_id, p.width, p.height, p.channels, p.channel, mu.m
+            )
+            SELECT media_id, width, height, channels,
+                   string_agg(CAST(mean_micro AS VARCHAR), ',' ORDER BY channel)
+                     AS chan_mean_micro,
+                   string_agg(CAST(std_micro AS VARCHAR), ',' ORDER BY channel)
+                     AS chan_std_micro
+            FROM st GROUP BY media_id, width, height, channels
+        """,
         "image_stats": f"""
             WITH im AS (
               SELECT media_id, width, height, channels, hex(payload) AS hx
@@ -1449,6 +1512,23 @@ def _oracle_sql_raw() -> dict[str, str]:
                         ELSE LEN(regexp_split_to_array(TRIM(text), '\\s+'))
                    END AS n_tokens
             FROM documents
+        """,
+        # sliding window of 32 tokens advancing by 24 (overlap 8); the
+        # last chunk may be short; zero-token docs emit no chunks
+        "chunk_texts": """
+            WITH t AS (
+              SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS w
+              FROM documents WHERE TRIM(text) <> ''
+            ),
+            c AS (
+              SELECT doc_id, CAST(k AS INTEGER) AS chunk_idx,
+                     list_slice(w, k*24 + 1, k*24 + 32) AS ch
+              FROM t, generate_series(0, 99999) AS s(k)
+              WHERE k*24 < len(w)
+            )
+            SELECT doc_id, chunk_idx, CAST(len(ch) AS BIGINT) AS n_tok,
+                   array_to_string(ch, ' ') AS chunk_text
+            FROM c
         """,
         "quality_counts": """
             SELECT doc_id,
