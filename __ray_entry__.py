@@ -301,6 +301,18 @@ def _q_scrub_text(sf_dir):
     return scrub_text(_docs(sf_dir))
 
 
+def _q_normalize_text(sf_dir):
+    from georay.textops import normalize_text
+
+    return normalize_text(_docs(sf_dir))
+
+
+def _q_dedup_normalized(sf_dir):
+    from georay.textops import dedup_normalized
+
+    return dedup_normalized(_docs(sf_dir))
+
+
 def _q_doc_repetition(sf_dir):
     from georay.textops import doc_repetition
 
@@ -703,6 +715,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality_scores,
         "fingerprints": _q_fingerprints,
         "scrub_text": _q_scrub_text,
+        "normalize_text": _q_normalize_text,
+        "dedup_normalized": _q_dedup_normalized,
         "doc_repetition": _q_doc_repetition,
         "url_host_stats": _q_url_host_stats,
         "decontam_ngrams": _q_decontam_ngrams,
@@ -1077,6 +1091,32 @@ def _oracle_sql_raw() -> dict[str, str]:
         # pc.count_substring_regex byte-for-byte; patterns apply in the
         # same fixed order (email, ip, phone) with each count taken on
         # the text that pattern actually saw.
+        # normalize: lower -> non-alnum runs to one space -> trim; the
+        # 64-bit hash is the sha256-prefix-8 both engines compute
+        "normalize_text": """
+            WITH n AS (
+              SELECT doc_id,
+                     TRIM(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+                       AS norm_text
+              FROM documents
+            )
+            SELECT doc_id, norm_text,
+                   CAST(('0x' || substr(sha256(norm_text), 1, 16)) AS UBIGINT)
+                     AS norm_hash
+            FROM n
+        """,
+        # SQL groups by the normalized STRING; Ray groups by its 64-bit
+        # hash — identical modulo sha256-prefix collisions (~n^2/2^64)
+        "dedup_normalized": """
+            WITH n AS (
+              SELECT doc_id,
+                     TRIM(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+                       AS norm_text
+              FROM documents
+            )
+            SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+            FROM n GROUP BY norm_text
+        """,
         "scrub_text": """
             WITH s1 AS (
               SELECT doc_id,

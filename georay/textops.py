@@ -1101,6 +1101,45 @@ def scrub_text(docs: ray.data.Dataset):
     return docs.map_batches(scrub, batch_format="pyarrow")
 
 
+def normalize_text(docs: ray.data.Dataset):
+    """Dedup-key canonicalization (the CCNet/RefinedWeb normalize pass):
+    lowercase, fold every non-alphanumeric run to a single space, trim —
+    then a 64-bit content hash of the normalized form so the downstream
+    dedup shuffles 8-byte keys, never text. All Arrow RE2 kernels
+    (shared engine with DuckDB, so the oracle replays byte-for-byte);
+    the hash is sha256-prefix-8, the SQL-recomputable form.
+
+    Output: doc_id, norm_text, norm_hash (uint64)."""
+
+    def norm(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(t["text"])
+        folded = pc.replace_substring_regex(low, pattern=r"[^a-z0-9]+", replacement=" ")
+        clean = pc.utf8_trim_whitespace(folded)
+        hashes = _hash64_strings(clean.to_pylist())
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "norm_text": clean,
+                "norm_hash": pa.array(hashes, pa.uint64()),
+            }
+        )
+
+    return docs.map_batches(norm, batch_format="pyarrow")
+
+
+def dedup_normalized(docs: ray.data.Dataset):
+    """Fuzzy-exact dedup: first-wins (min doc_id) per distinct NORMALIZED
+    text — catches case/punctuation/whitespace variants exact dedup
+    misses. Same shape as dedup_exact: the shuffle key is the 64-bit
+    norm hash (hash collisions conflate docs with probability ~n^2/2^64;
+    the oracle groups by the normalized string itself)."""
+    normed = normalize_text(docs)
+    kept = normed.groupby("norm_hash").aggregate(
+        Min("doc_id", alias_name="doc_id"), Count(alias_name="dup_count")
+    )
+    return kept.drop_columns(["norm_hash"])
+
+
 def doc_repetition(docs: ray.data.Dataset):
     """Gopher-style within-document repetition signals: token count,
     distinct-token count, and the occurrence count of the most frequent

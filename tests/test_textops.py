@@ -193,3 +193,36 @@ def test_pmi_collocations_closed_form(ray_session):
     rows = list(map(tuple, out[["bigram", "n", "pmi_unats"]].to_numpy()))
     assert ("x y", 8, u(8, 8, 8)) in rows and ("b c", 4, u(4, 4, 4)) in rows
     assert len(rows) == 2  # nothing else reaches min_count
+
+
+def test_normalize_text_and_dedup_normalized(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from georay.textops import dedup_normalized, normalize_text
+
+    texts = [
+        "Hello,   World!",
+        "hello world",
+        "HELLO-world",
+        "different doc",
+        "",
+    ]
+    t = pa.table(
+        {"doc_id": pa.array(range(5), pa.int64()), "text": pa.array(texts)}
+    )
+    ds = ray.data.from_arrow(t).repartition(2)
+    norm = normalize_text(ds).to_pandas().sort_values("doc_id")
+    assert norm["norm_text"].tolist() == [
+        "hello world",
+        "hello world",
+        "hello world",
+        "different doc",
+        "",
+    ]
+    # identical norm text -> identical hash
+    assert norm["norm_hash"].iloc[0] == norm["norm_hash"].iloc[1] == norm["norm_hash"].iloc[2]
+
+    kept = dedup_normalized(ds).to_pandas().sort_values("doc_id")
+    assert kept["doc_id"].tolist() == [0, 3, 4]
+    assert kept.set_index("doc_id")["dup_count"].to_dict() == {0: 3, 3: 1, 4: 1}
