@@ -457,6 +457,12 @@ def _q_emb_near_dups(sf_dir):
     return embedding_near_dups(_emb(sf_dir), threshold=EMB_TAU)
 
 
+def _q_embedding_clusters(sf_dir):
+    from georay.ann import cluster_assign_fixed
+
+    return cluster_assign_fixed(_emb(sf_dir), k=8)
+
+
 def _q_ann_topk_ivf(sf_dir):
     from georay.ann import ann_topk_ivf
 
@@ -733,6 +739,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_deltas": _q_user_event_deltas,
         "ann_topk": _q_ann_topk,
         "ann_topk_ivf": _q_ann_topk_ivf,
+        "embedding_clusters": _q_embedding_clusters,
         "embedding_near_dups": _q_emb_near_dups,
         "cust_order_counts": _q_cust_order_counts,
         "mktsegment_stats": _q_mktsegment_stats,
@@ -1724,6 +1731,25 @@ def _oracle_sql_raw() -> dict[str, str]:
                                             ORDER BY sim DESC, neighbor_id ASC) - 1 AS rank
                   FROM s)
             SELECT query_id, rank, neighbor_id FROM r WHERE rank < {ANN_K}
+        """,
+        # fixed centroids = vec_id < 8; cosine micro-quantized BEFORE
+        # the argmax, ties to the lowest centroid id (both sides), so
+        # float-summation-order differences can't flip an assignment
+        "embedding_clusters": """
+            WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+                       FROM embeddings WHERE vec_id < 8),
+            s AS (SELECT e.vec_id, c.cid,
+                         CAST(FLOOR(list_cosine_similarity(
+                                CAST(e.embedding AS DOUBLE[]), c.ce) * 1000000 + 0.5)
+                              AS BIGINT) AS cos_micro
+                  FROM embeddings e, c),
+            r AS (SELECT vec_id, cid, cos_micro,
+                         row_number() OVER (
+                           PARTITION BY vec_id
+                           ORDER BY cos_micro DESC, cid) AS rn
+                  FROM s)
+            SELECT vec_id, CAST(cid AS INTEGER) AS cluster, cos_micro
+            FROM r WHERE rn = 1
         """,
         "ann_topk_ivf": f"""
             WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe

@@ -22,6 +22,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -80,6 +81,58 @@ def assign_clusters(embeddings: ray.data.Dataset, centroids_ref):
             E = _normalize(np.array(batch["embedding"].to_pylist(), dtype=np.float64))
             cl = np.argmax(E @ self.C.T, axis=1).astype(np.int32)
             return batch.append_column("cluster", pa.array(cl, pa.int32()))
+
+    return embeddings.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def cluster_assign_fixed(embeddings: ray.data.Dataset, k: int = 8):
+    """Oracle-able single-pass cluster assignment: the centroids are
+    the k vectors with ``vec_id < k`` (deterministic — no training
+    RNG), cosine is quantized to integer micro-units BEFORE the argmax
+    and ties break to the lowest centroid id, so a SQL engine replaying
+    the same quantization with its own float summation order reaches
+    the identical assignment. The trained-k-means path is
+    ``assign_clusters``; this is the verification-friendly variant with
+    the same broadcast-centroids / no-shuffle shape.
+
+    Output: vec_id, cluster (int32), cos_micro (int64)."""
+    cent_rows = embeddings.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], k)),  # vectorized; k rows out
+        batch_format="pyarrow",
+    ).take_all()
+    cent_rows.sort(key=lambda r: r["vec_id"])
+    C = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
+    Cn = np.linalg.norm(C, axis=1)
+    c_ref = ray.put((C, Cn))
+
+    class Assign:
+        def __init__(self):
+            self.C, self.Cn = ray.get(c_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            emb = batch["embedding"].combine_chunks()
+            dim = self.C.shape[1]
+            E = (
+                pc.list_flatten(emb)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(-1, dim)
+            )
+            # cos = dot / (|e| |c|) on raw doubles (same form as the
+            # SQL side); micro-quantize, then argmax with low-cid ties
+            norms = np.maximum(np.linalg.norm(E, axis=1), 1e-300)
+            cos = (E @ self.C.T) / np.outer(norms, np.maximum(self.Cn, 1e-300))
+            micro = np.floor(cos * 1e6 + 0.5).astype(np.int64)
+            score = micro * 1024 - np.arange(self.C.shape[0], dtype=np.int64)
+            best = np.argmax(score, axis=1)
+            rows = np.arange(len(best))
+            return pa.table(
+                {
+                    "vec_id": batch["vec_id"],
+                    "cluster": pa.array(best.astype(np.int32), pa.int32()),
+                    "cos_micro": pa.array(micro[rows, best], pa.int64()),
+                }
+            )
 
     return embeddings.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 8))
 

@@ -61,3 +61,41 @@ def test_assign_clusters_column(emb):
     e = np.asarray(r["embedding"], dtype=np.float64)
     e /= np.linalg.norm(e)
     assert r["cluster"] == int(np.argmax(C @ e))
+
+
+def test_cluster_assign_fixed(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from georay.ann import cluster_assign_fixed
+
+    rng = np.random.default_rng(7)
+    E = rng.normal(size=(64, 16)).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(64), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in E]),
+        }
+    )
+    out = (
+        cluster_assign_fixed(ray.data.from_arrow(t).repartition(4), k=8)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 64
+    # a centroid assigns to itself at cosine exactly 1
+    head = out[out["vec_id"] < 8]
+    assert (head["cluster"].to_numpy() == head["vec_id"].to_numpy()).all()
+    assert (head["cos_micro"] == 1_000_000).all()
+    # brute-force reference on the quantized scores
+    X = E.astype(np.float64)
+    C = X[:8]
+    cos = (X @ C.T) / np.outer(
+        np.linalg.norm(X, axis=1), np.linalg.norm(C, axis=1)
+    )
+    micro = np.floor(cos * 1e6 + 0.5).astype(np.int64)
+    best = np.argmax(micro * 1024 - np.arange(8), axis=1)
+    assert (out["cluster"].to_numpy() == best).all()
+    assert (out["cos_micro"].to_numpy() == micro[np.arange(64), best]).all()
