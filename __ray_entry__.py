@@ -678,6 +678,20 @@ def _geo_polygon_tiles(sf_dir):
     return ray.data.from_arrow(polygon_tile_table(index))
 
 
+def _geo_areas(sf_dir):
+    """Planar shoelace area + perimeter per decoded grid polygon,
+    quantized to 1e-10 units (georay/spatial/measure.py docstring has
+    the tolerance argument); the oracle is the grid closed form."""
+    import ray.data
+
+    from georay.pages import pages_dir_for
+    from georay.pipeline import decode_features
+    from georay.spatial.measure import polygon_measures
+
+    pages = ray.data.read_parquet(pages_dir_for(sf_dir), columns=["url", "html"])
+    return polygon_measures(decode_features(pages))
+
+
 def _geo_summary_abbrev(sf_dir):
     """Abbreviated (metadata-only) summary of a huge shapefile blob:
     reference POST /summary with X-Blob-Length over the gate
@@ -765,6 +779,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_tile_counts": _geo_tile_counts,
         "geo_polygon_tiles": _geo_polygon_tiles,
         "geo_knn": _geo_knn,
+        "geo_areas": _geo_areas,
         "geo_summary": _geo_summary,
         "geo_summary_abbrev": _geo_summary_abbrev,
     }
@@ -1896,6 +1911,34 @@ def _oracle_sql_raw() -> dict[str, str]:
                           * (CAST(47.8 AS DOUBLE) - CAST(47.4 AS DOUBLE)) AS lat,
                    (i % 100 = 0) AS has_payload
             FROM p
+        """,
+        # grid closed form: cell w x h, donut (pid%7=3) loses the
+        # centered half-width hole; quantized at 1e10 every output is
+        # an exact integer (measure.py docstring has the margin math)
+        "geo_areas": f"""
+            WITH {_NPOLY_CTE},
+            ids AS (
+              SELECT CAST(v AS BIGINT) AS pid
+              FROM range(256) t(v), npoly WHERE v < npoly.np
+            ),
+            g AS (
+              SELECT pid,
+                     (CAST(-122.2 AS DOUBLE) - CAST(-122.5 AS DOUBLE)) / 16 AS w,
+                     (CAST(47.8 AS DOUBLE) - CAST(47.4 AS DOUBLE)) / 16 AS h
+              FROM ids
+            ),
+            m AS (
+              SELECT pid,
+                     CASE WHEN pid % 7 = 3
+                          THEN w*h - (0.5*w)*(0.5*h) ELSE w*h END AS area,
+                     CASE WHEN pid % 7 = 3
+                          THEN 2*(w+h) + 2*(0.5*w + 0.5*h) ELSE 2*(w+h) END AS perim
+              FROM g
+            )
+            SELECT pid AS polygon_id,
+                   CAST(FLOOR(area * 10000000000 + 0.5) AS BIGINT) AS area_q,
+                   CAST(FLOOR(perim * 10000000000 + 0.5) AS BIGINT) AS perim_q
+            FROM m
         """,
         "geo_pip_join": f"""
             {_GEO_JOIN_CTE}

@@ -1,0 +1,65 @@
+"""polygon_measures: shoelace/even-odd measurement goldens against the
+grid closed form, independent of decode format (interior-ring vs
+sibling-part holes, CW vs CCW winding)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from georay.spatial.measure import _even_odd_area_perim
+
+
+def _rect(x0, y0, x1, y1, cw=False):
+    r = [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]
+    return r[::-1] if cw else r
+
+
+def test_even_odd_plain_rect():
+    a, p = _even_odd_area_perim([_rect(0, 0, 2, 1)])
+    assert a == pytest.approx(2.0)
+    assert p == pytest.approx(6.0)
+
+
+def test_even_odd_hole_any_shape():
+    outer = _rect(0, 0, 4, 4)
+    hole = _rect(1, 1, 3, 3)
+    want_a, want_p = 16 - 4, 16 + 8
+    # interior-ring form, sibling-part form, and reversed windings all agree
+    for rings in (
+        [outer, hole],
+        [hole, outer],
+        [_rect(0, 0, 4, 4, cw=True), _rect(1, 1, 3, 3, cw=True)],
+    ):
+        a, p = _even_odd_area_perim(rings)
+        assert a == pytest.approx(want_a)
+        assert p == pytest.approx(want_p)
+
+
+def test_even_odd_island_in_hole():
+    rings = [_rect(0, 0, 8, 8), _rect(2, 2, 6, 6), _rect(3, 3, 5, 5)]
+    a, _ = _even_odd_area_perim(rings)
+    assert a == pytest.approx(64 - 16 + 4)
+
+
+def test_polygon_measures_grid_golden(ray_session, tmp_path):
+    """End-to-end over a decoded fixture corpus: every grid polygon's
+    quantized area/perimeter equals the closed form, one row per id."""
+    import ray.data
+
+    from georay.fixtures import has_hole
+    from georay.pages import pages_dir_for, synthesize_pages_parquet
+    from georay.pipeline import decode_features
+    from georay.spatial.measure import polygon_measures
+
+    out = str(tmp_path / "pages")
+    synthesize_pages_parquet(out, n=400, seed=42)
+    pages = ray.data.read_parquet(out, columns=["url", "html"])
+    df = polygon_measures(decode_features(pages)).to_pandas()
+    assert df["polygon_id"].is_unique and len(df) == 16  # 4*ceil(400/100)
+    cell_a, cell_p = 4687500, 875000000
+    hole_a, hole_p = 3515625, 1312500000
+    for _, row in df.iterrows():
+        if has_hole(int(row.polygon_id)):
+            assert (row.area_q, row.perim_q) == (hole_a, hole_p)
+        else:
+            assert (row.area_q, row.perim_q) == (cell_a, cell_p)
