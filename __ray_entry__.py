@@ -259,6 +259,15 @@ def _q_chunk_texts(sf_dir):
     return chunk_texts(_docs(sf_dir), window=32, overlap=8)
 
 
+BM25_TERMS = ("hash", "join", "vector")
+
+
+def _q_bm25_topk(sf_dir):
+    from georay.textops import bm25_topk
+
+    return bm25_topk(_docs(sf_dir), BM25_TERMS, k=20)
+
+
 def _q_ngram_jaccard(sf_dir):
     from georay.textops import ngram_jaccard_pairs
 
@@ -722,6 +731,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "token_counts": _q_token_counts,
         "chunk_texts": _q_chunk_texts,
+        "bm25_topk": _q_bm25_topk,
         "top_words": _q_top_words,
         "order_price_quantiles": _q_order_price_quantiles,
         "approx_price_quantiles": _q_approx_price_quantiles,
@@ -1574,6 +1584,55 @@ def _oracle_sql_raw() -> dict[str, str]:
                         ELSE LEN(regexp_split_to_array(TRIM(text), '\\s+'))
                    END AS n_tokens
             FROM documents
+        """,
+        # Okapi BM25 (k1=1.2, b=0.75) for the fixed query (hash, join,
+        # vector): each term contribution floor(x*1e6+0.5)-quantized
+        # BEFORE the sum, so the total is an order-free integer; rank
+        # over (score desc, doc_id) AFTER quantization on both sides
+        "bm25_topk": """
+            WITH t AS (
+              SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS w
+              FROM documents WHERE TRIM(text) <> ''
+            ),
+            d AS (
+              SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+                     CAST(len(list_filter(w, x -> x = 'hash')) AS BIGINT) AS tf0,
+                     CAST(len(list_filter(w, x -> x = 'join')) AS BIGINT) AS tf1,
+                     CAST(len(list_filter(w, x -> x = 'vector')) AS BIGINT) AS tf2
+              FROM t
+            ),
+            s AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(dl) AS BIGINT) AS tot,
+                     CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+                     CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+                     CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+              FROM d
+            ),
+            sc AS (
+              SELECT doc_id,
+                (CASE WHEN tf0 = 0 THEN 0 ELSE CAST(FLOOR(
+                   ln((n - df0 + 0.5)/(df0 + 0.5) + 1.0)
+                   * ((tf0 * 2.2) / (tf0 + 1.2*(1.0 - 0.75 + 0.75*(dl/(CAST(tot AS DOUBLE)/n)))))
+                   * 1000000 + 0.5) AS BIGINT) END)
+                + (CASE WHEN tf1 = 0 THEN 0 ELSE CAST(FLOOR(
+                   ln((n - df1 + 0.5)/(df1 + 0.5) + 1.0)
+                   * ((tf1 * 2.2) / (tf1 + 1.2*(1.0 - 0.75 + 0.75*(dl/(CAST(tot AS DOUBLE)/n)))))
+                   * 1000000 + 0.5) AS BIGINT) END)
+                + (CASE WHEN tf2 = 0 THEN 0 ELSE CAST(FLOOR(
+                   ln((n - df2 + 0.5)/(df2 + 0.5) + 1.0)
+                   * ((tf2 * 2.2) / (tf2 + 1.2*(1.0 - 0.75 + 0.75*(dl/(CAST(tot AS DOUBLE)/n)))))
+                   * 1000000 + 0.5) AS BIGINT) END)
+                AS bm25_micro
+              FROM d, s
+            ),
+            r AS (
+              SELECT doc_id, bm25_micro,
+                     row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS rn
+              FROM sc
+            )
+            SELECT CAST(rn AS BIGINT) AS rnk, doc_id, bm25_micro
+            FROM r WHERE rn <= 20
         """,
         # sliding window of 32 tokens advancing by 24 (overlap 8); the
         # last chunk may be short; zero-token docs emit no chunks

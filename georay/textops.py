@@ -968,6 +968,120 @@ def quality_scores(docs: ray.data.Dataset):
 # ------------------------------------------------------------- ANN
 
 
+def bm25_topk(
+    docs: ray.data.Dataset,
+    terms: tuple,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Okapi BM25 retrieval scoring of a fixed query against the corpus
+    (the relevance-ranking / quality-biased-sampling primitive): top-k
+    docs by score, ties to the lower doc_id.
+
+    Scale shape: pass 1 is a stateless map_batches emitting the tiny
+    per-doc stat table (dl + one tf column per query term — O(docs x
+    |q|) ints, materialized once); corpus stats (N, total length, df
+    per term) come from ONE aggregate of that table; scoring is a
+    second map_batches over the stat table with the O(|q|) idf vector
+    closed over, emitting k-row partial top-ks the driver merges —
+    no shuffle anywhere, nothing driver-side beyond k x n_batches rows.
+
+    Oracle determinism: each term's contribution is quantized to
+    integer micro-units BEFORE the sum (the unigram_logprob trick), so
+    the total is an order-free integer and the SQL replay is exact
+    modulo one-ulp ln() differences far inside the margin.
+
+    Output: rnk (1-based), doc_id, bm25_micro."""
+    nt = len(terms)
+
+    def stats_batch(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(t["text"])
+        keep = pc.not_equal(trimmed, "")
+        t2 = t.filter(keep)
+        toks = pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(t2["text"])
+        ).combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        dl = np.diff(offs)
+        flat = toks.flatten()
+        doc_of = np.repeat(np.arange(len(dl)), dl)
+        cols = {
+            "doc_id": t2["doc_id"],
+            "dl": pa.array(dl, pa.int64()),
+        }
+        for qi, term in enumerate(terms):
+            hit = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            tf = np.bincount(doc_of[hit], minlength=len(dl)).astype(np.int64)
+            cols[f"tf_{qi}"] = pa.array(tf, pa.int64())
+        return pa.table(cols)
+
+    stat = docs.map_batches(stats_batch, batch_format="pyarrow").materialize()
+
+    from ray.data.aggregate import Count as AggCount
+    from ray.data.aggregate import Sum as AggSum
+
+    # df flags need a derived column; fold them into the same agg pass
+    def add_df_flags(t: pa.Table) -> pa.Table:
+        for qi in range(nt):
+            t = t.append_column(
+                f"df_{qi}",
+                pa.array(
+                    (t[f"tf_{qi}"].to_numpy(zero_copy_only=False) > 0).astype(
+                        np.int64
+                    ),
+                    pa.int64(),
+                ),
+            )
+        return t
+
+    flagged = stat.map_batches(add_df_flags, batch_format="pyarrow")
+    agg_row = flagged.aggregate(
+        AggSum("dl", alias_name="tot"),
+        AggCount(alias_name="n"),
+        *[AggSum(f"df_{qi}", alias_name=f"df_{qi}") for qi in range(nt)],
+    )
+    n = int(agg_row["n"])
+    avgdl = int(agg_row["tot"]) / n
+    idf = np.array(
+        [
+            np.log((n - int(agg_row[f"df_{qi}"]) + 0.5) / (int(agg_row[f"df_{qi}"]) + 0.5) + 1.0)
+            for qi in range(nt)
+        ],
+        dtype=np.float64,
+    )
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        denom_base = k1 * (1.0 - b + b * (dl / avgdl))
+        total = np.zeros(len(dl), dtype=np.int64)
+        for qi in range(nt):
+            tf = t[f"tf_{qi}"].to_numpy(zero_copy_only=False).astype(np.float64)
+            contrib = idf[qi] * ((tf * (k1 + 1.0)) / (tf + denom_base))
+            micro = np.floor(contrib * 1e6 + 0.5).astype(np.int64)
+            total += np.where(tf > 0, micro, 0)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        # partial top-k: score desc, doc_id asc
+        order = np.lexsort((ids, -total))[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], pa.int64()),
+                "bm25_micro": pa.array(total[order], pa.int64()),
+            }
+        )
+
+    parts = stat.map_batches(score_batch, batch_format="pyarrow").take_all()
+    parts.sort(key=lambda r: (-r["bm25_micro"], r["doc_id"]))
+    top = parts[:k]
+    return pa.table(
+        {
+            "rnk": pa.array(np.arange(1, len(top) + 1), pa.int64()),
+            "doc_id": pa.array([r["doc_id"] for r in top], pa.int64()),
+            "bm25_micro": pa.array([r["bm25_micro"] for r in top], pa.int64()),
+        }
+    )
+
+
 def ann_topk(
     embeddings: ray.data.Dataset,
     query_ids: list,

@@ -226,3 +226,51 @@ def test_normalize_text_and_dedup_normalized(ray_session):
     kept = dedup_normalized(ds).to_pandas().sort_values("doc_id")
     assert kept["doc_id"].tolist() == [0, 3, 4]
     assert kept.set_index("doc_id")["dup_count"].to_dict() == {0: 3, 3: 1, 4: 1}
+
+
+def test_bm25_topk(ray_session):
+    import math
+
+    import pyarrow as pa
+    import ray.data
+
+    from georay.textops import bm25_topk
+
+    texts = [
+        "hash join hash hash",          # heavy on both terms
+        "join vector scan",             # one of each
+        "scan filter sort",             # no query terms
+        "hash",                         # short doc, one term
+        "",                             # empty -> excluded from corpus stats
+    ]
+    t = pa.table(
+        {"doc_id": pa.array(range(5), pa.int64()), "text": pa.array(texts)}
+    )
+    out = bm25_topk(
+        ray.data.from_arrow(t).repartition(2), ("hash", "join"), k=3
+    ).to_pandas()
+
+    # plain-python BM25 reference with the same micro quantization
+    def ref():
+        docs = [(i, tx.split()) for i, tx in enumerate(texts) if tx.strip()]
+        n = len(docs)
+        avgdl = sum(len(w) for _, w in docs) / n
+        scores = []
+        for i, w in docs:
+            total = 0
+            for term in ("hash", "join"):
+                tf = w.count(term)
+                if tf == 0:
+                    continue
+                df = sum(1 for _, ww in docs if term in ww)
+                idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+                contrib = idf * ((tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * (len(w) / avgdl))))
+                total += math.floor(contrib * 1e6 + 0.5)
+            scores.append((i, total))
+        scores.sort(key=lambda x: (-x[1], x[0]))
+        return scores[:3]
+
+    exp = ref()
+    got = list(zip(out["doc_id"], out["bm25_micro"]))
+    assert got == exp
+    assert out["rnk"].tolist() == [1, 2, 3]
