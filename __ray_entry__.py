@@ -701,6 +701,24 @@ def _geo_areas(sf_dir):
     return polygon_measures(decode_features(pages))
 
 
+def _geo_simplify(sf_dir):
+    """DP-simplify every decoded polygon at a sub-cell tolerance and
+    report per-polygon vertex counts plus the post-simplify area (the
+    grid rectangles are DP fixed points, so the closed form pins the
+    whole decode -> simplify -> re-encode -> measure chain; DP behavior
+    on non-trivial shapes is pinned by tests/test_simplify.py)."""
+    import ray.data
+
+    from georay.pages import pages_dir_for
+    from georay.pipeline import decode_features
+    from georay.spatial.measure import polygon_measures
+    from georay.spatial.simplify import simplify_features
+
+    pages = ray.data.read_parquet(pages_dir_for(sf_dir), columns=["url", "html"])
+    simplified = simplify_features(decode_features(pages), tolerance=1e-4)
+    return polygon_measures(simplified)
+
+
 def _geo_summary_abbrev(sf_dir):
     """Abbreviated (metadata-only) summary of a huge shapefile blob:
     reference POST /summary with X-Blob-Length over the gate
@@ -790,6 +808,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_polygon_tiles": _geo_polygon_tiles,
         "geo_knn": _geo_knn,
         "geo_areas": _geo_areas,
+        "geo_simplify": _geo_simplify,
         "geo_summary": _geo_summary,
         "geo_summary_abbrev": _geo_summary_abbrev,
     }
@@ -974,7 +993,7 @@ def oracle_sql() -> dict[str, str]:
         media_glob = _ensure_media_corpus()
     except Exception:
         media_glob = None
-    sql = _oracle_sql_raw()
+    sql = _add_derived_oracles(_oracle_sql_raw())
     # corpus unavailable: exclude the oracles that read a missing path
     # rather than hand the driver failing SQL
     if glob is None:
@@ -2181,3 +2200,11 @@ def _oracle_sql_raw() -> dict[str, str]:
             FROM agg
         """,
     }
+
+
+# the grid rectangles are Douglas-Peucker fixed points at sub-cell
+# tolerance, so geo_simplify's decode -> simplify -> re-encode ->
+# measure chain must land on geo_areas' exact closed form
+def _add_derived_oracles(sql: dict) -> dict:
+    sql["geo_simplify"] = sql["geo_areas"]
+    return sql
