@@ -701,6 +701,42 @@ def _geo_areas(sf_dir):
     return polygon_measures(decode_features(pages))
 
 
+def _geo_hex_counts(sf_dir):
+    """Hexagonal (H3-role) page binning: axial hex cell per page
+    coordinate, count per cell. Per-batch np.unique partials feed one
+    small groupby-sum — the tile-counts pre-aggregation shape; the hex
+    math is bit-identical on both engines (cells.py hex_encode doc)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from georay.pages import pages_dir_for
+    from georay.pipeline import extract_batch
+    from georay.spatial.cells import hex_encode
+
+    pages = ray.data.read_parquet(pages_dir_for(sf_dir))
+
+    def hex_partial(t: pa.Table) -> pa.Table:
+        ids = hex_encode(
+            t["lon"].to_numpy(zero_copy_only=False),
+            t["lat"].to_numpy(zero_copy_only=False),
+            0.02,
+        )
+        u, c = np.unique(ids, return_counts=True)
+        return pa.table(
+            {
+                "hex_cell": pa.array(u, pa.int64()),
+                "n_pages": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = pages.map_batches(extract_batch, batch_format="pyarrow").map_batches(
+        hex_partial, batch_format="pyarrow"
+    )
+    return parts.groupby("hex_cell").aggregate(Sum("n_pages", alias_name="n_pages"))
+
+
 def _geo_simplify(sf_dir):
     """DP-simplify every decoded polygon at a sub-cell tolerance and
     report per-polygon vertex counts plus the post-simplify area (the
@@ -809,6 +845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_knn": _geo_knn,
         "geo_areas": _geo_areas,
         "geo_simplify": _geo_simplify,
+        "geo_hex_counts": _geo_hex_counts,
         "geo_summary": _geo_summary,
         "geo_summary_abbrev": _geo_summary_abbrev,
     }
@@ -2017,6 +2054,49 @@ def _oracle_sql_raw() -> dict[str, str]:
                    CAST(FLOOR(area * 10000000000 + 0.5) AS BIGINT) AS area_q,
                    CAST(FLOOR(perim * 10000000000 + 0.5) AS BIGINT) AS perim_q
             FROM m
+        """,
+        # pointy-top axial hex binning, size 0.02 deg: the SAME double
+        # op sequence as cells.hex_encode (mul/div/floor/compare + one
+        # sqrt), so cell ids match bit-for-bit with no rounding margin
+        "geo_hex_counts": f"""
+            WITH p AS (
+              SELECT url,
+                     CAST(('0x' || substr(sha256('coord:' || url), 1, 16)) AS UBIGINT) AS h
+              FROM read_parquet('{_PAGES_GLOB}')
+            ),
+            pt AS (
+              SELECT -122.5 + (CAST(h % 4294967296 AS DOUBLE) / 4294967296.0)
+                              * (CAST(-122.2 AS DOUBLE) - CAST(-122.5 AS DOUBLE)) AS lon,
+                     47.4 + (CAST(h // 4294967296 AS DOUBLE) / 4294967296.0)
+                            * (CAST(47.8 AS DOUBLE) - CAST(47.4 AS DOUBLE)) AS lat
+              FROM p
+            ),
+            ax AS (
+              SELECT ((sqrt(3.0) / 3.0) * lon - (1.0 / 3.0) * lat) / 0.02 AS qf,
+                     ((2.0 / 3.0) * lat) / 0.02 AS rf
+              FROM pt
+            ),
+            c AS (
+              SELECT qf AS xf, -qf - rf AS yf, rf AS zf,
+                     FLOOR(qf + 0.5) AS rx,
+                     FLOOR(-qf - rf + 0.5) AS ry,
+                     FLOOR(rf + 0.5) AS rz
+              FROM ax
+            ),
+            f AS (
+              SELECT CASE WHEN abs(rx - xf) > abs(ry - yf)
+                           AND abs(rx - xf) > abs(rz - zf)
+                          THEN -ry - rz ELSE rx END AS q,
+                     CASE WHEN NOT (abs(rx - xf) > abs(ry - yf)
+                                    AND abs(rx - xf) > abs(rz - zf))
+                           AND NOT (abs(ry - yf) > abs(rz - zf))
+                          THEN -rx - ry ELSE rz END AS r
+              FROM c
+            )
+            SELECT (CAST(q AS BIGINT) + 1048576) * 2097152
+                   + (CAST(r AS BIGINT) + 1048576) AS hex_cell,
+                   COUNT(*) AS n_pages
+            FROM f GROUP BY 1
         """,
         "geo_pip_join": f"""
             {_GEO_JOIN_CTE}

@@ -110,3 +110,55 @@ def cells_covering_bbox(minx, miny, maxx, maxy, zoom: int):
     ys = np.arange(int(y0), int(y1) + 1, dtype=np.int64)
     gx, gy = np.meshgrid(xs, ys)
     return cell_xy(zoom, gx.ravel(), gy.ravel())
+
+
+# ------------------------------------------------------ hexagonal cells
+# A pointy-top axial hex grid over lon/lat (the public Red Blob Games
+# axial/cube-round construction) — the hexagonal H3-role binning next
+# to the square mercator cells above. Every operation is an identical
+# sequence of IEEE double ops on any engine (multiply, divide, floor,
+# compare — no transcendentals beyond one sqrt(3)), so a SQL replay
+# produces bit-identical cell ids with NO quantization margin.
+
+HEX_BIAS = 1 << 20  # axial coords are biased non-negative for packing
+
+
+def hex_encode(lon, lat, size: float):
+    """Vectorized (lon, lat) -> int64 hex cell id; ``size`` is the hex
+    circumradius in degrees. id = (q + BIAS) * 2^21 + (r + BIAS)."""
+    x = np.asarray(lon, dtype=np.float64)
+    y = np.asarray(lat, dtype=np.float64)
+    qf = ((np.sqrt(3.0) / 3.0) * x - (1.0 / 3.0) * y) / size
+    rf = ((2.0 / 3.0) * y) / size
+    xf, zf = qf, rf
+    yf = -xf - zf
+    rx = np.floor(xf + 0.5)
+    ry = np.floor(yf + 0.5)
+    rz = np.floor(zf + 0.5)
+    dx = np.abs(rx - xf)
+    dy = np.abs(ry - yf)
+    dz = np.abs(rz - zf)
+    # cube-round: re-derive exactly one component from the ORIGINAL
+    # other two (the scalar if/elif chain, vectorized)
+    fix_x = (dx > dy) & (dx > dz)
+    fix_y = ~fix_x & (dy > dz)
+    fix_z = ~fix_x & ~fix_y
+    q = np.where(fix_x, -ry - rz, rx).astype(np.int64)
+    r = np.where(fix_z, -rx - ry, rz).astype(np.int64)
+    # fix_y only corrects the (unused-for-packing) y component
+    del fix_y
+    return (q + HEX_BIAS) * (1 << 21) + (r + HEX_BIAS)
+
+
+def hex_to_qr(cell):
+    """Inverse of hex_encode's packing -> (q, r) axial coords."""
+    cell = np.asarray(cell, dtype=np.int64)
+    return cell // (1 << 21) - HEX_BIAS, cell % (1 << 21) - HEX_BIAS
+
+
+def hex_center(cell, size: float):
+    """Hex cell id -> (lon, lat) of the hex center."""
+    q, r = hex_to_qr(cell)
+    y = r.astype(np.float64) * size * 1.5
+    x = (q.astype(np.float64) + r.astype(np.float64) / 2.0) * size * np.sqrt(3.0)
+    return x, y

@@ -320,3 +320,28 @@ def test_sharded_index_matches_single(index, ray_session):
     # every single-object-index hit on a decoded polygon appears in the
     # sharded result too (the fixture index may hold a subset)
     assert {p for p in got_single if p[1] in decoded_pids} <= got_sharded
+
+
+def test_hex_encode_geometry():
+    """Every point lies within one circumradius of its assigned hex
+    center, adjacent centers are sqrt(3)*size apart, and the packing
+    round-trips."""
+    import numpy as np
+
+    from georay.spatial.cells import hex_center, hex_encode, hex_to_qr
+
+    rng = np.random.default_rng(1)
+    size = 0.02
+    lon = rng.uniform(-122.5, -122.2, 5000)
+    lat = rng.uniform(47.4, 47.8, 5000)
+    cells = hex_encode(lon, lat, size)
+    q, r = hex_to_qr(cells)
+    assert (hex_encode(*hex_center(cells, size), size) == cells).all()
+    cx, cy = hex_center(cells, size)
+    d = np.sqrt((lon - cx) ** 2 + (lat - cy) ** 2)
+    assert (d <= size + 1e-12).all()
+    # nearest-center property: closer to own center than to any axial neighbor
+    for dq, dr in ((1, 0), (0, 1), (-1, 1)):
+        nx, ny = hex_center((q + dq + (1 << 20)) * (1 << 21) + (r + dr + (1 << 20)), size)
+        dn = np.sqrt((lon - nx) ** 2 + (lat - ny) ** 2)
+        assert (d <= dn + 1e-12).all()
