@@ -755,6 +755,21 @@ def _geo_simplify(sf_dir):
     return polygon_measures(simplified)
 
 
+def _geo_tile_coverage(sf_dir):
+    """Raster<-vector coverage fractions: Sutherland-Hodgman clip of
+    every decoded polygon against each zoom-15 tile it touches, area
+    per (polygon, tile) quantized at 1e10 (measure.py tolerance doc);
+    the oracle is the closed-form rect-intersection over the grid."""
+    import ray.data
+
+    from georay.pages import pages_dir_for
+    from georay.pipeline import decode_features
+    from georay.spatial.measure import polygon_tile_coverage
+
+    pages = ray.data.read_parquet(pages_dir_for(sf_dir), columns=["url", "html"])
+    return polygon_tile_coverage(decode_features(pages), zoom=15)
+
+
 def _geo_summary_abbrev(sf_dir):
     """Abbreviated (metadata-only) summary of a huge shapefile blob:
     reference POST /summary with X-Blob-Length over the gate
@@ -846,6 +861,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_areas": _geo_areas,
         "geo_simplify": _geo_simplify,
         "geo_hex_counts": _geo_hex_counts,
+        "geo_tile_coverage": _geo_tile_coverage,
         "geo_summary": _geo_summary,
         "geo_summary_abbrev": _geo_summary_abbrev,
     }
@@ -2054,6 +2070,72 @@ def _oracle_sql_raw() -> dict[str, str]:
                    CAST(FLOOR(area * 10000000000 + 0.5) AS BIGINT) AS area_q,
                    CAST(FLOOR(perim * 10000000000 + 0.5) AS BIGINT) AS perim_q
             FROM m
+        """,
+        # closed-form rect-intersection per (grid polygon, zoom-15
+        # tile): tile lat bounds use the exp-form sinh (DuckDB has
+        # none); the ~1e-16 transcendental skew is ~1e-6 of a 1e10
+        # quantization unit. Zero-coverage rows drop on BOTH sides, so
+        # a one-ulp tile-range disagreement cannot change the output.
+        "geo_tile_coverage": f"""
+            WITH {_NPOLY_CTE},
+            ids AS (
+              SELECT CAST(v AS BIGINT) AS pid
+              FROM range(256) t(v), npoly WHERE v < npoly.np
+            ),
+            pb AS (
+              SELECT pid,
+                     -122.5 + (pid % 16)
+                       * ((CAST(-122.2 AS DOUBLE) - CAST(-122.5 AS DOUBLE)) / 16) AS px0,
+                     47.4 + (pid // 16)
+                       * ((CAST(47.8 AS DOUBLE) - CAST(47.4 AS DOUBLE)) / 16) AS py0
+              FROM ids
+            ),
+            pb2 AS (
+              SELECT pid, px0, py0,
+                     px0 + ((CAST(-122.2 AS DOUBLE) - CAST(-122.5 AS DOUBLE)) / 16) AS px1,
+                     py0 + ((CAST(47.8 AS DOUBLE) - CAST(47.4 AS DOUBLE)) / 16) AS py1
+              FROM pb
+            ),
+            txr AS (
+              SELECT pid, px0, px1, py0, py1,
+                     CAST(floor((px0 + 180.0) / 360.0 * 32768) AS BIGINT) AS txa,
+                     CAST(floor((px1 + 180.0) / 360.0 * 32768) AS BIGINT) AS txb,
+                     {_MERC_Y_SQL("py1", 32768)} AS tya,
+                     {_MERC_Y_SQL("py0", 32768)} AS tyb
+              FROM pb2
+            ),
+            tl AS (
+              SELECT pid, px0, px1, py0, py1, txa + i AS tx, tya + j AS ty
+              FROM txr, generate_series(0, 99) sx(i), generate_series(0, 99) sy(j)
+              WHERE i <= txb - txa AND j <= tyb - tya
+            ),
+            tb AS (
+              SELECT pid, px0, px1, py0, py1, tx, ty,
+                     tx / 32768.0 * 360.0 - 180.0 AS tlon0,
+                     (tx + 1) / 32768.0 * 360.0 - 180.0 AS tlon1,
+                     degrees(atan((exp(pi() * (1 - 2 * ty / 32768.0))
+                                   - exp(-(pi() * (1 - 2 * ty / 32768.0)))) / 2.0)) AS tlat1,
+                     degrees(atan((exp(pi() * (1 - 2 * (ty + 1) / 32768.0))
+                                   - exp(-(pi() * (1 - 2 * (ty + 1) / 32768.0)))) / 2.0)) AS tlat0
+              FROM tl
+            ),
+            cv AS (
+              SELECT pid, tx, ty,
+                     GREATEST(LEAST(px1, tlon1) - GREATEST(px0, tlon0), 0)
+                     * GREATEST(LEAST(py1, tlat1) - GREATEST(py0, tlat0), 0)
+                     - CASE WHEN pid % 7 = 3 THEN
+                         GREATEST(LEAST(px1 - 0.25*(px1-px0), tlon1)
+                                  - GREATEST(px0 + 0.25*(px1-px0), tlon0), 0)
+                         * GREATEST(LEAST(py1 - 0.25*(py1-py0), tlat1)
+                                    - GREATEST(py0 + 0.25*(py1-py0), tlat0), 0)
+                       ELSE 0 END AS cov
+              FROM tb
+            )
+            SELECT pid AS polygon_id,
+                   {_pack_cell_sql(15, "tx", "ty")} AS tile,
+                   CAST(FLOOR(cov * 10000000000 + 0.5) AS BIGINT) AS cov_q
+            FROM cv
+            WHERE CAST(FLOOR(cov * 10000000000 + 0.5) AS BIGINT) > 0
         """,
         # pointy-top axial hex binning, size 0.02 deg: the SAME double
         # op sequence as cells.hex_encode (mul/div/floor/compare + one

@@ -47,7 +47,12 @@ def _ring_area_perim(ring) -> tuple:
     v = np.asarray(ring, dtype=np.float64)
     if len(v) < 3:
         return 0.0, 0.0
-    x, y = v[:, 0], v[:, 1]
+    # shoelace on RAW lon/lat magnitudes (~122 deg) cancels ~5.7e3
+    # cross terms down to ~1e-4 — a 4e8-ulp cancellation that costs
+    # ~0.05 quantized units; translating to the ring origin first makes
+    # the terms the same magnitude as the answer (error ~ulp of it)
+    x = v[:, 0] - v[0, 0]
+    y = v[:, 1] - v[0, 1]
     area = 0.5 * abs(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
     d = np.diff(v, axis=0)
     perim = float(np.sum(np.sqrt(d[:, 0] ** 2 + d[:, 1] ** 2)))
@@ -82,6 +87,155 @@ def _even_odd_area_perim(rings) -> tuple:
         area += a if depth % 2 == 0 else -a
         perim += p
     return area, perim
+
+
+def clip_ring_rect(ring, x0: float, y0: float, x1: float, y1: float):
+    """Sutherland-Hodgman clip of a closed ring to an axis-aligned
+    rectangle (the classic public algorithm; clip region is convex, so
+    one pass per half-plane). Returns an open vertex list (possibly
+    empty). Vertex counts here are tiny (grid rings are 5 points), so
+    the scalar loop is not a hot path — the per-batch fan-out is."""
+    pts = [tuple(p) for p in ring[:-1]] if ring and tuple(ring[0]) == tuple(ring[-1]) else [tuple(p) for p in ring]
+    for axis, bound, keep_le in (
+        (0, x0, False),
+        (0, x1, True),
+        (1, y0, False),
+        (1, y1, True),
+    ):
+        if not pts:
+            return []
+        out = []
+        n = len(pts)
+        for i in range(n):
+            a, b = pts[i], pts[(i + 1) % n]
+            a_in = a[axis] <= bound if keep_le else a[axis] >= bound
+            b_in = b[axis] <= bound if keep_le else b[axis] >= bound
+            if a_in:
+                out.append(a)
+            if a_in != b_in:
+                t = (bound - a[axis]) / (b[axis] - a[axis])
+                if axis == 0:
+                    out.append((bound, a[1] + t * (b[1] - a[1])))
+                else:
+                    out.append((a[0] + t * (b[0] - a[0]), bound))
+        pts = out
+    return pts
+
+
+def _open_ring_area(pts) -> float:
+    if len(pts) < 3:
+        return 0.0
+    v = np.asarray(pts, dtype=np.float64)
+    # origin-translated shoelace (see _ring_area_perim's margin note)
+    x = v[:, 0] - v[0, 0]
+    y = v[:, 1] - v[0, 1]
+    return 0.5 * abs(
+        float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+    )
+
+
+def polygon_tile_coverage(
+    features: ray.data.Dataset,
+    zoom: int = 15,
+    id_prop: str = "polygon_id",
+) -> ray.data.Dataset:
+    """Raster<-vector coverage fractions: for every decoded polygon and
+    every slippy tile it touches at ``zoom``, the clipped polygon area
+    inside that tile, quantized like polygon_measures. Even-odd ring
+    signs (holes subtract their own clipped area). Rows with zero
+    quantized coverage are dropped (bbox-cover tiles that only graze).
+
+    Output: polygon_id, tile (packed cell id), cov_q — deduplicated to
+    one row per triple, so a decode path that disagreed would surface
+    as a duplicate (polygon_id, tile)."""
+    from georay.spatial.cells import cell_bounds, cells_covering_bbox
+
+    def coverage(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "polygon_id": pa.array([], pa.int64()),
+                "tile": pa.array([], pa.int64()),
+                "cov_q": pa.array([], pa.int64()),
+            }
+        )
+        if "wkb" not in t.column_names:
+            return empty
+        mask = pc.and_(
+            pc.is_valid(t["wkb"]),
+            pc.is_in(
+                t["geom_type"], value_set=pa.array(["polygon", "multipolygon"])
+            ),
+        )
+        t = t.filter(mask)
+        out_id, out_tile, out_cov = [], [], []
+        for wkb, pj, cj in zip(
+            t["wkb"].to_pylist(),
+            t["props_json"].to_pylist(),
+            t["cols_json"].to_pylist(),
+        ):
+            names, _types = json.loads(cj)
+            props = dict(zip(names[1:], json.loads(pj)))
+            pid = props.get(id_prop)
+            if pid is None:
+                continue
+            ctype, coords = wkb_decode(wkb)
+            polys = [coords] if ctype == "polygon" else coords
+            rings = [
+                np.asarray(r, dtype=np.float64)
+                for rs in polys
+                for r in rs
+                if len(r) >= 4
+            ]
+            if not rings:
+                continue
+            signs = []
+            for i, v in enumerate(rings):
+                px, py = float(v[0, 0]), float(v[0, 1])
+                depth = sum(
+                    _point_in_ring(px, py, u)
+                    for j, u in enumerate(rings)
+                    if j != i
+                )
+                signs.append(1.0 if depth % 2 == 0 else -1.0)
+            allv = np.vstack(rings)
+            bb = (
+                float(allv[:, 0].min()),
+                float(allv[:, 1].min()),
+                float(allv[:, 0].max()),
+                float(allv[:, 1].max()),
+            )
+            tiles = cells_covering_bbox(*bb, zoom)
+            tx0, ty0, tx1, ty1 = cell_bounds(tiles)
+            for ti in range(len(tiles)):
+                cov = 0.0
+                for s, v in zip(signs, rings):
+                    clipped = clip_ring_rect(
+                        v.tolist(),
+                        float(tx0[ti]),
+                        float(ty0[ti]),
+                        float(tx1[ti]),
+                        float(ty1[ti]),
+                    )
+                    cov += s * _open_ring_area(clipped)
+                q = int(np.floor(cov * QUANT + 0.5))
+                if q > 0:
+                    out_id.append(int(pid))
+                    out_tile.append(int(tiles[ti]))
+                    out_cov.append(q)
+        return pa.table(
+            {
+                "polygon_id": pa.array(out_id, pa.int64()),
+                "tile": pa.array(out_tile, pa.int64()),
+                "cov_q": pa.array(out_cov, pa.int64()),
+            }
+        )
+
+    covered = features.map_batches(coverage, batch_format="pyarrow")
+    return (
+        covered.groupby(["polygon_id", "tile", "cov_q"])
+        .aggregate(Count(alias_name="n_feat"))
+        .drop_columns(["n_feat"])
+    )
 
 
 def polygon_measures(

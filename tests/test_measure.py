@@ -63,3 +63,43 @@ def test_polygon_measures_grid_golden(ray_session, tmp_path):
             assert (row.area_q, row.perim_q) == (hole_a, hole_p)
         else:
             assert (row.area_q, row.perim_q) == (cell_a, cell_p)
+
+
+def test_clip_ring_rect_basic():
+    from georay.spatial.measure import _open_ring_area, clip_ring_rect
+
+    sq = [[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]]
+    # clip fully inside -> unchanged area
+    assert _open_ring_area(clip_ring_rect(sq, -1, -1, 5, 5)) == pytest.approx(16)
+    # quarter overlap
+    assert _open_ring_area(clip_ring_rect(sq, 2, 2, 6, 6)) == pytest.approx(4)
+    # disjoint -> empty
+    assert clip_ring_rect(sq, 5, 5, 6, 6) == [] or _open_ring_area(
+        clip_ring_rect(sq, 5, 5, 6, 6)
+    ) == pytest.approx(0)
+    # concave subject (L-shape): clip window catches the notch corner
+    ell = [[0, 0], [4, 0], [4, 2], [2, 2], [2, 4], [0, 4], [0, 0]]
+    assert _open_ring_area(clip_ring_rect(ell, 1, 1, 3, 3)) == pytest.approx(3)
+
+
+def test_polygon_tile_coverage_conserves_area(ray_session, tmp_path):
+    """Sum of per-tile clipped areas == the polygon's total area (the
+    tiling partitions the plane), for every decoded grid polygon."""
+    import ray.data
+
+    from georay.pages import synthesize_pages_parquet
+    from georay.pipeline import decode_features
+    from georay.spatial.measure import polygon_measures, polygon_tile_coverage
+
+    out = str(tmp_path / "pages")
+    synthesize_pages_parquet(out, n=400, seed=42)
+    pages = ray.data.read_parquet(out, columns=["url", "html"])
+    feats = decode_features(pages)
+    cov = polygon_tile_coverage(feats, zoom=15).to_pandas()
+    areas = polygon_measures(feats).to_pandas().set_index("polygon_id")["area_q"]
+    got = cov.groupby("polygon_id")["cov_q"].sum()
+    assert set(got.index) == set(areas.index)
+    for pid, total in got.items():
+        # quantization rounds each tile independently: allow 1 unit per tile
+        ntiles = (cov["polygon_id"] == pid).sum()
+        assert abs(int(total) - int(areas[pid])) <= ntiles
