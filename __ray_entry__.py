@@ -259,6 +259,12 @@ def _q_chunk_texts(sf_dir):
     return chunk_texts(_docs(sf_dir), window=32, overlap=8)
 
 
+def _q_doc_entropy(sf_dir):
+    from georay.textops import doc_entropy
+
+    return doc_entropy(_docs(sf_dir))
+
+
 BM25_TERMS = ("hash", "join", "vector")
 
 
@@ -801,6 +807,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": _q_token_counts,
         "chunk_texts": _q_chunk_texts,
         "bm25_topk": _q_bm25_topk,
+        "doc_entropy": _q_doc_entropy,
         "top_words": _q_top_words,
         "order_price_quantiles": _q_order_price_quantiles,
         "approx_price_quantiles": _q_approx_price_quantiles,
@@ -1656,6 +1663,33 @@ def _oracle_sql_raw() -> dict[str, str]:
                         ELSE LEN(regexp_split_to_array(TRIM(text), '\\s+'))
                    END AS n_tokens
             FROM documents
+        """,
+        # unigram token entropy in integer micro-nats: each TYPE's
+        # (c/n)*ln(n/c) term quantized before the (order-free) sum
+        "doc_entropy": """
+            WITH t AS (
+              SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS w,
+                     TRIM(text) AS tt
+              FROM documents
+            ),
+            words AS (
+              SELECT doc_id, w[i+1] AS tok
+              FROM t, UNNEST(range(len(w))) AS u(i) WHERE tt <> ''
+            ),
+            ty AS (SELECT doc_id, tok, COUNT(*) AS c FROM words GROUP BY 1, 2),
+            nn AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM ty GROUP BY 1),
+            e AS (
+              SELECT ty.doc_id,
+                     CAST(SUM(CAST(FLOOR(
+                       (c / CAST(n AS DOUBLE)) * ln(CAST(n AS DOUBLE) / c)
+                       * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS em,
+                     MAX(n) AS n
+              FROM ty JOIN nn ON ty.doc_id = nn.doc_id GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   COALESCE(CAST(e.n AS BIGINT), 0) AS n_tokens,
+                   COALESCE(e.em, 0) AS entropy_micro
+            FROM documents d LEFT JOIN e ON d.doc_id = e.doc_id
         """,
         # Okapi BM25 (k1=1.2, b=0.75) for the fixed query (hash, join,
         # vector): each term contribution floor(x*1e6+0.5)-quantized

@@ -968,6 +968,48 @@ def quality_scores(docs: ray.data.Dataset):
 # ------------------------------------------------------------- ANN
 
 
+def doc_entropy(docs: ray.data.Dataset):
+    """Per-document unigram token entropy (nats) — the repetition /
+    diversity quality signal next to doc_repetition's Gopher counts:
+    H = sum over token types of (c/n)*ln(n/c). Each TYPE's term is
+    quantized to integer micro-nats before the sum (the unigram_logprob
+    trick), so the total is summation-order-free and the SQL replay is
+    exact. Stateless map_batches, one np.unique per doc's token span —
+    the token_counts granularity, no shuffle.
+
+    Output: doc_id, n_tokens, entropy_micro (0 for empty docs)."""
+
+    def entropy_batch(t: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(t["text"])
+        ).combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = np.asarray(toks.flatten(), dtype=object)
+        n_docs = t.num_rows
+        n_tok = np.empty(n_docs, dtype=np.int64)
+        ent = np.zeros(n_docs, dtype=np.int64)
+        for i in range(n_docs):
+            span = flat[offs[i] : offs[i + 1]]
+            if len(span) == 1 and span[0] == "":
+                n_tok[i] = 0
+                continue
+            n = len(span)
+            n_tok[i] = n
+            _, counts = np.unique(span, return_counts=True)
+            c = counts.astype(np.float64)
+            terms = (c / n) * np.log(n / c)
+            ent[i] = int(np.sum(np.floor(terms * 1e6 + 0.5).astype(np.int64)))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "entropy_micro": pa.array(ent, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(entropy_batch, batch_format="pyarrow")
+
+
 def bm25_topk(
     docs: ray.data.Dataset,
     terms: tuple,

@@ -274,3 +274,37 @@ def test_bm25_topk(ray_session):
     got = list(zip(out["doc_id"], out["bm25_micro"]))
     assert got == exp
     assert out["rnk"].tolist() == [1, 2, 3]
+
+
+def test_doc_entropy(ray_session):
+    import math
+
+    import pyarrow as pa
+    import ray.data
+
+    from georay.textops import doc_entropy
+
+    texts = ["a a a a", "a b c d", "a a b b", ""]
+    t = pa.table(
+        {"doc_id": pa.array(range(4), pa.int64()), "text": pa.array(texts)}
+    )
+    out = (
+        doc_entropy(ray.data.from_arrow(t).repartition(2))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_tokens"].tolist() == [4, 4, 4, 0]
+    # constant doc -> 0; uniform 4 types -> ln(4); 2x2 -> ln(2)
+    def q(terms):
+        return sum(math.floor(x * 1e6 + 0.5) for x in terms)
+
+    assert out["entropy_micro"].tolist() == [
+        0,
+        q([0.25 * math.log(4.0)] * 4),
+        q([0.5 * math.log(2.0)] * 2),
+        0,
+    ]
+    # diversity ordering: uniform > half-half > constant
+    e = out["entropy_micro"]
+    assert e[1] > e[2] > e[0] == 0
