@@ -472,6 +472,12 @@ def _q_emb_near_dups(sf_dir):
     return embedding_near_dups(_emb(sf_dir), threshold=EMB_TAU)
 
 
+def _q_label_centroids(sf_dir):
+    from georay.ann import label_centroids
+
+    return label_centroids(_emb(sf_dir))
+
+
 def _q_embedding_clusters(sf_dir):
     from georay.ann import cluster_assign_fixed
 
@@ -840,6 +846,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "ann_topk_ivf": _q_ann_topk_ivf,
         "embedding_clusters": _q_embedding_clusters,
+        "label_centroids": _q_label_centroids,
         "embedding_near_dups": _q_emb_near_dups,
         "cust_order_counts": _q_cust_order_counts,
         "mktsegment_stats": _q_mktsegment_stats,
@@ -1911,6 +1918,19 @@ def _oracle_sql_raw() -> dict[str, str]:
                                             ORDER BY sim DESC, neighbor_id ASC) - 1 AS rank
                   FROM s)
             SELECT query_id, rank, neighbor_id FROM r WHERE rank < {ANN_K}
+        """,
+        # mean-pooled embedding per label, exploded to scalar rows;
+        # means micro-quantized on both sides (float32-exact inputs)
+        "label_centroids": """
+            WITH u AS (
+              SELECT label, CAST(u.i AS INTEGER) AS dim,
+                     CAST(embedding[u.i + 1] AS DOUBLE) AS v
+              FROM embeddings, UNNEST(range(len(embedding))) AS u(i)
+            )
+            SELECT CAST(label AS INTEGER) AS label, dim,
+                   CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                   CAST(FLOOR(AVG(v) * 1000000 + 0.5) AS BIGINT) AS mean_micro
+            FROM u GROUP BY 1, 2
         """,
         # fixed centroids = vec_id < 8; cosine micro-quantized BEFORE
         # the argmax, ties to the lowest centroid id (both sides), so

@@ -85,6 +85,75 @@ def assign_clusters(embeddings: ray.data.Dataset, centroids_ref):
     return embeddings.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 8))
 
 
+def label_centroids(embeddings: ray.data.Dataset, label_col: str = "label"):
+    """Mean-pooled embedding per label — the distributed vector
+    aggregation primitive (class prototypes / IVF retraining input).
+
+    Two-phase like every groupby here: each batch collapses to one
+    [labels x dim] partial-sum row set (a few KB), the final groupby
+    sums those tiny partials — the shuffle never carries vectors
+    per-row. Output is EXPLODED to scalar rows (label, dim, mean_micro)
+    with the mean micro-quantized, so the driver hash compares it and
+    any float-summation-order skew vs the SQL replay stays ~1e-9 of a
+    unit (sums of float32-exact doubles are ~1e-13 apart at worst).
+
+    Output: label (int32), dim (int32), n_vecs, mean_micro."""
+    from ray.data.aggregate import Count as AggCount
+
+    def partial(t: pa.Table) -> pa.Table:
+        emb = t["embedding"].combine_chunks()
+        flat = pc.list_flatten(emb).to_numpy(zero_copy_only=False).astype(np.float64)
+        labels = t[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        dim = flat.size // max(len(labels), 1)
+        E = flat.reshape(-1, dim)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), dim), dtype=np.float64)
+        np.add.at(sums, inv, E)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        lab = np.repeat(uniq, dim).astype(np.int64)
+        dims = np.tile(np.arange(dim, dtype=np.int64), len(uniq))
+        return pa.table(
+            {
+                "label": pa.array(lab, pa.int64()),
+                "dim": pa.array(dims, pa.int64()),
+                "s": pa.array(sums.ravel(), pa.float64()),
+                "n": pa.array(np.repeat(counts, dim), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum as AggSum
+
+    summed = (
+        embeddings.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(AggSum("s", alias_name="s"), AggSum("n", alias_name="n"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t["s"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        micro = np.floor((s / n) * 1e6 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(
+                    t["label"].to_numpy(zero_copy_only=False).astype(np.int32),
+                    pa.int32(),
+                ),
+                "dim": pa.array(
+                    t["dim"].to_numpy(zero_copy_only=False).astype(np.int32),
+                    pa.int32(),
+                ),
+                "n_vecs": pa.array(
+                    t["n"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    pa.int64(),
+                ),
+                "mean_micro": pa.array(micro, pa.int64()),
+            }
+        )
+
+    return summed.map_batches(finish, batch_format="pyarrow")
+
+
 def cluster_assign_fixed(embeddings: ray.data.Dataset, k: int = 8):
     """Oracle-able single-pass cluster assignment: the centroids are
     the k vectors with ``vec_id < k`` (deterministic — no training

@@ -99,3 +99,34 @@ def test_cluster_assign_fixed(ray_session):
     best = np.argmax(micro * 1024 - np.arange(8), axis=1)
     assert (out["cluster"].to_numpy() == best).all()
     assert (out["cos_micro"].to_numpy() == micro[np.arange(64), best]).all()
+
+
+def test_label_centroids(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from georay.ann import label_centroids
+
+    rng = np.random.default_rng(3)
+    E = rng.normal(size=(60, 8)).astype(np.float32)
+    labels = (np.arange(60) % 3).astype(np.int32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(60), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in E]),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    out = (
+        label_centroids(ray.data.from_arrow(t).repartition(4))
+        .to_pandas()
+        .sort_values(["label", "dim"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == 3 * 8
+    assert (out["n_vecs"] == 20).all()
+    for lab in range(3):
+        want = E[labels == lab].astype(np.float64).mean(axis=0)
+        got = out[out["label"] == lab]["mean_micro"].to_numpy()
+        assert (got == np.floor(want * 1e6 + 0.5).astype(np.int64)).all()
