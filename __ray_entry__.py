@@ -400,6 +400,12 @@ def _q_user_event_deltas(sf_dir):
     return user_event_deltas(sf_dir)
 
 
+def _q_user_event_zscores(sf_dir):
+    from georay.relational import user_event_zscores
+
+    return user_event_zscores(sf_dir)
+
+
 def _q_curriculum_pack(sf_dir):
     """Curriculum pipeline composition: unigram-LM score -> global
     rank by (logprob_unats, doc_id) -> prefix-sum packing of the
@@ -843,6 +849,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_collocations": _q_pmi_collocations,
         "curriculum_pack": _q_curriculum_pack,
         "user_event_deltas": _q_user_event_deltas,
+        "user_event_zscores": _q_user_event_zscores,
         "ann_topk": _q_ann_topk,
         "ann_topk_ivf": _q_ann_topk_ivf,
         "embedding_clusters": _q_embedding_clusters,
@@ -1376,6 +1383,18 @@ def _oracle_sql_raw() -> dict[str, str]:
                    CROSS JOIN nu CROSS JOIN nb)
             SELECT bigram, n, pmi_unats FROM sc
             ORDER BY pmi_unats DESC, bigram LIMIT 20
+        """,
+        # per-user standardization; z micro-quantized on both sides,
+        # single-event users (population std 0) -> null
+        "user_event_zscores": """
+            SELECT event_id, CAST(user_id AS BIGINT) AS user_id,
+                   CASE WHEN STDDEV_POP(value) OVER (PARTITION BY user_id) > 0
+                        THEN CAST(FLOOR(
+                          (value - AVG(value) OVER (PARTITION BY user_id))
+                          / STDDEV_POP(value) OVER (PARTITION BY user_id)
+                          * 1000000 + 0.5) AS BIGINT)
+                        ELSE NULL END AS z_micro
+            FROM events
         """,
         "user_event_deltas": """
             SELECT event_id, user_id,

@@ -920,6 +920,81 @@ def user_event_deltas(sf_dir: str):
     )
 
 
+def user_event_zscores(sf_dir: str):
+    """Per-user standardization of event values (the group-wise feature
+    normalization op): z = (x - mean_u) / std_u over each user's
+    events, population std; single-event users (std 0) -> null.
+
+    Shape: user_event_deltas' shape — ONE shuffle on bucket =
+    hash(user_id) % (4x cpus); inside a partition every user's
+    mean/std computes in the same vectorized pass (lexsort by user,
+    reduceat over group boundaries). z is micro-quantized so the
+    DuckDB AVG/STDDEV_POP replay (different summation order, ~1e-16
+    relative) lands on identical integers.
+
+    Output: event_id, user_id, z_micro (null when std == 0)."""
+    n_parts = _n_partitions()
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": pa.array(uid, pa.int64()),
+                "value": t["value"],
+                "__bucket": pa.array(_hash_bucket(uid, n_parts), pa.int64()),
+            }
+        )
+
+    def z_bucket(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        val = t["value"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, uid))
+        uid, eid, val = uid[order], eid[order], val[order]
+        n = len(uid)
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "z_micro": pa.array([], pa.int64()),
+                }
+            )
+        starts = np.concatenate(([0], np.flatnonzero(uid[1:] != uid[:-1]) + 1))
+        counts = np.diff(np.concatenate((starts, [n])))
+        sums = np.add.reduceat(val, starts)
+        means = sums / counts
+        mean_of = np.repeat(means, counts)
+        dev = val - mean_of
+        var = np.add.reduceat(dev * dev, starts) / counts
+        std_of = np.repeat(np.sqrt(var), counts)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = dev / std_of
+        micro = np.floor(z * 1e6 + 0.5)
+        valid = pa.array(std_of > 0)
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "z_micro": pc.if_else(
+                    valid,
+                    pa.array(
+                        np.where(std_of > 0, micro, 0).astype(np.int64), pa.int64()
+                    ),
+                    pa.scalar(None, pa.int64()),
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(z_bucket, batch_format="pyarrow")
+    )
+
+
 def asof_last_order(sf_dir: str):
     """AS-OF join (an operator Ray Data has no primitive for): each
     event joins the latest order of the same customer at-or-before the

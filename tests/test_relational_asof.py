@@ -142,3 +142,23 @@ def test_user_event_deltas_lag_semantics(ray_session):
         exp.astype({"gap_us": "float64", "dvalue_cents": "float64"}),
         check_dtype=False,
     )
+
+
+def test_user_event_zscores_properties(ray_session):
+    """Within each user: mean(z) ~ 0, population std(z) ~ 1; single-event
+    users are null."""
+    import numpy as np
+
+    from georay.relational import user_event_zscores
+
+    df = user_event_zscores("/root/testdata/sf0.001").to_pandas()
+    assert len(df) == 1000
+    valid = df[df["z_micro"].notna()].copy()
+    valid["z"] = valid["z_micro"] / 1e6
+    g = valid.groupby("user_id")["z"]
+    assert (g.mean().abs() < 1e-5).all()
+    assert (np.abs(g.std(ddof=0) - 1) < 1e-5).all()
+    # null exactly for single-event users
+    nulls = df[df["z_micro"].isna()]["user_id"]
+    sizes = df.groupby("user_id").size()
+    assert set(nulls) == set(sizes[sizes == 1].index)
