@@ -406,6 +406,12 @@ def _q_user_event_zscores(sf_dir):
     return user_event_zscores(sf_dir)
 
 
+def _q_part_pair_counts(sf_dir):
+    from georay.relational import part_pair_counts
+
+    return part_pair_counts(sf_dir, min_orders=2)
+
+
 def _q_curriculum_pack(sf_dir):
     """Curriculum pipeline composition: unigram-LM score -> global
     rank by (logprob_unats, doc_id) -> prefix-sum packing of the
@@ -850,6 +856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curriculum_pack": _q_curriculum_pack,
         "user_event_deltas": _q_user_event_deltas,
         "user_event_zscores": _q_user_event_zscores,
+        "part_pair_counts": _q_part_pair_counts,
         "ann_topk": _q_ann_topk,
         "ann_topk_ivf": _q_ann_topk_ivf,
         "embedding_clusters": _q_embedding_clusters,
@@ -1383,6 +1390,16 @@ def _oracle_sql_raw() -> dict[str, str]:
                    CROSS JOIN nu CROSS JOIN nb)
             SELECT bigram, n, pmi_unats FROM sc
             ORDER BY pmi_unats DESC, bigram LIMIT 20
+        """,
+        # market-basket co-occurrence: distinct part pairs per order,
+        # counted across orders, kept at >= 2 co-occurrences
+        "part_pair_counts": """
+            WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   COUNT(*) AS n_orders
+            FROM lp a JOIN lp b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2
         """,
         # per-user standardization; z micro-quantized on both sides,
         # single-event users (population std 0) -> null

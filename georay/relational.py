@@ -920,6 +920,96 @@ def user_event_deltas(sf_dir: str):
     )
 
 
+def part_pair_counts(sf_dir: str, min_orders: int = 2):
+    """Market-basket co-occurrence: pairs of distinct parts appearing
+    in the same order, counted across orders, kept when they co-occur
+    in >= min_orders orders (the classic association-mining primitive).
+
+    Shape: ONE hash-bucket shuffle on orderkey co-locates each order's
+    lines; within a partition pair generation is pure index arithmetic
+    (sorted groups -> repeat/cumsum, no Python per order) with a
+    per-partition np.unique pre-count, so the second (pair-key) shuffle
+    moves one row per distinct pair per partition. Fan-out is bounded:
+    lines-per-order is small and fixed by the schema, so pairs/order
+    is O(g^2) of a BOUNDED g at any corpus scale.
+
+    Output: part_a < part_b, n_orders."""
+    n_parts = _n_partitions()
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "ok": pa.array(ok, pa.int64()),
+                "pk": t["l_partkey"].cast(pa.int64()),
+                "__bucket": pa.array(_hash_bucket(ok, n_parts), pa.int64()),
+            }
+        )
+
+    def pairs_bucket(t: pa.Table) -> pa.Table:
+        ok = t["ok"].to_numpy(zero_copy_only=False)
+        pk = t["pk"].to_numpy(zero_copy_only=False)
+        # distinct (order, part), sorted by (order, part)
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        if len(ok):
+            dup = np.concatenate(([False], (ok[1:] == ok[:-1]) & (pk[1:] == pk[:-1])))
+            ok, pk = ok[~dup], pk[~dup]
+        n = len(ok)
+        empty = pa.table(
+            {
+                "part_a": pa.array([], pa.int64()),
+                "part_b": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if n == 0:
+            return empty
+        starts = np.concatenate(([0], np.flatnonzero(ok[1:] != ok[:-1]) + 1))
+        ends = np.concatenate((starts[1:], [n]))
+        ends_of = np.repeat(ends, ends - starts)
+        pos = np.arange(n, dtype=np.int64)
+        reps = ends_of - pos - 1  # partners after each element in its group
+        total = int(reps.sum())
+        if total == 0:
+            return empty
+        a_idx = np.repeat(pos, reps)
+        run0 = np.concatenate(([0], np.cumsum(reps)[:-1]))
+        b_idx = np.arange(total, dtype=np.int64) - np.repeat(run0, reps) + a_idx + 1
+        a, b = pk[a_idx], pk[b_idx]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        # per-partition pre-count so the pair shuffle moves one row per
+        # distinct pair, not one per occurrence
+        porder = np.lexsort((hi, lo))
+        lo, hi = lo[porder], hi[porder]
+        new = np.concatenate(
+            ([True], (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1]))
+        )
+        firsts = np.flatnonzero(new)
+        cnts = np.diff(np.concatenate((firsts, [len(lo)])))
+        return pa.table(
+            {
+                "part_a": pa.array(lo[firsts], pa.int64()),
+                "part_b": pa.array(hi[firsts], pa.int64()),
+                "n": pa.array(cnts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    summed = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(pairs_bucket, batch_format="pyarrow")
+        .groupby(["part_a", "part_b"])
+        .aggregate(Sum("n", alias_name="n_orders"))
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["n_orders"], min_orders))
+
+    return summed.map_batches(keep, batch_format="pyarrow")
+
+
 def user_event_zscores(sf_dir: str):
     """Per-user standardization of event values (the group-wise feature
     normalization op): z = (x - mean_u) / std_u over each user's

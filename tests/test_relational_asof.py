@@ -162,3 +162,33 @@ def test_user_event_zscores_properties(ray_session):
     nulls = df[df["z_micro"].isna()]["user_id"]
     sizes = df.groupby("user_id").size()
     assert set(nulls) == set(sizes[sizes == 1].index)
+
+
+def test_part_pair_counts_reference(ray_session):
+    """Pair-generation index arithmetic vs a plain-python reference
+    over the real sf0.001 lineitem."""
+    from collections import Counter
+    from itertools import combinations
+
+    import duckdb
+
+    from georay.relational import part_pair_counts
+
+    got = part_pair_counts("/root/testdata/sf0.001", min_orders=2).to_pandas()
+    rows = duckdb.sql(
+        "SELECT DISTINCT l_orderkey, l_partkey "
+        "FROM read_parquet('/root/testdata/sf0.001/lineitem.parquet')"
+    ).fetchall()
+    orders = {}
+    for ok, pk in rows:
+        orders.setdefault(ok, set()).add(pk)
+    counts = Counter()
+    for parts in orders.values():
+        for a, b in combinations(sorted(parts), 2):
+            counts[(a, b)] += 1
+    want = {k: v for k, v in counts.items() if v >= 2}
+    gotd = {
+        (int(r.part_a), int(r.part_b)): int(r.n_orders)
+        for r in got.itertuples()
+    }
+    assert gotd == want
