@@ -779,6 +779,73 @@ def _geo_simplify(sf_dir):
     return polygon_measures(simplified)
 
 
+def _geo_tile_pyramid(sf_dir):
+    """Tile-pyramid rollup: page counts per tile at zooms 15/13/11.
+    ONE pass aggregates the finest level (per-batch np.unique partials,
+    the tile-counts shape); coarser levels roll up the already-tiny
+    z15 table with pure-integer cell_parent bit arithmetic — the
+    aggregate-then-rollup pattern that never rescans the corpus."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from georay.pages import pages_dir_for
+    from georay.pipeline import extract_batch
+    from georay.spatial.cells import cell_encode, cell_parent
+
+    pages = ray.data.read_parquet(pages_dir_for(sf_dir))
+
+    def z15_partial(t: pa.Table) -> pa.Table:
+        cells = cell_encode(
+            t["lon"].to_numpy(zero_copy_only=False),
+            t["lat"].to_numpy(zero_copy_only=False),
+            15,
+        )
+        u, c = np.unique(cells, return_counts=True)
+        return pa.table(
+            {
+                "tile": pa.array(u, pa.int64()),
+                "n_pages": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    z15 = (
+        pages.map_batches(extract_batch, batch_format="pyarrow")
+        .map_batches(z15_partial, batch_format="pyarrow")
+        .groupby("tile")
+        .aggregate(Sum("n_pages", alias_name="n_pages"))
+    )
+
+    def add_zoom(z: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "zoom", pa.array(np.full(t.num_rows, z, np.int64), pa.int64())
+            )
+
+        return f
+
+    def parent_of(z: int):
+        def f(t: pa.Table) -> pa.Table:
+            tiles = cell_parent(t["tile"].to_numpy(zero_copy_only=False), z)
+            return pa.table({"tile": pa.array(tiles, pa.int64()), "n_pages": t["n_pages"]})
+
+        return f
+
+    def rollup(ds, z):
+        return (
+            ds.map_batches(parent_of(z), batch_format="pyarrow")
+            .groupby("tile")
+            .aggregate(Sum("n_pages", alias_name="n_pages"))
+        )
+
+    out15 = z15.map_batches(add_zoom(15), batch_format="pyarrow")
+    z13 = rollup(z15, 13)
+    out13 = z13.map_batches(add_zoom(13), batch_format="pyarrow")
+    out11 = rollup(z13, 11).map_batches(add_zoom(11), batch_format="pyarrow")
+    return out15.union(out13).union(out11)
+
+
 def _geo_tile_coverage(sf_dir):
     """Raster<-vector coverage fractions: Sutherland-Hodgman clip of
     every decoded polygon against each zoom-15 tile it touches, area
@@ -890,6 +957,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_simplify": _geo_simplify,
         "geo_hex_counts": _geo_hex_counts,
         "geo_tile_coverage": _geo_tile_coverage,
+        "geo_tile_pyramid": _geo_tile_pyramid,
         "geo_summary": _geo_summary,
         "geo_summary_abbrev": _geo_summary_abbrev,
     }
@@ -2226,6 +2294,38 @@ def _oracle_sql_raw() -> dict[str, str]:
                    CAST(FLOOR(cov * 10000000000 + 0.5) AS BIGINT) AS cov_q
             FROM cv
             WHERE CAST(FLOOR(cov * 10000000000 + 0.5) AS BIGINT) > 0
+        """,
+        # pyramid rollup: z15 tile from the mercator closed form,
+        # parents by integer x>>2 / x>>4 (bit-exact on both sides)
+        "geo_tile_pyramid": f"""
+            WITH p AS (
+              SELECT url,
+                     CAST(('0x' || substr(sha256('coord:' || url), 1, 16)) AS UBIGINT) AS h
+              FROM read_parquet('{_PAGES_GLOB}')
+            ),
+            pt AS (
+              SELECT -122.5 + (CAST(h % 4294967296 AS DOUBLE) / 4294967296.0)
+                              * (CAST(-122.2 AS DOUBLE) - CAST(-122.5 AS DOUBLE)) AS lon,
+                     47.4 + (CAST(h // 4294967296 AS DOUBLE) / 4294967296.0)
+                            * (CAST(47.8 AS DOUBLE) - CAST(47.4 AS DOUBLE)) AS lat
+              FROM p
+            ),
+            xy AS (
+              SELECT CAST(floor((lon + 180.0) / 360.0 * 32768) AS BIGINT) AS x,
+                     {_MERC_Y_SQL("lat", 32768)} AS y
+              FROM pt
+            )
+            SELECT {_pack_cell_sql(15, "x", "y")} AS tile,
+                   COUNT(*) AS n_pages, CAST(15 AS BIGINT) AS zoom
+            FROM xy GROUP BY 1
+            UNION ALL
+            SELECT {_pack_cell_sql(13, "x // 4", "y // 4")} AS tile,
+                   COUNT(*) AS n_pages, CAST(13 AS BIGINT) AS zoom
+            FROM xy GROUP BY 1
+            UNION ALL
+            SELECT {_pack_cell_sql(11, "x // 16", "y // 16")} AS tile,
+                   COUNT(*) AS n_pages, CAST(11 AS BIGINT) AS zoom
+            FROM xy GROUP BY 1
         """,
         # pointy-top axial hex binning, size 0.02 deg: the SAME double
         # op sequence as cells.hex_encode (mul/div/floor/compare + one

@@ -345,3 +345,20 @@ def test_hex_encode_geometry():
         nx, ny = hex_center((q + dq + (1 << 20)) * (1 << 21) + (r + dr + (1 << 20)), size)
         dn = np.sqrt((lon - nx) ** 2 + (lat - ny) ** 2)
         assert (d <= dn + 1e-12).all()
+
+
+def test_tile_pyramid_rollup_conserves(ray_session):
+    """Each zoom level's counts sum to the page total, and every z13
+    tile's count equals the sum of its z15 children."""
+    import __ray_entry__ as entry_mod
+
+    df = entry_mod.queries()["geo_tile_pyramid"]("/root/testdata/sf0.001").to_pandas()
+    from georay.spatial.cells import cell_parent
+
+    totals = df.groupby("zoom")["n_pages"].sum()
+    assert totals[15] == totals[13] == totals[11] == 1000
+    z15 = df[df["zoom"] == 15].copy()
+    z15["parent"] = cell_parent(z15["tile"].to_numpy(), 13)
+    child_sums = z15.groupby("parent")["n_pages"].sum()
+    z13 = df[df["zoom"] == 13].set_index("tile")["n_pages"]
+    assert child_sums.sort_index().equals(z13.sort_index())
