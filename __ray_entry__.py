@@ -412,6 +412,12 @@ def _q_part_pair_counts(sf_dir):
     return part_pair_counts(sf_dir, min_orders=2)
 
 
+def _q_funnel_users(sf_dir):
+    from georay.relational import funnel_users
+
+    return funnel_users(sf_dir)
+
+
 def _q_curriculum_pack(sf_dir):
     """Curriculum pipeline composition: unigram-LM score -> global
     rank by (logprob_unats, doc_id) -> prefix-sum packing of the
@@ -924,6 +930,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_deltas": _q_user_event_deltas,
         "user_event_zscores": _q_user_event_zscores,
         "part_pair_counts": _q_part_pair_counts,
+        "funnel_users": _q_funnel_users,
         "ann_topk": _q_ann_topk,
         "ann_topk_ivf": _q_ann_topk_ivf,
         "embedding_clusters": _q_embedding_clusters,
@@ -1458,6 +1465,19 @@ def _oracle_sql_raw() -> dict[str, str]:
                    CROSS JOIN nu CROSS JOIN nb)
             SELECT bigram, n, pmi_unats FROM sc
             ORDER BY pmi_unats DESC, bigram LIMIT 20
+        """,
+        # funnel: EXISTS(click before purchase) == MIN(click ts) <
+        # MAX(purchase ts) — one grouped conditional min/max
+        "funnel_users": """
+            SELECT user_id,
+                   MIN(epoch_us(ts)) FILTER (WHERE event_type = 'click')
+                     AS first_click_us,
+                   MAX(epoch_us(ts)) FILTER (WHERE event_type = 'purchase')
+                     AS last_purchase_us
+            FROM events
+            GROUP BY user_id
+            HAVING MIN(epoch_us(ts)) FILTER (WHERE event_type = 'click')
+                   < MAX(epoch_us(ts)) FILTER (WHERE event_type = 'purchase')
         """,
         # market-basket co-occurrence: distinct part pairs per order,
         # counted across orders, kept at >= 2 co-occurrences

@@ -920,6 +920,62 @@ def user_event_deltas(sf_dir: str):
     )
 
 
+def funnel_users(sf_dir: str, first: str = "click", then: str = "purchase"):
+    """Funnel conversion: users with a `first` event strictly before a
+    `then` event. The temporal-precedence predicate EXISTS(t1 < t2)
+    reduces exactly to MIN(ts | first) < MAX(ts | then) — so the whole
+    sequence pattern is ONE two-phase grouped aggregate (per-batch
+    conditional min/max partials, tiny user-key shuffle), never a
+    per-user ordered scan.
+
+    Output: user_id, first_click_us, last_purchase_us (converted
+    users only)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        # vectorized per-batch conditional min/max per user
+        uniq, inv = np.unique(uid, return_inverse=True)
+        big = np.iinfo(np.int64).max
+        small = np.iinfo(np.int64).min
+        amin = np.full(len(uniq), big, np.int64)
+        bmax = np.full(len(uniq), small, np.int64)
+        m1 = et == first
+        np.minimum.at(amin, inv[m1], us[m1])
+        m2 = et == then
+        np.maximum.at(bmax, inv[m2], us[m2])
+        return pa.table(
+            {
+                "user_id": pa.array(uniq, pa.int64()),
+                "a": pa.array(amin, pa.int64()),
+                "b": pa.array(bmax, pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("a", alias_name="a"), Max("b", alias_name="b"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        keep = (a != np.iinfo(np.int64).max) & (b != np.iinfo(np.int64).min) & (a < b)
+        t = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "first_click_us": t["a"],
+                "last_purchase_us": t["b"],
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def part_pair_counts(sf_dir: str, min_orders: int = 2):
     """Market-basket co-occurrence: pairs of distinct parts appearing
     in the same order, counted across orders, kept when they co-occur

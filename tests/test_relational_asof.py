@@ -192,3 +192,30 @@ def test_part_pair_counts_reference(ray_session):
         for r in got.itertuples()
     }
     assert gotd == want
+
+
+def test_funnel_users_reference(ray_session):
+    """Temporal-precedence reduction vs a plain-python scan."""
+    import duckdb
+
+    from georay.relational import funnel_users
+
+    got = funnel_users("/root/testdata/sf0.001").to_pandas()
+    rows = duckdb.sql(
+        "SELECT user_id, event_type, epoch_us(ts) FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    ).fetchall()
+    by_user = {}
+    for uid, et, us in rows:
+        by_user.setdefault(uid, []).append((us, et))
+    want = {}
+    for uid, evs in by_user.items():
+        clicks = [us for us, et in evs if et == "click"]
+        buys = [us for us, et in evs if et == "purchase"]
+        if clicks and buys and min(clicks) < max(buys):
+            want[uid] = (min(clicks), max(buys))
+    gotd = {
+        int(r.user_id): (int(r.first_click_us), int(r.last_purchase_us))
+        for r in got.itertuples()
+    }
+    assert gotd == want and len(want) > 0
