@@ -126,3 +126,69 @@ def test_hll_bounds_and_merge_monotone(vals):
         assert est <= n * 1.5 + 10 and est >= n * 0.5 - 10
     # merging with itself changes nothing
     assert np.array_equal(sketch.merge_registers(regs, regs), regs)
+
+
+@given(
+    st.lists(st.integers(0, 9999), min_size=4, max_size=40),
+    st.floats(0.01, 10.0),
+)
+@settings(max_examples=60, deadline=None)
+def test_dp_simplify_deviation_bound(ys, tol):
+    """Every DROPPED point lies within `tol` of the segment between its
+    surviving neighbors — the Douglas-Peucker contract."""
+    import numpy as np
+
+    from georay.spatial.simplify import _seg_dist, dp_simplify
+
+    pts = np.column_stack([np.arange(len(ys), dtype=float), np.array(ys, float)])
+    keep = dp_simplify(pts, tol)
+    assert keep[0] and keep[-1]
+    kept_idx = np.flatnonzero(keep)
+    for a, b in zip(kept_idx[:-1], kept_idx[1:]):
+        if b - a > 1:
+            inner = pts[a + 1 : b]
+            d = _seg_dist(inner, pts[a], pts[b])
+            assert (d <= tol + 1e-9).all()
+
+
+@given(
+    st.lists(
+        st.lists(st.text(alphabet="abc", min_size=1, max_size=3), max_size=50),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(2, 10),
+    st.integers(0, 5),
+)
+@settings(max_examples=40, deadline=None)
+def test_chunk_texts_contract(ray_session, token_lists, window, overlap):
+    """Chunk boundaries follow the stride rule exactly and concatenating
+    the stride-heads reconstructs the document."""
+    import pyarrow as pa
+    import ray.data
+
+    from georay.chunk import chunk_texts
+
+    if overlap >= window:
+        overlap = window - 1
+    stride = window - overlap
+    texts = [" ".join(toks) for toks in token_lists]
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)}
+    )
+    out = chunk_texts(
+        ray.data.from_arrow(t), window=window, overlap=overlap
+    ).to_pandas()
+    if out.empty:  # to_pandas drops columns on empty datasets
+        assert all(len(toks) == 0 for toks in token_lists)
+        return
+    for d, toks in enumerate(token_lists):
+        rows = out[out["doc_id"] == d].sort_values("chunk_idx")
+        n = len(toks)
+        assert len(rows) == -(-n // stride)
+        rebuilt = []
+        for _, r in rows.iterrows():
+            chunk = r.chunk_text.split()
+            assert chunk == toks[r.chunk_idx * stride : r.chunk_idx * stride + window]
+            rebuilt.extend(chunk[:stride])
+        assert rebuilt == toks
