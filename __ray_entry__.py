@@ -742,10 +742,10 @@ def _geo_hex_counts(sf_dir):
     from ray.data.aggregate import Sum
 
     from georay.pages import pages_dir_for
-    from georay.pipeline import extract_batch
+    from georay.pipeline import coords_batch
     from georay.spatial.cells import hex_encode
 
-    pages = ray.data.read_parquet(pages_dir_for(sf_dir))
+    pages = ray.data.read_parquet(pages_dir_for(sf_dir), columns=["url"])
 
     def hex_partial(t: pa.Table) -> pa.Table:
         ids = hex_encode(
@@ -761,7 +761,7 @@ def _geo_hex_counts(sf_dir):
             }
         )
 
-    parts = pages.map_batches(extract_batch, batch_format="pyarrow").map_batches(
+    parts = pages.map_batches(coords_batch, batch_format="pyarrow").map_batches(
         hex_partial, batch_format="pyarrow"
     )
     return parts.groupby("hex_cell").aggregate(Sum("n_pages", alias_name="n_pages"))
@@ -797,10 +797,10 @@ def _geo_tile_pyramid(sf_dir):
     from ray.data.aggregate import Sum
 
     from georay.pages import pages_dir_for
-    from georay.pipeline import extract_batch
+    from georay.pipeline import coords_batch
     from georay.spatial.cells import cell_encode, cell_parent
 
-    pages = ray.data.read_parquet(pages_dir_for(sf_dir))
+    pages = ray.data.read_parquet(pages_dir_for(sf_dir), columns=["url"])
 
     def z15_partial(t: pa.Table) -> pa.Table:
         cells = cell_encode(
@@ -817,7 +817,7 @@ def _geo_tile_pyramid(sf_dir):
         )
 
     z15 = (
-        pages.map_batches(extract_batch, batch_format="pyarrow")
+        pages.map_batches(coords_batch, batch_format="pyarrow")
         .map_batches(z15_partial, batch_format="pyarrow")
         .groupby("tile")
         .aggregate(Sum("n_pages", alias_name="n_pages"))

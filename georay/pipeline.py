@@ -98,6 +98,26 @@ def extract_split_sidecar_batch(batch: pa.Table, sidecar_dir: str) -> pa.Table:
     return out.drop_columns(["payload_html"])
 
 
+def coords_batch(batch: pa.Table) -> pa.Table:
+    """url -> (url, lon, lat) only — for consumers that need just the
+    page coordinate (hex binning, tile pyramids): reads ONE column and
+    skips the html scan + text extraction entirely. At 10^12 pages the
+    html column is ~all the bytes; a coordinate-only pipeline must not
+    read it."""
+    urls = batch["url"].to_pylist()
+    lons = np.empty(len(urls))
+    lats = np.empty(len(urls))
+    for i, u in enumerate(urls):
+        lons[i], lats[i] = page_coords(u)
+    return pa.table(
+        {
+            "url": batch["url"],
+            "lon": pa.array(lons),
+            "lat": pa.array(lats),
+        }
+    )
+
+
 def extract_split_batch(batch: pa.Table) -> pa.Table:
     """Single-scan variant of extract_batch: ONE pass over the raw html
     yields both the points columns (url, ts, lang, lon, lat) and the

@@ -1037,33 +1037,55 @@ def part_pair_counts(sf_dir: str, min_orders: int = 2):
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         # per-partition pre-count so the pair shuffle moves one row per
         # distinct pair, not one per occurrence
-        porder = np.lexsort((hi, lo))
-        lo, hi = lo[porder], hi[porder]
-        new = np.concatenate(
-            ([True], (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1]))
-        )
-        firsts = np.flatnonzero(new)
-        cnts = np.diff(np.concatenate((firsts, [len(lo)])))
+        # pack the pair into ONE int64 key (a << 32 | b): the final
+        # pair-count shuffle then groups a single fixed-width column
+        # instead of a two-key composite — measurably cheaper at sf0.1
+        # (15.6 s -> see BASELINE) and the dominant cost here. Valid
+        # while partkeys < 2^31; guarded below.
+        if len(hi) and int(max(lo.max(), hi.max())) >= (1 << 31):
+            raise ValueError("part_pair_counts: partkey >= 2^31, widen the pack")
+        pk64 = (lo << np.int64(32)) | hi
+        pk64, cnts = np.unique(pk64, return_counts=True)
         return pa.table(
             {
-                "part_a": pa.array(lo[firsts], pa.int64()),
-                "part_b": pa.array(hi[firsts], pa.int64()),
+                "pair": pa.array(pk64, pa.int64()),
                 "n": pa.array(cnts.astype(np.int64), pa.int64()),
+                # second-stage co-partition key: Ray's generic Aggregate
+                # over millions of 1-row groups costs ~140us/row; a
+                # bucketed vectorized reduce is ~100x cheaper
+                "__bucket": pa.array(_hash_bucket(pk64, n_parts), pa.int64()),
             }
         )
 
-    summed = (
+    def sum_bucket(t: pa.Table) -> pa.Table:
+        pair = t["pair"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        order = np.argsort(pair)
+        pair, n = pair[order], n[order]
+        starts = (
+            np.concatenate(([0], np.flatnonzero(pair[1:] != pair[:-1]) + 1))
+            if len(pair)
+            else np.array([], np.int64)
+        )
+        totals = np.add.reduceat(n, starts) if len(pair) else np.array([], np.int64)
+        upair = pair[starts]
+        keep = totals >= min_orders
+        upair, totals = upair[keep], totals[keep]
+        return pa.table(
+            {
+                "part_a": pa.array(upair >> np.int64(32), pa.int64()),
+                "part_b": pa.array(upair & np.int64(0xFFFFFFFF), pa.int64()),
+                "n_orders": pa.array(totals.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
         ds.map_batches(bucket, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(pairs_bucket, batch_format="pyarrow")
-        .groupby(["part_a", "part_b"])
-        .aggregate(Sum("n", alias_name="n_orders"))
+        .groupby("__bucket")
+        .map_groups(sum_bucket, batch_format="pyarrow")
     )
-
-    def keep(t: pa.Table) -> pa.Table:
-        return t.filter(pc.greater_equal(t["n_orders"], min_orders))
-
-    return summed.map_batches(keep, batch_format="pyarrow")
 
 
 def user_event_zscores(sf_dir: str):
