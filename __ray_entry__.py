@@ -794,13 +794,51 @@ def _geo_tile_pyramid(sf_dir):
     import numpy as np
     import pyarrow as pa
     import ray.data
-    from ray.data.aggregate import Sum
 
     from georay.pages import pages_dir_for
     from georay.pipeline import coords_batch
+    from georay.relational import _hash_bucket, _n_partitions
     from georay.spatial.cells import cell_encode, cell_parent
 
     pages = ray.data.read_parquet(pages_dir_for(sf_dir), columns=["url"])
+    n_parts = _n_partitions()
+
+    def bucketed_sum(ds):
+        """tile-count sum via hash-bucket + vectorized reduceat — Ray's
+        generic Aggregate costs seconds of fixed exchange per call even
+        on O(tiles) tables; three of those dominated this query's wall."""
+
+        def add_bucket(t: pa.Table) -> pa.Table:
+            tiles = t["tile"].to_numpy(zero_copy_only=False)
+            return t.append_column(
+                "__bucket", pa.array(_hash_bucket(tiles, n_parts), pa.int64())
+            )
+
+        def reduce_bucket(t: pa.Table) -> pa.Table:
+            tiles = t["tile"].to_numpy(zero_copy_only=False)
+            n = t["n_pages"].to_numpy(zero_copy_only=False)
+            order = np.argsort(tiles)
+            tiles, n = tiles[order], n[order]
+            starts = (
+                np.concatenate(([0], np.flatnonzero(tiles[1:] != tiles[:-1]) + 1))
+                if len(tiles)
+                else np.array([], np.int64)
+            )
+            totals = (
+                np.add.reduceat(n, starts) if len(tiles) else np.array([], np.int64)
+            )
+            return pa.table(
+                {
+                    "tile": pa.array(tiles[starts], pa.int64()),
+                    "n_pages": pa.array(totals.astype(np.int64), pa.int64()),
+                }
+            )
+
+        return (
+            ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(reduce_bucket, batch_format="pyarrow")
+        )
 
     def z15_partial(t: pa.Table) -> pa.Table:
         cells = cell_encode(
@@ -816,12 +854,14 @@ def _geo_tile_pyramid(sf_dir):
             }
         )
 
-    z15 = (
-        pages.map_batches(coords_batch, batch_format="pyarrow")
-        .map_batches(z15_partial, batch_format="pyarrow")
-        .groupby("tile")
-        .aggregate(Sum("n_pages", alias_name="n_pages"))
-    )
+    # materialize at the fan-out: z15 feeds two consumers (its own
+    # level + the z13 rollup) and Ray re-executes lineage per consumer
+    # — without this the corpus scan runs 4x. The table is O(tiles).
+    z15 = bucketed_sum(
+        pages.map_batches(coords_batch, batch_format="pyarrow").map_batches(
+            z15_partial, batch_format="pyarrow"
+        )
+    ).materialize()
 
     def add_zoom(z: int):
         def f(t: pa.Table) -> pa.Table:
@@ -839,14 +879,10 @@ def _geo_tile_pyramid(sf_dir):
         return f
 
     def rollup(ds, z):
-        return (
-            ds.map_batches(parent_of(z), batch_format="pyarrow")
-            .groupby("tile")
-            .aggregate(Sum("n_pages", alias_name="n_pages"))
-        )
+        return bucketed_sum(ds.map_batches(parent_of(z), batch_format="pyarrow"))
 
     out15 = z15.map_batches(add_zoom(15), batch_format="pyarrow")
-    z13 = rollup(z15, 13)
+    z13 = rollup(z15, 13).materialize()
     out13 = z13.map_batches(add_zoom(13), batch_format="pyarrow")
     out11 = rollup(z13, 11).map_batches(add_zoom(11), batch_format="pyarrow")
     return out15.union(out13).union(out11)
