@@ -1083,6 +1083,14 @@ def bm25_topk(
         AggCount(alias_name="n"),
         *[AggSum(f"df_{qi}", alias_name=f"df_{qi}") for qi in range(nt)],
     )
+    if not agg_row or not agg_row.get("n"):  # empty corpus -> empty top-k
+        return pa.table(
+            {
+                "rnk": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "bm25_micro": pa.array([], pa.int64()),
+            }
+        )
     n = int(agg_row["n"])
     avgdl = int(agg_row["tot"]) / n
     idf = np.array(

@@ -115,3 +115,41 @@ def test_rank_by_empty(ray_session):
     # schema matches the non-empty path: inputs carried + rnk + ntile
     # (to_pandas drops columns on empty datasets, so check the schema)
     assert set(out.schema().names) == {"id", "v", "text", "rnk", "ntile_4"}
+
+
+def _empty_docs():
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+        )
+    )
+
+
+def test_doc_entropy_empty(ray_session):
+    from georay.textops import doc_entropy
+
+    assert doc_entropy(_empty_docs()).count() == 0
+
+
+def test_bm25_empty_corpus(ray_session):
+    from georay.textops import bm25_topk
+
+    out = bm25_topk(_empty_docs(), ("a",), k=3)
+    assert out.num_rows == 0
+    assert out.column_names == ["rnk", "doc_id", "bm25_micro"]
+
+
+def test_chunk_texts_all_empty_docs(ray_session):
+    from georay.chunk import chunk_texts
+
+    ds = _empty_docs()
+    assert chunk_texts(ds).count() == 0
+
+
+def test_normalize_dedup_empty(ray_session):
+    from georay.textops import dedup_normalized, normalize_text
+
+    assert normalize_text(_empty_docs()).count() == 0
+    assert dedup_normalized(_empty_docs()).count() == 0
