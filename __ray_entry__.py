@@ -418,6 +418,12 @@ def _q_funnel_users(sf_dir):
     return funnel_users(sf_dir)
 
 
+def _q_rolling_time_sums(sf_dir):
+    from georay.relational import rolling_time_sums
+
+    return rolling_time_sums(sf_dir)
+
+
 def _q_curriculum_pack(sf_dir):
     """Curriculum pipeline composition: unigram-LM score -> global
     rank by (logprob_unats, doc_id) -> prefix-sum packing of the
@@ -967,6 +973,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_zscores": _q_user_event_zscores,
         "part_pair_counts": _q_part_pair_counts,
         "funnel_users": _q_funnel_users,
+        "rolling_time_sums": _q_rolling_time_sums,
         "ann_topk": _q_ann_topk,
         "ann_topk_ivf": _q_ann_topk_ivf,
         "embedding_clusters": _q_embedding_clusters,
@@ -1501,6 +1508,15 @@ def _oracle_sql_raw() -> dict[str, str]:
                    CROSS JOIN nu CROSS JOIN nb)
             SELECT bigram, n, pmi_unats FROM sc
             ORDER BY pmi_unats DESC, bigram LIMIT 20
+        """,
+        # RANGE window (time-interval frame, ts peers share a frame)
+        "rolling_time_sums": """
+            SELECT event_id, CAST(user_id AS BIGINT) AS user_id,
+                   CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) OVER (
+                     PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS win_sum_micro
+            FROM events
         """,
         # funnel: EXISTS(click before purchase) == MIN(click ts) <
         # MAX(purchase ts) — one grouped conditional min/max

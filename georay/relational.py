@@ -1483,6 +1483,76 @@ def order_price_quantiles(sf_dir: str, qs=(0.5, 0.9)):
     )
 
 
+def rolling_time_sums(sf_dir: str, window_us: int = 600_000_000):
+    """RANGE-window aggregate over a keyed stream: per user, the sum of
+    event values within the trailing `window_us` microseconds
+    (RANGE BETWEEN INTERVAL PRECEDING AND CURRENT ROW — the time-based
+    sibling of rolling_event_sums' ROWS frame; the frame is defined by
+    the ORDER-BY VALUE, so ts-tied rows share one frame and the result
+    is deterministic without a tie-break).
+
+    Shape: the usual ONE hash(user)-bucket shuffle; per partition a
+    sorted two-searchsorted pass — window starts come from
+    searchsorted(ts, ts - window) per user span, frame sums are prefix-
+    sum differences, ties resolved by summing to each ts-group's END.
+    Values in exact 1e-6 units so the hash is float-free.
+
+    Output: event_id, user_id, win_sum_micro."""
+    n_parts = _n_partitions()
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": pa.array(uid, pa.int64()),
+                "event_id": t["event_id"].cast(pa.int64()),
+                "us": t["ts"].cast(pa.int64()),
+                "v_micro": pa.array(
+                    np.rint(
+                        t["value"].to_numpy(zero_copy_only=False) * 1e6
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+                "__bucket": pa.array(_hash_bucket(uid, n_parts), pa.int64()),
+            }
+        )
+
+    def win_bucket(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        us = t["us"].to_numpy(zero_copy_only=False)
+        v = t["v_micro"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, us, uid))
+        uid, eid, us, v = uid[order], eid[order], us[order], v[order]
+        n = len(uid)
+        out = np.empty(n, dtype=np.int64)
+        if n:
+            csum = np.concatenate(([0], np.cumsum(v)))
+            starts = np.concatenate(([0], np.flatnonzero(uid[1:] != uid[:-1]) + 1))
+            ends = np.concatenate((starts[1:], [n]))
+            for s, e in zip(starts, ends):  # per-user span, vectorized inside
+                span = us[s:e]
+                lo = s + np.searchsorted(span, span - window_us, side="left")
+                # SQL RANGE frame ends at the last PEER (same ts), not
+                # the current row: sum to each ts-group's end
+                hi = s + np.searchsorted(span, span, side="right")
+                out[s:e] = csum[hi] - csum[lo]
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "win_sum_micro": pa.array(out, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(win_bucket, batch_format="pyarrow")
+    )
+
+
 def rolling_event_sums(sf_dir: str, window: int = 3):
     """ROWS-window aggregate over a keyed stream: per user, the sum of
     the last `window` event values (current row + window-1 preceding,

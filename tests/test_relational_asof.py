@@ -219,3 +219,28 @@ def test_funnel_users_reference(ray_session):
         for r in got.itertuples()
     }
     assert gotd == want and len(want) > 0
+
+
+def test_rolling_time_sums_reference(ray_session):
+    """RANGE-frame semantics (ts peers share a frame) vs a plain scan."""
+    import duckdb
+
+    from georay.relational import rolling_time_sums
+
+    got = rolling_time_sums("/root/testdata/sf0.001").to_pandas()
+    rows = duckdb.sql(
+        "SELECT event_id, user_id, epoch_us(ts), CAST(ROUND(value*1000000) AS BIGINT)"
+        " FROM read_parquet('/root/testdata/sf0.001/events.parquet')"
+    ).fetchall()
+    by_user = {}
+    for eid, uid, us, vm in rows:
+        by_user.setdefault(uid, []).append((us, eid, vm))
+    want = {}
+    W = 600_000_000
+    for uid, evs in by_user.items():
+        evs.sort()
+        for us, eid, _ in evs:
+            # frame: all events with ts in [us - W, us] INCLUDING peers
+            want[eid] = sum(v for u2, _, v in evs if us - W <= u2 <= us)
+    gotd = dict(zip(got["event_id"], got["win_sum_micro"]))
+    assert gotd == want
