@@ -424,6 +424,12 @@ def _q_rolling_time_sums(sf_dir):
     return rolling_time_sums(sf_dir)
 
 
+def _q_orders_rollup(sf_dir):
+    from georay.relational import orders_rollup
+
+    return orders_rollup(sf_dir)
+
+
 def _q_curriculum_pack(sf_dir):
     """Curriculum pipeline composition: unigram-LM score -> global
     rank by (logprob_unats, doc_id) -> prefix-sum packing of the
@@ -974,6 +980,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_pair_counts": _q_part_pair_counts,
         "funnel_users": _q_funnel_users,
         "rolling_time_sums": _q_rolling_time_sums,
+        "orders_rollup": _q_orders_rollup,
         "ann_topk": _q_ann_topk,
         "ann_topk_ivf": _q_ann_topk_ivf,
         "embedding_clusters": _q_embedding_clusters,
@@ -1508,6 +1515,15 @@ def _oracle_sql_raw() -> dict[str, str]:
                    CROSS JOIN nu CROSS JOIN nb)
             SELECT bigram, n, pmi_unats FROM sc
             ORDER BY pmi_unats DESC, bigram LIMIT 20
+        """,
+        # OLAP rollup: subtotals at every prefix level, NULL markers
+        "orders_rollup": """
+            SELECT o_orderpriority, o_orderstatus,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                     AS total_cents
+            FROM orders
+            GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
         """,
         # RANGE window (time-interval frame, ts peers share a frame)
         "rolling_time_sums": """

@@ -920,6 +920,100 @@ def user_event_deltas(sf_dir: str):
     )
 
 
+def orders_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(priority, status): subtotal rows at every prefix
+    level — (priority, status), (priority), and the grand total — the
+    OLAP cube/rollup surface Ray Data has no primitive for.
+
+    Shape: ONE two-phase groupby at the finest level; the coarser
+    levels re-aggregate that already-tiny table (the tile-pyramid
+    aggregate-then-rollup pattern — the fact table is scanned once).
+    NULL plays the SQL subtotal marker. Money kept in integer cents.
+
+    Output: o_orderpriority | null, o_orderstatus | null, n_orders,
+    total_cents."""
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "o_orderpriority": t["o_orderpriority"].to_pandas(),
+                "o_orderstatus": t["o_orderstatus"].to_pandas(),
+                "cents": np.rint(
+                    t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+                ).astype(np.int64),
+            }
+        )
+        g = (
+            df.groupby(["o_orderpriority", "o_orderstatus"], sort=False)
+            .agg(n=("cents", "size"), c=("cents", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(g["o_orderpriority"], pa.string()),
+                "o_orderstatus": pa.array(g["o_orderstatus"], pa.string()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64), pa.int64()),
+                "c": pa.array(g["c"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    fine = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_orderpriority", "o_orderstatus"])
+        .aggregate(Sum("n", alias_name="n_orders"), Sum("c", alias_name="total_cents"))
+    ).materialize()  # feeds three consumers; O(priorities x statuses) rows
+
+    def level(keep_priority: bool, keep_status: bool):
+        def f(t: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            df = t.to_pandas()
+            if not keep_status:
+                df["o_orderstatus"] = None
+            if not keep_priority:
+                df["o_orderpriority"] = None
+            keys = ["o_orderpriority", "o_orderstatus"]
+            g = (
+                df.groupby(keys, dropna=False, sort=False)
+                .agg(n_orders=("n_orders", "sum"), total_cents=("total_cents", "sum"))
+                .reset_index()
+            )
+            return pa.table(
+                {
+                    "o_orderpriority": pa.array(
+                        [None if pd.isna(v) else v for v in g["o_orderpriority"]],
+                        pa.string(),
+                    ),
+                    "o_orderstatus": pa.array(
+                        [None if pd.isna(v) else v for v in g["o_orderstatus"]],
+                        pa.string(),
+                    ),
+                    "n_orders": pa.array(
+                        g["n_orders"].to_numpy().astype(np.int64), pa.int64()
+                    ),
+                    "total_cents": pa.array(
+                        g["total_cents"].to_numpy().astype(np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        return f
+
+    # the fine table is O(groups); each coarser level is one cheap
+    # map over it (repartition(1) so the whole level reduces at once)
+    finest = fine.map_batches(level(True, True), batch_format="pyarrow")
+    by_priority = fine.repartition(1).map_batches(
+        level(True, False), batch_format="pyarrow"
+    )
+    grand = fine.repartition(1).map_batches(
+        level(False, False), batch_format="pyarrow"
+    )
+    return finest.union(by_priority).union(grand)
+
+
 def funnel_users(sf_dir: str, first: str = "click", then: str = "purchase"):
     """Funnel conversion: users with a `first` event strictly before a
     `then` event. The temporal-precedence predicate EXISTS(t1 < t2)

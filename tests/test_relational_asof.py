@@ -244,3 +244,23 @@ def test_rolling_time_sums_reference(ray_session):
             want[eid] = sum(v for u2, _, v in evs if us - W <= u2 <= us)
     gotd = dict(zip(got["event_id"], got["win_sum_micro"]))
     assert gotd == want
+
+
+def test_orders_rollup_levels(ray_session):
+    """Every subtotal level sums to the grand total and the NULL
+    markers land exactly at ROLLUP's prefix levels."""
+    from georay.relational import orders_rollup
+
+    df = orders_rollup("/root/testdata/sf0.001").to_pandas()
+    fine = df[df["o_orderstatus"].notna()]
+    mid = df[df["o_orderstatus"].isna() & df["o_orderpriority"].notna()]
+    grand = df[df["o_orderpriority"].isna()]
+    assert len(grand) == 1 and grand["o_orderstatus"].isna().all()
+    total = int(grand["n_orders"].iloc[0])
+    assert fine["n_orders"].sum() == mid["n_orders"].sum() == total
+    assert fine["total_cents"].sum() == int(grand["total_cents"].iloc[0])
+    # per-priority subtotal == sum of its fine rows
+    for _, row in mid.iterrows():
+        sub = fine[fine["o_orderpriority"] == row.o_orderpriority]
+        assert sub["n_orders"].sum() == row.n_orders
+        assert sub["total_cents"].sum() == row.total_cents
