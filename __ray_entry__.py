@@ -502,6 +502,12 @@ def _q_emb_near_dups(sf_dir):
     return embedding_near_dups(_emb(sf_dir), threshold=EMB_TAU)
 
 
+def _q_knn_label_vote(sf_dir):
+    from georay.ann import knn_label_vote
+
+    return knn_label_vote(_emb(sf_dir), ANN_QUERY_IDS, k=ANN_K)
+
+
 def _q_label_centroids(sf_dir):
     from georay.ann import label_centroids
 
@@ -985,6 +991,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": _q_ann_topk_ivf,
         "embedding_clusters": _q_embedding_clusters,
         "label_centroids": _q_label_centroids,
+        "knn_label_vote": _q_knn_label_vote,
         "embedding_near_dups": _q_emb_near_dups,
         "cust_order_counts": _q_cust_order_counts,
         "mktsegment_stats": _q_mktsegment_stats,
@@ -2110,6 +2117,29 @@ def _oracle_sql_raw() -> dict[str, str]:
                                             ORDER BY sim DESC, neighbor_id ASC) - 1 AS rank
                   FROM s)
             SELECT query_id, rank, neighbor_id FROM r WHERE rank < {ANN_K}
+        """,
+        # kNN classification: majority label of the k nearest (same
+        # ordering as ann_topk), vote ties -> the smallest label
+        "knn_label_vote": f"""
+            WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings WHERE vec_id IN (0, 1, 2, 3)),
+            s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS sim
+                  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+            r AS (SELECT query_id, neighbor_id,
+                         ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY sim DESC, neighbor_id ASC) - 1 AS rank
+                  FROM s),
+            kk AS (SELECT query_id, neighbor_id FROM r WHERE rank < {ANN_K}),
+            lv AS (SELECT kk.query_id, e.label, COUNT(*) AS votes
+                   FROM kk JOIN embeddings e ON e.vec_id = kk.neighbor_id
+                   GROUP BY 1, 2),
+            m AS (SELECT query_id, label, votes,
+                         ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY votes DESC, label ASC) AS rn
+                  FROM lv)
+            SELECT query_id, CAST(label AS INTEGER) AS label, votes
+            FROM m WHERE rn = 1
         """,
         # mean-pooled embedding per label, exploded to scalar rows;
         # means micro-quantized on both sides (float32-exact inputs)

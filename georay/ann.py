@@ -85,6 +85,54 @@ def assign_clusters(embeddings: ray.data.Dataset, centroids_ref):
     return embeddings.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 8))
 
 
+def knn_label_vote(embeddings: ray.data.Dataset, query_ids: list, k: int = 5):
+    """k-NN classification: each query vector takes the MAJORITY label
+    of its k cosine-nearest neighbors (ties -> the smallest label) —
+    the label-propagation / weak-supervision primitive on top of the
+    brute-force top-k.
+
+    Shape: ann_topk's broadcast-queries partial-top-k does the heavy
+    matmul; the neighbor set is k x Q rows, so the label fetch is ONE
+    column-pruned scan filtered against the broadcast neighbor ids
+    (searchsorted, no shuffle) and the vote is O(k x Q) on the driver.
+
+    Output: query_id, label (int32), votes (int64)."""
+    from georay.textops import ann_topk
+
+    top = ann_topk(embeddings, query_ids, k=k).to_pandas()
+    nid = np.unique(top["neighbor_id"].to_numpy())
+    nid_ref = ray.put(np.sort(nid))
+
+    def fetch_labels(t: pa.Table) -> pa.Table:
+        wanted = ray.get(nid_ref)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(wanted, ids)
+        hit = (pos < len(wanted)) & (wanted[np.minimum(pos, len(wanted) - 1)] == ids)
+        t = t.filter(pa.array(hit))
+        return t.select(["vec_id", "label"])
+
+    lab = (
+        embeddings.map_batches(fetch_labels, batch_format="pyarrow")
+        .to_pandas()
+        .set_index("vec_id")["label"]
+    )
+    out_q, out_l, out_v = [], [], []
+    for qid, grp in top.groupby("query_id"):
+        labels = lab.loc[grp["neighbor_id"]].to_numpy()
+        uniq, counts = np.unique(labels, return_counts=True)
+        best = uniq[np.lexsort((uniq, -counts))[0]]
+        out_q.append(int(qid))
+        out_l.append(int(best))
+        out_v.append(int(counts[uniq == best][0]))
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "label": pa.array(np.array(out_l, np.int32), pa.int32()),
+            "votes": pa.array(out_v, pa.int64()),
+        }
+    )
+
+
 def label_centroids(embeddings: ray.data.Dataset, label_col: str = "label"):
     """Mean-pooled embedding per label — the distributed vector
     aggregation primitive (class prototypes / IVF retraining input).

@@ -130,3 +130,33 @@ def test_label_centroids(ray_session):
         want = E[labels == lab].astype(np.float64).mean(axis=0)
         got = out[out["label"] == lab]["mean_micro"].to_numpy()
         assert (got == np.floor(want * 1e6 + 0.5).astype(np.int64)).all()
+
+
+def test_knn_label_vote(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from georay.ann import knn_label_vote
+
+    # three tight clusters; queries sit inside cluster 0 and 1
+    rng = np.random.default_rng(5)
+    centers = np.eye(3, 12, dtype=np.float64) * 10
+    E, labels = [], []
+    for c in range(3):
+        for _ in range(10):
+            E.append(centers[c] + rng.normal(scale=0.1, size=12))
+            labels.append(c)
+    E = np.array(E, dtype=np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(30), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in E]),
+            "label": pa.array(np.array(labels, np.int32), pa.int32()),
+        }
+    )
+    out = knn_label_vote(
+        ray.data.from_arrow(t).repartition(3), [0, 10, 20], k=5
+    ).to_pandas().sort_values("query_id")
+    assert out["label"].tolist() == [0, 1, 2]
+    assert (out["votes"] == 5).all()
