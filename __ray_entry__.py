@@ -430,6 +430,12 @@ def _q_orders_rollup(sf_dir):
     return orders_rollup(sf_dir)
 
 
+def _q_weekly_retention(sf_dir):
+    from georay.relational import weekly_retention
+
+    return weekly_retention(sf_dir)
+
+
 def _q_curriculum_pack(sf_dir):
     """Curriculum pipeline composition: unigram-LM score -> global
     rank by (logprob_unats, doc_id) -> prefix-sum packing of the
@@ -987,6 +993,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_users": _q_funnel_users,
         "rolling_time_sums": _q_rolling_time_sums,
         "orders_rollup": _q_orders_rollup,
+        "weekly_retention": _q_weekly_retention,
         "ann_topk": _q_ann_topk,
         "ann_topk_ivf": _q_ann_topk_ivf,
         "embedding_clusters": _q_embedding_clusters,
@@ -1522,6 +1529,20 @@ def _oracle_sql_raw() -> dict[str, str]:
                    CROSS JOIN nu CROSS JOIN nb)
             SELECT bigram, n, pmi_unats FROM sc
             ORDER BY pmi_unats DESC, bigram LIMIT 20
+        """,
+        # cohort retention: active users per epoch-week also active
+        # the following week
+        "weekly_retention": """
+            WITH uw AS (
+              SELECT DISTINCT user_id,
+                     CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week
+              FROM events
+            )
+            SELECT a.week, COUNT(*) AS n_active,
+                   CAST(COUNT(b.user_id) AS BIGINT) AS n_retained
+            FROM uw a LEFT JOIN uw b
+              ON a.user_id = b.user_id AND b.week = a.week + 1
+            GROUP BY a.week
         """,
         # OLAP rollup: subtotals at every prefix level, NULL markers
         "orders_rollup": """

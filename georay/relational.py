@@ -920,6 +920,82 @@ def user_event_deltas(sf_dir: str):
     )
 
 
+def weekly_retention(sf_dir: str):
+    """Cohort retention: per ISO week, how many active users were also
+    active the NEXT week (the activation/retention curve primitive).
+
+    Shape: per-batch distinct (user, week) partials collapse the event
+    stream; ONE hash(user)-bucket shuffle co-locates each user's weeks;
+    inside a partition the week-over-week match is a sorted
+    searchsorted against week+1 (no self-join shuffle); per-week
+    partial counts then roll up in a tiny final groupby.
+
+    Output: week (epoch days / 7), n_active, n_retained (active in
+    week AND week+1; the last week has n_retained counted against the
+    week after it, 0 if none)."""
+    n_parts = _n_partitions()
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        week = (t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                // (7 * 86_400_000_000))
+        order = np.lexsort((week, uid))
+        uid, week = uid[order], week[order]
+        if len(uid):
+            dup = np.concatenate(
+                ([False], (uid[1:] == uid[:-1]) & (week[1:] == week[:-1]))
+            )
+            uid, week = uid[~dup], week[~dup]
+        return pa.table(
+            {
+                "user_id": pa.array(uid, pa.int64()),
+                "week": pa.array(week, pa.int64()),
+                "__bucket": pa.array(_hash_bucket(uid, n_parts), pa.int64()),
+            }
+        )
+
+    def retain_bucket(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        week = t["week"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((week, uid))
+        uid, week = uid[order], week[order]
+        # distinct again (rows from different batches may repeat)
+        if len(uid):
+            dup = np.concatenate(
+                ([False], (uid[1:] == uid[:-1]) & (week[1:] == week[:-1]))
+            )
+            uid, week = uid[~dup], week[~dup]
+        n = len(uid)
+        retained = np.zeros(n, dtype=bool)
+        if n:
+            # sorted (uid, week): the next row is the user's next week
+            nxt_same = np.concatenate((uid[1:] == uid[:-1], [False]))
+            nxt_inc = np.concatenate((week[1:] == week[:-1] + 1, [False]))
+            retained = nxt_same & nxt_inc
+        uw, inv = np.unique(week, return_inverse=True)
+        act = np.bincount(inv, minlength=len(uw)).astype(np.int64)
+        ret = np.bincount(inv, weights=retained, minlength=len(uw)).astype(np.int64)
+        return pa.table(
+            {
+                "week": pa.array(uw, pa.int64()),
+                "n_active": pa.array(act, pa.int64()),
+                "n_retained": pa.array(ret, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(retain_bucket, batch_format="pyarrow")
+        .groupby("week")
+        .aggregate(
+            Sum("n_active", alias_name="n_active"),
+            Sum("n_retained", alias_name="n_retained"),
+        )
+    )
+
+
 def orders_rollup(sf_dir: str):
     """GROUP BY ROLLUP(priority, status): subtotal rows at every prefix
     level — (priority, status), (priority), and the grand total — the

@@ -264,3 +264,29 @@ def test_orders_rollup_levels(ray_session):
         sub = fine[fine["o_orderpriority"] == row.o_orderpriority]
         assert sub["n_orders"].sum() == row.n_orders
         assert sub["total_cents"].sum() == row.total_cents
+
+
+def test_weekly_retention_reference(ray_session):
+    import duckdb
+
+    from georay.relational import weekly_retention
+
+    got = (
+        weekly_retention("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values("week")
+        .reset_index(drop=True)
+    )
+    rows = duckdb.sql(
+        "SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    ).fetchall()
+    weeks = {}
+    for uid, w in rows:
+        weeks.setdefault(int(w), set()).add(uid)
+    for _, r in got.iterrows():
+        active = weeks[int(r.week)]
+        nxt = weeks.get(int(r.week) + 1, set())
+        assert r.n_active == len(active)
+        assert r.n_retained == len(active & nxt)
+    assert set(got["week"]) == set(weeks)
