@@ -927,6 +927,20 @@ def _geo_tile_coverage(sf_dir):
     return polygon_tile_coverage(decode_features(pages), zoom=15)
 
 
+def _geo_adjacency(sf_dir):
+    """Shared-edge polygon adjacency derived from decoded geometry
+    (quantized bbox edge matching); the oracle is the grid closed form
+    (|Δcol| + |Δrow| == 1)."""
+    import ray.data
+
+    from georay.pages import pages_dir_for
+    from georay.pipeline import decode_features
+    from georay.spatial.measure import polygon_adjacency
+
+    pages = ray.data.read_parquet(pages_dir_for(sf_dir), columns=["url", "html"])
+    return polygon_adjacency(decode_features(pages))
+
+
 def _geo_summary_abbrev(sf_dir):
     """Abbreviated (metadata-only) summary of a huge shapefile blob:
     reference POST /summary with X-Blob-Length over the gate
@@ -1029,6 +1043,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_hex_counts": _geo_hex_counts,
         "geo_tile_coverage": _geo_tile_coverage,
         "geo_tile_pyramid": _geo_tile_pyramid,
+        "geo_adjacency": _geo_adjacency,
         "geo_summary": _geo_summary,
         "geo_summary_abbrev": _geo_summary_abbrev,
     }
@@ -2433,6 +2448,19 @@ def _oracle_sql_raw() -> dict[str, str]:
                    CAST(FLOOR(cov * 10000000000 + 0.5) AS BIGINT) AS cov_q
             FROM cv
             WHERE CAST(FLOOR(cov * 10000000000 + 0.5) AS BIGINT) > 0
+        """,
+        # shared-edge adjacency over the grid: right neighbor within a
+        # row, upper neighbor within a column (corner touches excluded)
+        "geo_adjacency": f"""
+            WITH {_NPOLY_CTE},
+            ids AS (
+              SELECT CAST(v AS BIGINT) AS pid
+              FROM range(256) t(v), npoly WHERE v < npoly.np
+            )
+            SELECT a.pid AS a, b.pid AS b
+            FROM ids a JOIN ids b ON a.pid < b.pid
+            WHERE (b.pid = a.pid + 1 AND a.pid % 16 < 15)
+               OR (b.pid = a.pid + 16)
         """,
         # pyramid rollup: z15 tile from the mercator closed form,
         # parents by integer x>>2 / x>>4 (bit-exact on both sides)

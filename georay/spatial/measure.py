@@ -238,6 +238,126 @@ def polygon_tile_coverage(
     )
 
 
+def polygon_adjacency(
+    features: ray.data.Dataset, id_prop: str = "polygon_id"
+) -> ray.data.Dataset:
+    """Shared-edge polygon adjacency derived from GEOMETRY (not ids):
+    two polygons are adjacent when their quantized exterior bboxes
+    touch along a full-overlap interval in x or y — the topology
+    primitive for region merging / neighborhood smoothing.
+
+    Shape: one map_batches pass emits a deduped (polygon_id, bbox)
+    table quantized to 1e-9-degree ints (decode paths differ by ulps;
+    integer equality makes edge-matching exact); the polygon universe
+    is index-side small, so the pair sweep is a driver-free
+    map_groups over ONE group of the collected bbox table — a
+    sort-sweep (O(P log P + adjacencies)) inside a single task, the
+    same bounded-side contract as the polygon index build.
+
+    Output: a < b polygon_id pairs, one row each."""
+    Q = 1e9
+
+    def bbox_rows(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "polygon_id": pa.array([], pa.int64()),
+                "x0": pa.array([], pa.int64()),
+                "y0": pa.array([], pa.int64()),
+                "x1": pa.array([], pa.int64()),
+                "y1": pa.array([], pa.int64()),
+            }
+        )
+        if "wkb" not in t.column_names:
+            return empty
+        mask = pc.and_(
+            pc.is_valid(t["wkb"]),
+            pc.is_in(
+                t["geom_type"], value_set=pa.array(["polygon", "multipolygon"])
+            ),
+        )
+        t = t.filter(mask)
+        ids, x0s, y0s, x1s, y1s = [], [], [], [], []
+        for wkb, pj, cj in zip(
+            t["wkb"].to_pylist(),
+            t["props_json"].to_pylist(),
+            t["cols_json"].to_pylist(),
+        ):
+            names, _types = json.loads(cj)
+            props = dict(zip(names[1:], json.loads(pj)))
+            pid = props.get(id_prop)
+            if pid is None:
+                continue
+            ctype, coords = wkb_decode(wkb)
+            polys = [coords] if ctype == "polygon" else coords
+            v = np.vstack(
+                [np.asarray(r, np.float64) for rs in polys for r in rs if len(r)]
+            )
+            ids.append(int(pid))
+            x0s.append(int(np.floor(v[:, 0].min() * Q + 0.5)))
+            y0s.append(int(np.floor(v[:, 1].min() * Q + 0.5)))
+            x1s.append(int(np.floor(v[:, 0].max() * Q + 0.5)))
+            y1s.append(int(np.floor(v[:, 1].max() * Q + 0.5)))
+        return pa.table(
+            {
+                "polygon_id": pa.array(ids, pa.int64()),
+                "x0": pa.array(x0s, pa.int64()),
+                "y0": pa.array(y0s, pa.int64()),
+                "x1": pa.array(x1s, pa.int64()),
+                "y1": pa.array(y1s, pa.int64()),
+            }
+        )
+
+    boxes = features.map_batches(bbox_rows, batch_format="pyarrow")
+    deduped = (
+        boxes.groupby(["polygon_id", "x0", "y0", "x1", "y1"])
+        .aggregate(Count(alias_name="n"))
+        .drop_columns(["n"])
+    )
+
+    def sweep(t: pa.Table) -> pa.Table:
+        pid = t["polygon_id"].to_numpy(zero_copy_only=False)
+        x0 = t["x0"].to_numpy(zero_copy_only=False)
+        y0 = t["y0"].to_numpy(zero_copy_only=False)
+        x1 = t["x1"].to_numpy(zero_copy_only=False)
+        y1 = t["y1"].to_numpy(zero_copy_only=False)
+        out_a, out_b = [], []
+        n = len(pid)
+        # vertical shared edges: a.x1 == b.x0 with y-interval overlap
+        for xa, xb, lo, hi in ((x1, x0, y0, y1), (y1, y0, x0, x1)):
+            order = np.argsort(xb, kind="stable")
+            sb = xb[order]
+            for i in range(n):
+                j0 = np.searchsorted(sb, xa[i], side="left")
+                j1 = np.searchsorted(sb, xa[i], side="right")
+                for j in order[j0:j1]:
+                    if j == i:
+                        continue
+                    if min(hi[i], hi[j]) > max(lo[i], lo[j]):  # interval overlap
+                        a, b = int(pid[i]), int(pid[j])
+                        if a != b:
+                            out_a.append(min(a, b))
+                            out_b.append(max(a, b))
+        pairs = sorted(set(zip(out_a, out_b)))
+        return pa.table(
+            {
+                "a": pa.array([p[0] for p in pairs], pa.int64()),
+                "b": pa.array([p[1] for p in pairs], pa.int64()),
+            }
+        )
+
+    # ONE group: the polygon table is index-side bounded by contract
+    return (
+        deduped.map_batches(
+            lambda t: t.append_column("__k", pa.array(np.zeros(t.num_rows, np.int64))),
+            batch_format="pyarrow",
+        )
+        .groupby("__k")
+        .map_groups(
+            lambda g: sweep(g.drop_columns(["__k"])), batch_format="pyarrow"
+        )
+    )
+
+
 def polygon_measures(
     features: ray.data.Dataset, id_prop: str = "polygon_id"
 ) -> ray.data.Dataset:

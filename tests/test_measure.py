@@ -103,3 +103,30 @@ def test_polygon_tile_coverage_conserves_area(ray_session, tmp_path):
         # quantization rounds each tile independently: allow 1 unit per tile
         ntiles = (cov["polygon_id"] == pid).sum()
         assert abs(int(total) - int(areas[pid])) <= ntiles
+
+
+def test_polygon_adjacency_grid(ray_session, tmp_path):
+    """Geometry-derived adjacency equals the grid closed form:
+    |dcol| + |drow| == 1 over the present ids; corner touches excluded."""
+    import ray.data
+
+    from georay.pages import synthesize_pages_parquet
+    from georay.pipeline import decode_features
+    from georay.spatial.measure import polygon_adjacency
+
+    out = str(tmp_path / "pages")
+    synthesize_pages_parquet(out, n=400, seed=42)
+    pages = ray.data.read_parquet(out, columns=["url", "html"])
+    got = {
+        (int(r.a), int(r.b))
+        for r in polygon_adjacency(decode_features(pages)).to_pandas().itertuples()
+    }
+    ids = range(16)  # 4*ceil(400/100) polygons present
+    want = set()
+    for a in ids:
+        for b in ids:
+            if a < b and (
+                (b == a + 1 and a % 16 < 15) or b == a + 16
+            ):
+                want.add((a, b))
+    assert got == want
