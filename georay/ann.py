@@ -27,6 +27,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from georay.textops import _merge_ann_partials, _ann_rank_output, _tree_reduce, unpack_embeddings
+
 
 def _seed_for(tag: str) -> int:
     return int.from_bytes(hashlib.sha256(tag.encode()).digest()[:4], "big")
@@ -78,7 +80,7 @@ def assign_clusters(embeddings: ray.data.Dataset, centroids_ref):
             self.C = ray.get(centroids_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            E = _normalize(np.array(batch["embedding"].to_pylist(), dtype=np.float64))
+            E = _normalize(unpack_embeddings(batch))
             cl = np.argmax(E @ self.C.T, axis=1).astype(np.int32)
             return batch.append_column("cluster", pa.array(cl, pa.int32()))
 
@@ -227,14 +229,7 @@ def cluster_assign_fixed(embeddings: ray.data.Dataset, k: int = 8):
             self.C, self.Cn = ray.get(c_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            emb = batch["embedding"].combine_chunks()
-            dim = self.C.shape[1]
-            E = (
-                pc.list_flatten(emb)
-                .to_numpy(zero_copy_only=False)
-                .astype(np.float64)
-                .reshape(-1, dim)
-            )
+            E = unpack_embeddings(batch)
             # cos = dot / (|e| |c|) on raw doubles (same form as the
             # SQL side); micro-quantize, then argmax with low-cid ties
             norms = np.maximum(np.linalg.norm(E, axis=1), 1e-300)
@@ -264,12 +259,11 @@ def ann_topk_ivf(
 ):
     """IVF-probed cosine top-k. Same output schema as
     textops.ann_topk: {query_id, rank, neighbor_id}."""
-    qset = set(int(q) for q in query_ids)
+    q_arr = pa.array(sorted(set(int(q) for q in query_ids)), pa.int64())
     _, c_ref = train_centroids(embeddings, n_clusters, sample_n)
 
     def get_queries(t: pa.Table) -> pa.Table:
-        mask = pa.array([int(v) in qset for v in t["vec_id"].to_pylist()])
-        return t.filter(mask)
+        return t.filter(pc.is_in(t["vec_id"], value_set=q_arr))
 
     qrows = embeddings.map_batches(get_queries, batch_format="pyarrow").take_all()
     qrows.sort(key=lambda r: query_ids.index(r["vec_id"]))
@@ -290,7 +284,7 @@ def ann_topk_ivf(
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-            En = _normalize(np.array(batch["embedding"].to_pylist(), dtype=np.float64))
+            En = _normalize(unpack_embeddings(batch))
             cl = np.argmax(En @ self.C.T, axis=1)  # [B]
             out_q, out_n, out_s = [], [], []
             for qi in range(self.Qn.shape[0]):
@@ -313,23 +307,6 @@ def ann_topk_ivf(
             )
 
     partials = embeddings.map_batches(ProbeTopK, batch_format="pyarrow", concurrency=(1, 8))
-    rows = partials.take_all()
-    by_q: dict = {}
-    for r in rows:
-        by_q.setdefault(r["query_id"], []).append((r["sim"], r["neighbor_id"]))
-    out_q, out_r, out_n = [], [], []
-    for qid in sorted(by_q):
-        cand = sorted(by_q[qid], key=lambda t: (-t[0], t[1]))[:k]
-        for rank, (_s, nid) in enumerate(cand):
-            out_q.append(qid)
-            out_r.append(rank)
-            out_n.append(nid)
-    return ray.data.from_arrow(
-        pa.table(
-            {
-                "query_id": pa.array(out_q, pa.int64()),
-                "rank": pa.array(out_r, pa.int64()),
-                "neighbor_id": pa.array(out_n, pa.int64()),
-            }
-        )
-    )
+    refs = partials.to_arrow_refs()
+    merged = ray.get(_tree_reduce(refs, _merge_ann_partials, args=(k,)))
+    return _ann_rank_output(merged)
