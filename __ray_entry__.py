@@ -929,8 +929,8 @@ def _geo_tile_coverage(sf_dir):
 
 def _geo_adjacency(sf_dir):
     """Shared-edge polygon adjacency derived from decoded geometry
-    (quantized bbox edge matching); the oracle is the grid closed form
-    (|Δcol| + |Δrow| == 1)."""
+    (distributed quantized boundary-segment groupby); the oracle is the
+    grid closed form (|Δcol| + |Δrow| == 1)."""
     import ray.data
 
     from georay.pages import pages_dir_for

@@ -242,33 +242,42 @@ def polygon_adjacency(
     features: ray.data.Dataset, id_prop: str = "polygon_id"
 ) -> ray.data.Dataset:
     """Shared-edge polygon adjacency derived from GEOMETRY (not ids):
-    two polygons are adjacent when their quantized exterior bboxes
-    touch along a full-overlap interval in x or y — the topology
-    primitive for region merging / neighborhood smoothing.
+    two polygons are adjacent iff they share at least one quantized
+    boundary SEGMENT — a consecutive-vertex edge with both endpoints
+    quantized to 1e-9-degree ints and the endpoint pair sorted, so the
+    same border emitted by either polygon (in either winding) produces
+    the same key and decode-path ulp noise cannot split a match. True
+    topology for arbitrary polygons: bbox contact without a common
+    boundary segment is NOT adjacency. Documented assumption (standard
+    for segment-keyed topology): a shared border uses the same vertex
+    chain on both sides, as any tessellated/tiled source produces; a
+    border subdivided by extra vertices on one side only won't match.
 
-    Shape: one map_batches pass emits a deduped (polygon_id, bbox)
-    table quantized to 1e-9-degree ints (decode paths differ by ulps;
-    integer equality makes edge-matching exact); the polygon universe
-    is index-side small, so the pair sweep is a driver-free
-    map_groups over ONE group of the collected bbox table — a
-    sort-sweep (O(P log P + adjacencies)) inside a single task, the
-    same bounded-side contract as the polygon index build.
+    Shape (fully distributed — no single-task pair sweep):
+      1. map_batches emits (segment key, polygon_id) rows, per-batch
+         deduped with np.unique;
+      2. segments hash-bucket to 4xCPU partitions; groupby(bucket)
+         .map_groups runs a VECTORIZED run scan (lexsorted unique rows
+         -> run boundaries -> the all-of-a-tessellation 2-polygon run
+         case is branch-free; >2-sharers loop only over those runs);
+      3. a small groupby(a, b) dedups polygons sharing several
+         segments.
+    Shuffle traffic is fixed-width int64 segment rows, never geometry.
 
     Output: a < b polygon_id pairs, one row each."""
     Q = 1e9
 
-    def bbox_rows(t: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                "polygon_id": pa.array([], pa.int64()),
-                "x0": pa.array([], pa.int64()),
-                "y0": pa.array([], pa.int64()),
-                "x1": pa.array([], pa.int64()),
-                "y1": pa.array([], pa.int64()),
-            }
-        )
+    _EMPTY_SEGS = {
+        "ax": pa.array([], pa.int64()),
+        "ay": pa.array([], pa.int64()),
+        "bx": pa.array([], pa.int64()),
+        "by": pa.array([], pa.int64()),
+        "pid": pa.array([], pa.int64()),
+    }
+
+    def segment_rows(t: pa.Table) -> pa.Table:
         if "wkb" not in t.column_names:
-            return empty
+            return pa.table(_EMPTY_SEGS)
         mask = pc.and_(
             pc.is_valid(t["wkb"]),
             pc.is_in(
@@ -276,7 +285,7 @@ def polygon_adjacency(
             ),
         )
         t = t.filter(mask)
-        ids, x0s, y0s, x1s, y1s = [], [], [], [], []
+        segs = []
         for wkb, pj, cj in zip(
             t["wkb"].to_pylist(),
             t["props_json"].to_pylist(),
@@ -289,72 +298,78 @@ def polygon_adjacency(
                 continue
             ctype, coords = wkb_decode(wkb)
             polys = [coords] if ctype == "polygon" else coords
-            v = np.vstack(
-                [np.asarray(r, np.float64) for rs in polys for r in rs if len(r)]
-            )
-            ids.append(int(pid))
-            x0s.append(int(np.floor(v[:, 0].min() * Q + 0.5)))
-            y0s.append(int(np.floor(v[:, 1].min() * Q + 0.5)))
-            x1s.append(int(np.floor(v[:, 0].max() * Q + 0.5)))
-            y1s.append(int(np.floor(v[:, 1].max() * Q + 0.5)))
+            for ring in (r for rs in polys for r in rs if len(r) >= 2):
+                q = np.floor(np.asarray(ring, np.float64) * Q + 0.5).astype(np.int64)
+                ax, ay = q[:-1, 0], q[:-1, 1]
+                bx, by = q[1:, 0], q[1:, 1]
+                keep = (ax != bx) | (ay != by)  # drop quantization-degenerate
+                ax, ay, bx, by = ax[keep], ay[keep], bx[keep], by[keep]
+                swap = (ax > bx) | ((ax == bx) & (ay > by))
+                cols = (
+                    np.where(swap, bx, ax),
+                    np.where(swap, by, ay),
+                    np.where(swap, ax, bx),
+                    np.where(swap, ay, by),
+                    np.full(len(ax), int(pid), np.int64),
+                )
+                segs.append(np.stack(cols, axis=1))
+        if not segs:
+            return pa.table(_EMPTY_SEGS)
+        M = np.unique(np.concatenate(segs), axis=0)  # per-batch dedup
         return pa.table(
-            {
-                "polygon_id": pa.array(ids, pa.int64()),
-                "x0": pa.array(x0s, pa.int64()),
-                "y0": pa.array(y0s, pa.int64()),
-                "x1": pa.array(x1s, pa.int64()),
-                "y1": pa.array(y1s, pa.int64()),
-            }
+            {name: pa.array(M[:, i], pa.int64()) for i, name in enumerate(_EMPTY_SEGS)}
         )
 
-    boxes = features.map_batches(bbox_rows, batch_format="pyarrow")
-    deduped = (
-        boxes.groupby(["polygon_id", "x0", "y0", "x1", "y1"])
+    from georay.textops import _n_partitions
+
+    nparts = np.uint64(max(_n_partitions(), 1))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = np.zeros(t.num_rows, np.uint64)
+        for name, mult in (
+            ("ax", 0x9E3779B97F4A7C15),
+            ("ay", 0xC2B2AE3D27D4EB4F),
+            ("bx", 0x165667B19E3779F9),
+            ("by", 0x27D4EB2F165667C5),
+        ):
+            v = t[name].to_numpy(zero_copy_only=False).astype(np.uint64)
+            h = (h ^ (v * np.uint64(mult))) * np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+        return t.append_column(
+            "__b", pa.array((h % nparts).astype(np.int64), pa.int64())
+        )
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        cols = [
+            g[c].to_numpy(zero_copy_only=False) for c in ("ax", "ay", "bx", "by", "pid")
+        ]
+        M = np.unique(np.stack(cols, axis=1), axis=0)  # cross-batch dedup + lexsort
+        if len(M) < 2:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        same = np.all(M[1:, :4] == M[:-1, :4], axis=1)
+        starts = np.r_[0, np.nonzero(~same)[0] + 1]
+        counts = np.diff(np.r_[starts, len(M)])
+        out_a, out_b = [], []
+        s2 = starts[counts == 2]  # the dominant tessellation case, branch-free
+        out_a.append(M[s2, 4])
+        out_b.append(M[s2 + 1, 4])
+        for s, c in zip(starts[counts > 2], counts[counts > 2]):
+            ids = M[s : s + c, 4]
+            iu, ju = np.triu_indices(int(c), k=1)
+            out_a.append(ids[iu])
+            out_b.append(ids[ju])
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+
+    return (
+        features.map_batches(segment_rows, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby(["a", "b"])
         .aggregate(Count(alias_name="n"))
         .drop_columns(["n"])
-    )
-
-    def sweep(t: pa.Table) -> pa.Table:
-        pid = t["polygon_id"].to_numpy(zero_copy_only=False)
-        x0 = t["x0"].to_numpy(zero_copy_only=False)
-        y0 = t["y0"].to_numpy(zero_copy_only=False)
-        x1 = t["x1"].to_numpy(zero_copy_only=False)
-        y1 = t["y1"].to_numpy(zero_copy_only=False)
-        out_a, out_b = [], []
-        n = len(pid)
-        # vertical shared edges: a.x1 == b.x0 with y-interval overlap
-        for xa, xb, lo, hi in ((x1, x0, y0, y1), (y1, y0, x0, x1)):
-            order = np.argsort(xb, kind="stable")
-            sb = xb[order]
-            for i in range(n):
-                j0 = np.searchsorted(sb, xa[i], side="left")
-                j1 = np.searchsorted(sb, xa[i], side="right")
-                for j in order[j0:j1]:
-                    if j == i:
-                        continue
-                    if min(hi[i], hi[j]) > max(lo[i], lo[j]):  # interval overlap
-                        a, b = int(pid[i]), int(pid[j])
-                        if a != b:
-                            out_a.append(min(a, b))
-                            out_b.append(max(a, b))
-        pairs = sorted(set(zip(out_a, out_b)))
-        return pa.table(
-            {
-                "a": pa.array([p[0] for p in pairs], pa.int64()),
-                "b": pa.array([p[1] for p in pairs], pa.int64()),
-            }
-        )
-
-    # ONE group: the polygon table is index-side bounded by contract
-    return (
-        deduped.map_batches(
-            lambda t: t.append_column("__k", pa.array(np.zeros(t.num_rows, np.int64))),
-            batch_format="pyarrow",
-        )
-        .groupby("__k")
-        .map_groups(
-            lambda g: sweep(g.drop_columns(["__k"])), batch_format="pyarrow"
-        )
     )
 
 

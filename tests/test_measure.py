@@ -130,3 +130,45 @@ def test_polygon_adjacency_grid(ray_session, tmp_path):
             ):
                 want.add((a, b))
     assert got == want
+
+
+def test_polygon_adjacency_non_grid_shared_edge_only(ray_session):
+    """True shared-edge semantics on NON-grid polygons (VERDICT r03 #2):
+    A and B share a full boundary segment; triangle C's bbox touches A
+    along y=1 with x-overlap (the old bbox-edge rule false-positived
+    (A, C)) but shares no boundary segment with anything -> only (A, B)."""
+    import base64
+    import json
+
+    import ray.data
+
+    from georay.pipeline import decode_features
+    from georay.spatial.measure import polygon_adjacency
+
+    def feat(pid, ring):
+        return {
+            "type": "Feature",
+            "geometry": {"type": "Polygon", "coordinates": [ring]},
+            "properties": {"polygon_id": pid},
+        }
+
+    feats = [
+        feat(1, [[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]]),
+        feat(2, [[1, 0], [2, 0], [2, 1], [1, 1], [1, 0]]),
+        feat(3, [[0.2, 1], [0.8, 1], [0.5, 2], [0.2, 1]]),
+    ]
+    blob = json.dumps({"type": "FeatureCollection", "features": feats}).encode()
+    b64 = base64.b64encode(blob).decode()
+    html = (
+        "<html><body><p>x</p>"
+        f'<script type="application/x-geo" data-filename="t.geojson">{b64}</script>'
+        "</body></html>"
+    ).encode()
+    pages = ray.data.from_arrow(
+        pa.table({"url": pa.array(["http://t/1"]), "html": pa.array([html], pa.binary())})
+    )
+    got = {
+        (int(r.a), int(r.b))
+        for r in polygon_adjacency(decode_features(pages)).to_pandas().itertuples()
+    }
+    assert got == {(1, 2)}
