@@ -229,12 +229,19 @@ def geotag_pipeline(
             sharded = build_sharded_polygon_index(idx_src)
         # single-object index: the broadcast handle for the PIP join
         # (compiled OFF the driver in a Ray task; join tasks block on
-        # the ObjectRef lazily). In sharded mode it is only compiled
-        # when kNN runs — kNN needs the global centroid set (its own
-        # scale path would be a dedicated centroid index).
-        index_ref = (
-            build_polygon_index_remote(idx_src) if sharded is None or knn_k else None
-        )
+        # the ObjectRef lazily). The sharded path NEVER compiles it —
+        # kNN there broadcasts a bounded CentroidIndex instead:
+        # (polygon_id, lon, lat) only, tiny even at 100x the polygon
+        # universe (VERDICT r03 #3).
+        index_ref = build_polygon_index_remote(idx_src) if sharded is None else None
+        knn_ref = None
+        if knn_k:
+            if sharded is None:
+                knn_ref = index_ref
+            else:
+                from ..spatial.index import build_centroid_index_remote
+
+                knn_ref = build_centroid_index_remote(idx_src)
     layer_cols = _LAYER_KEY + ["minx", "miny", "maxx", "maxy", "decode_error"]
     if out_dir:
         layer_src = ray.data.read_parquet(
@@ -310,13 +317,13 @@ def geotag_pipeline(
         if pip_concurrency is None:
             knn_lazy = points.map_batches(
                 knn_join_batch,
-                fn_kwargs={"index_ref": index_ref, "k": knn_k},
+                fn_kwargs={"index_ref": knn_ref, "k": knn_k},
                 batch_format="pyarrow",
             )
         else:
             knn_lazy = points.map_batches(
                 KNNJoiner,
-                fn_constructor_args=(index_ref, knn_k),
+                fn_constructor_args=(knn_ref, knn_k),
                 batch_format="pyarrow",
                 concurrency=pip_concurrency,
                 num_cpus=1,

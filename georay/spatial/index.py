@@ -168,12 +168,55 @@ def _compile_index_task_impl(zoom, id_prop, *tables):
     return PolygonIndex(_tables_to_polygons(tables, id_prop), zoom)
 
 
+class CentroidIndex:
+    """kNN-only polygon side: (polygon_id, centroid lon/lat) and
+    nothing else — the bounded broadcast for sharded-mode kNN
+    (VERDICT r03 #3). Even at 100x the polygon universe this is two
+    float64 columns + an id list, always inside the broadcast budget,
+    so the sharded path never re-compiles the full ring index.
+
+    Centroids are computed by EXACTLY the arithmetic PolygonIndex uses
+    (pack_rings -> outer-ring vertex mean) over the same deduped
+    polygon stream, so KNNJoiner output is byte-identical between the
+    broadcast and sharded paths."""
+
+    def __init__(self, polygons, zoom: int = INDEX_ZOOM):
+        self.zoom = zoom
+        cents = np.empty((len(polygons), 2))
+        pids = []
+        for i, poly in enumerate(polygons):
+            coords, offsets = pack_rings(poly["rings"])
+            if len(coords):
+                outer_end = int(offsets[1])
+                outer = coords[:outer_end]
+                cents[i] = outer[:-1].mean(axis=0) if outer_end > 1 else outer.mean(axis=0)
+            else:
+                cents[i] = (0, 0)
+            pids.append(poly["polygon_id"])
+        self.centroids = cents
+        self.polygon_ids = pids
+
+
+def build_centroid_index_remote(features, zoom: int = INDEX_ZOOM, id_prop: str = "polygon_id"):
+    """Compile the kNN centroid index inside a Ray task; returns
+    ObjectRef[CentroidIndex], a drop-in index_ref for KNNJoiner."""
+    ds = features.map_batches(_polygon_rows_batch, batch_format="pyarrow")
+    refs = ds.to_arrow_refs()
+    return _compile_centroid_task.remote(zoom, id_prop, *refs)
+
+
+def _compile_centroid_task_impl(zoom, id_prop, *tables):
+    return CentroidIndex(_tables_to_polygons(tables, id_prop), zoom)
+
+
 try:  # decorated lazily so importing this module never needs a Ray session
     import ray as _ray
 
     _compile_index_task = _ray.remote(_compile_index_task_impl)
+    _compile_centroid_task = _ray.remote(_compile_centroid_task_impl)
 except Exception:  # pragma: no cover
     _compile_index_task = None
+    _compile_centroid_task = None
 
 
 # ----------------------------------------------------- sharded variant
@@ -192,7 +235,8 @@ class ShardedPolygonIndex:
     only the shards their batches actually touch, so per-worker memory
     is bounded by the locally-relevant polygon universe, not the whole
     one. PIP + tile cover route per shard; kNN needs the global
-    centroid set and stays on the single-object index.
+    centroid set and uses the bounded CentroidIndex (id + lon/lat
+    only), never a full-index re-broadcast.
     """
 
     def __init__(self, shard_refs: dict, zoom: int = INDEX_ZOOM, shard_zoom: int = SHARD_ZOOM):

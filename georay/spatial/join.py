@@ -137,6 +137,9 @@ class KNNJoiner:
         self.index = index
         self.k = k
         self.zoom = knn_zoom if knn_zoom is not None else index.zoom
+        # CentroidIndex carries ids directly; PolygonIndex via polygons
+        pids = getattr(index, "polygon_ids", None)
+        self.pids = pids if pids is not None else [p["polygon_id"] for p in index.polygons]
         self.max_ring = max_ring
         # centroid buckets at self.zoom, built once per actor
         cents = index.centroids
@@ -250,7 +253,7 @@ class KNNJoiner:
             for rank, j in enumerate(top):
                 out_idx.append(i)
                 out_rank.append(rank)
-                pid = self.index.polygons[int(cand[j])]["polygon_id"]
+                pid = self.pids[int(cand[j])]
                 out_pid.append(int(pid) if pid is not None else None)
                 out_dist.append(float(d[j]))
         idx = pa.array(out_idx, pa.int64())
