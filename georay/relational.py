@@ -160,16 +160,12 @@ def top_orders(sf_dir: str, k: int = 10):
             BroadcastMap(cust["c_custkey"].to_numpy(), cust["c_name"].to_numpy())
         )
 
-        class Joiner:
-            def __init__(self):
-                self.cust = ray.get(cust_ref)
+        def joiner(t: pa.Table, cust) -> pa.Table:
+            names, _ = cust.lookup(t["o_custkey"].to_numpy(zero_copy_only=False))
+            out = t.append_column("c_name", pa.array(names.tolist(), pa.string()))
+            return topk_batch(out)
 
-            def __call__(self, t: pa.Table) -> pa.Table:
-                names, _ = self.cust.lookup(t["o_custkey"].to_numpy(zero_copy_only=False))
-                out = t.append_column("c_name", pa.array(names.tolist(), pa.string()))
-                return topk_batch(out)
-
-        partials = orders.map_batches(Joiner, batch_format="pyarrow", concurrency=(1, 4))
+        partials = broadcast_map_batches(orders, joiner, cust_ref)
         top = partials.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
         return top.select_columns(["o_orderkey", "c_name", "o_totalprice"])
 
@@ -195,6 +191,41 @@ def default_join_buckets() -> int:
     except Exception:
         cpus = 8
     return max(16, 4 * cpus)
+
+
+def _merge_sum_partials_impl(group_cols, sum_cols, *tables):
+    cols = list(group_cols) + list(sum_cols)
+    # zero-row blocks can carry degenerate (null-typed) schemas — drop
+    live = [t.select(cols) for t in tables if t.num_rows]
+    if not live:
+        return tables[0].select(cols)
+    t = pa.concat_tables(live)
+    df = t.to_pandas()
+    g = df.groupby(list(group_cols), as_index=False)[list(sum_cols)].sum()
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+_merge_sum_partials = ray.remote(_merge_sum_partials_impl)
+
+
+def tiny_key_sum(ds: ray.data.Dataset, group_cols, sum_cols, sort_cols=None):
+    """Final aggregate for a partials Dataset whose group cardinality is
+    TINY (a handful of keys, each block already pre-aggregated): a
+    remote fan-in tree replaces the sort-based groupby shuffle AND the
+    output sort — each of those is an all-to-all barrier with ~1.5 s
+    fixed latency at 32 cpus regardless of data size, which dominated
+    region_revenue's wall (profile: <0.9 s of remote compute inside a
+    5.3 s wall). Integer sums are order-free, so the tree is exact.
+    Returns a 1-block Dataset sorted by sort_cols."""
+    from georay.textops import _tree_reduce
+
+    refs = ds.to_arrow_refs()
+    final = ray.get(
+        _tree_reduce(refs, _merge_sum_partials, args=(tuple(group_cols), tuple(sum_cols)))
+    )
+    if sort_cols:
+        final = final.sort_by([(c, "ascending") for c in sort_cols])
+    return ray.data.from_arrow(final)
 
 
 def bucket_hash_join(
@@ -296,24 +327,18 @@ def region_revenue(sf_dir: str):
             )
         )
 
-        class RevenueByRegion:
-            def __init__(self):
-                self.c2r = ray.get(c2r_ref)
-
-            def __call__(self, t: pa.Table) -> pa.Table:
-                names, _ = self.c2r.lookup(t["o_custkey"].to_numpy(zero_copy_only=False))
-                return region_partial(
-                    pd.DataFrame(
-                        {
-                            "r_name": names,
-                            "revenue_em4": t["revenue_em4"].to_numpy(zero_copy_only=False),
-                        }
-                    )
+        def revenue_by_region(t: pa.Table, c2r) -> pa.Table:
+            names, _ = c2r.lookup(t["o_custkey"].to_numpy(zero_copy_only=False))
+            return region_partial(
+                pd.DataFrame(
+                    {
+                        "r_name": names,
+                        "revenue_em4": t["revenue_em4"].to_numpy(zero_copy_only=False),
+                    }
                 )
+            )
 
-        partials = joined.map_batches(
-            RevenueByRegion, batch_format="pyarrow", concurrency=(1, 4)
-        )
+        partials = broadcast_map_batches(joined, revenue_by_region, c2r_ref)
     else:
         # nationkey -> region name is a constant-size lut; apply it on
         # the streaming customer projection, then bucket-join by custkey
@@ -344,8 +369,7 @@ def region_revenue(sf_dir: str):
             )
 
         partials = joined2.map_batches(part, batch_format="pyarrow")
-    agged = partials.groupby("r_name").aggregate(Sum("revenue_em4", alias_name="revenue_em4"))
-    return agged.sort("r_name")
+    return tiny_key_sum(partials, ["r_name"], ["revenue_em4"], sort_cols=["r_name"])
 
 
 # -------------------------------------------------------- window agg
@@ -529,30 +553,26 @@ def priority_line_counts(sf_dir: str):
         )
         high_ref = ray.put(high)
 
-        class Partial:
-            def __init__(self):
-                self.high = ray.get(high_ref)
+        def li_high_partial(t: pa.Table, high) -> pa.Table:
+            keys = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(high):
+                # membership via binary search on the sorted broadcast array
+                pos = np.minimum(np.searchsorted(high, keys), len(high) - 1)
+                is_high = high[pos] == keys
+            else:
+                is_high = np.zeros(len(keys), dtype=bool)
+            df = pd.DataFrame(
+                {
+                    "l_returnflag": t["l_returnflag"].to_pandas(),
+                    "is_high": is_high.astype(np.int64),
+                }
+            )
+            g = df.groupby("l_returnflag", as_index=False).agg(
+                high_line_count=("is_high", "sum"), n_lines=("is_high", "size")
+            )
+            return pa.Table.from_pandas(g, preserve_index=False)
 
-            def __call__(self, t: pa.Table) -> pa.Table:
-                keys = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-                if len(self.high):
-                    # membership via binary search on the sorted broadcast array
-                    pos = np.minimum(np.searchsorted(self.high, keys), len(self.high) - 1)
-                    is_high = self.high[pos] == keys
-                else:
-                    is_high = np.zeros(len(keys), dtype=bool)
-                df = pd.DataFrame(
-                    {
-                        "l_returnflag": t["l_returnflag"].to_pandas(),
-                        "is_high": is_high.astype(np.int64),
-                    }
-                )
-                g = df.groupby("l_returnflag", as_index=False).agg(
-                    high_line_count=("is_high", "sum"), n_lines=("is_high", "size")
-                )
-                return pa.Table.from_pandas(g, preserve_index=False)
-
-        partials = li.map_batches(Partial, batch_format="pyarrow", concurrency=(1, 4))
+        partials = broadcast_map_batches(li, li_high_partial, high_ref)
     else:
 
         def li_partial(t: pa.Table) -> pa.Table:
@@ -629,17 +649,13 @@ def top_orders_per_segment(sf_dir: str, k: int = 3):
             BroadcastMap(cust["c_custkey"].to_numpy(), cust["c_mktsegment"].to_numpy())
         )
 
-        class Partial:
-            def __init__(self):
-                self.seg = ray.get(seg_ref)
+        def seg_partial(t: pa.Table, seg) -> pa.Table:
+            df = t.to_pandas()
+            segs, _ = seg.lookup(df["o_custkey"].to_numpy())
+            df["c_mktsegment"] = segs
+            return seg_topk(df)
 
-            def __call__(self, t: pa.Table) -> pa.Table:
-                df = t.to_pandas()
-                segs, _ = self.seg.lookup(df["o_custkey"].to_numpy())
-                df["c_mktsegment"] = segs
-                return seg_topk(df)
-
-        partials = orders.map_batches(Partial, batch_format="pyarrow", concurrency=(1, 4))
+        partials = broadcast_map_batches(orders, seg_partial, seg_ref)
     else:
         joined = bucket_hash_join(orders, cust, on="o_custkey", right_on="c_custkey")
         partials = joined.map_batches(
@@ -765,6 +781,31 @@ class BroadcastMap:
         out = self.values[pos].copy()
         out[~found] = None
         return out, found
+
+
+# Task-mode broadcast stages (the PIP-join pattern): the broadcast
+# object is immutable, so plain tasks + a per-worker-process ray.get
+# cache beat a (1, 4) autoscaling actor pool — the pool ramps from ONE
+# actor and serializes most of the stage behind spawn latency, while
+# tasks use every CPU immediately with work stealing.
+_WORKER_BCAST: dict = {}
+
+
+def _bcast_task(batch: pa.Table, ref, fn):
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    obj = _WORKER_BCAST.get(key)
+    if obj is None:
+        obj = ray.get(ref)
+        _WORKER_BCAST[key] = obj
+    return fn(batch, obj)
+
+
+def broadcast_map_batches(ds: ray.data.Dataset, fn, ref) -> ray.data.Dataset:
+    """map_batches(fn(batch, broadcast_obj)) in task mode with the
+    broadcast fetched once per worker process (keyed by ObjectRef)."""
+    return ds.map_batches(
+        _bcast_task, fn_kwargs={"ref": ref, "fn": fn}, batch_format="pyarrow"
+    )
 
 
 def _hash_bucket(keys: np.ndarray, n_parts: int) -> np.ndarray:
@@ -1542,34 +1583,30 @@ def event_session_assignment(
 
     events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
 
-    class Assign:
-        def __init__(self):
-            self.per_user = ray.get(ref)
+    def assign(t: pa.Table, per_user) -> pa.Table:
+        uids = t["user_id"].to_numpy(zero_copy_only=False)
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eids = t["event_id"].to_numpy(zero_copy_only=False)
+        out = np.full(len(uids), -1, dtype=np.int64)
+        for uid in np.unique(uids):
+            entry = per_user.get(int(uid))
+            if entry is None:
+                continue
+            starts, ends, idxs = entry
+            m = uids == uid
+            pos = np.searchsorted(starts, us[m], side="right") - 1
+            ok = (pos >= 0) & (us[m] <= ends[np.maximum(pos, 0)])
+            vals = np.where(ok, idxs[np.maximum(pos, 0)], -1)
+            out[m] = vals
+        return pa.table(
+            {
+                "event_id": pa.array(eids, pa.int64()),
+                "user_id": pa.array(uids.astype(np.int64), pa.int64()),
+                "session_idx": pa.array(out, pa.int64()),
+            }
+        )
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            uids = t["user_id"].to_numpy(zero_copy_only=False)
-            us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            eids = t["event_id"].to_numpy(zero_copy_only=False)
-            out = np.full(len(uids), -1, dtype=np.int64)
-            for uid in np.unique(uids):
-                entry = self.per_user.get(int(uid))
-                if entry is None:
-                    continue
-                starts, ends, idxs = entry
-                m = uids == uid
-                pos = np.searchsorted(starts, us[m], side="right") - 1
-                ok = (pos >= 0) & (us[m] <= ends[np.maximum(pos, 0)])
-                vals = np.where(ok, idxs[np.maximum(pos, 0)], -1)
-                out[m] = vals
-            return pa.table(
-                {
-                    "event_id": pa.array(eids, pa.int64()),
-                    "user_id": pa.array(uids.astype(np.int64), pa.int64()),
-                    "session_idx": pa.array(out, pa.int64()),
-                }
-            )
-
-    return events.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 4))
+    return broadcast_map_batches(events, assign, ref)
 
 
 def order_price_quantiles(sf_dir: str, qs=(0.5, 0.9)):
@@ -1591,21 +1628,17 @@ def order_price_quantiles(sf_dir: str, qs=(0.5, 0.9)):
             BroadcastMap(cust["c_custkey"].to_numpy(), cust["c_mktsegment"].to_numpy())
         )
 
-        class ToCents:
-            def __init__(self):
-                self.seg = ray.get(seg_ref)
-
-            def __call__(self, t: pa.Table) -> pa.Table:
-                cents = np.rint(
-                    t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
-                ).astype(np.int64)
-                segs, _ = self.seg.lookup(t["o_custkey"].to_numpy(zero_copy_only=False))
-                return pa.table(
-                    {
-                        "c_mktsegment": pa.array(segs.tolist(), pa.string()),
-                        "cents": pa.array(cents, pa.int64()),
-                    }
-                )
+        def ToCents(t: pa.Table, seg) -> pa.Table:  # noqa: N802 — stage name
+            cents = np.rint(
+                t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            segs, _ = seg.lookup(t["o_custkey"].to_numpy(zero_copy_only=False))
+            return pa.table(
+                {
+                    "c_mktsegment": pa.array(segs.tolist(), pa.string()),
+                    "cents": pa.array(cents, pa.int64()),
+                }
+            )
     else:
         joined = bucket_hash_join(orders, cust, on="o_custkey", right_on="c_custkey")
 
@@ -1643,7 +1676,7 @@ def order_price_quantiles(sf_dir: str, qs=(0.5, 0.9)):
         )
 
     if mode == "broadcast":
-        partials = orders.map_batches(ToCents, batch_format="pyarrow", concurrency=(1, 4))
+        partials = broadcast_map_batches(orders, ToCents, seg_ref)
     else:
         partials = orders.map_batches(ToCents, batch_format="pyarrow")
     return (
