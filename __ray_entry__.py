@@ -334,6 +334,15 @@ def _q_doc_repetition(sf_dir):
     return doc_repetition(_docs(sf_dir))
 
 
+def _q_boilerplate_segments(sf_dir):
+    """CCNet-style corpus-frequency boilerplate: per-doc count/ratio of
+    4-token segments occurring in >= 3 distinct documents (co-partitioned
+    df resolution, no broadcast)."""
+    from georay.textops import boilerplate_segments
+
+    return boilerplate_segments(_docs(sf_dir), window=4, min_df=3)
+
+
 def _q_url_host_stats(sf_dir):
     import ray.data
 
@@ -989,6 +998,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": _q_normalize_text,
         "dedup_normalized": _q_dedup_normalized,
         "doc_repetition": _q_doc_repetition,
+        "boilerplate_segments": _q_boilerplate_segments,
         "url_host_stats": _q_url_host_stats,
         "decontam_ngrams": _q_decontam_ngrams,
         "quality_filter": _q_quality_filter,
@@ -1428,6 +1438,37 @@ def _oracle_sql_raw() -> dict[str, str]:
             SELECT doc_id, TRIM(regexp_replace(x, '\\s+', ' ', 'g')) AS clean_text,
                    n_emails, n_ips, n_phones
             FROM s3
+        """,
+        # corpus-frequency boilerplate: segments are NON-overlapping
+        # 4-token windows (list_slice over generate_series, the
+        # chunk_texts idiom); df counts DISTINCT docs per segment text
+        # (the Ray side groups by the segment's sha256-prefix-8 hash —
+        # same partition at 64-bit collision odds); counts keep
+        # within-doc multiplicity
+        "boilerplate_segments": """
+            WITH t AS (
+              SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS w
+              FROM documents WHERE TRIM(text) <> ''
+            ),
+            s AS (
+              SELECT doc_id,
+                     array_to_string(list_slice(w, k*4 + 1, k*4 + 4), ' ') AS seg
+              FROM t, generate_series(0, 99999) AS g(k)
+              WHERE k*4 < len(w)
+            ),
+            df AS (
+              SELECT seg, COUNT(DISTINCT doc_id) AS df FROM s GROUP BY seg
+            ),
+            fl AS (
+              SELECT s.doc_id, CASE WHEN df.df >= 3 THEN 1 ELSE 0 END AS b
+              FROM s JOIN df USING (seg)
+            )
+            SELECT doc_id,
+                   COUNT(*) AS n_segs,
+                   CAST(SUM(b) AS BIGINT) AS n_boiler,
+                   CAST(FLOOR(SUM(b) * 1000000.0 / COUNT(*) + 0.5) AS BIGINT)
+                     AS boiler_ratio_micro
+            FROM fl GROUP BY doc_id
         """,
         "doc_repetition": """
             WITH base AS (

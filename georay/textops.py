@@ -1361,6 +1361,102 @@ def dedup_normalized(docs: ray.data.Dataset):
     return kept.drop_columns(["norm_hash"])
 
 
+def boilerplate_segments(
+    docs: ray.data.Dataset, window: int = 4, min_df: int = 3
+):
+    """CCNet-style corpus-frequency boilerplate detection, adapted from
+    line-level dedup (this corpus has no newlines) to fixed-width
+    non-overlapping token segments: a segment occurring in >= min_df
+    DISTINCT documents is boilerplate (headers, footers, nav chrome at
+    web scale). Per document: segment count, boilerplate-segment count
+    (with multiplicity), and the micro-quantized boilerplate ratio —
+    the filter signal a cleaning pass thresholds on.
+
+    Shape (two fixed-width shuffles, no broadcast — the frequent-
+    segment set is data-dependent and unbounded by contract, so
+    membership is resolved CO-PARTITIONED by segment hash, never
+    driver-side):
+      1. map_batches: doc -> (doc_id, seg_hash) rows (sha256-prefix-8
+         so the SQL oracle can group by the segment text instead);
+      2. hash-bucket by seg_hash; within each bucket a vectorized scan
+         computes df per segment over distinct (seg, doc) pairs, flags
+         every row, and PRE-AGGREGATES to one (doc_id, n, n_boiler)
+         partial per doc per bucket;
+      3. groupby(doc_id) sums the partials.
+
+    Output: doc_id, n_segs, n_boiler, boiler_ratio_micro."""
+
+    def seg_rows(t: pa.Table) -> pa.Table:
+        ids_out, hashes = [], []
+        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = tokenize(text or "")
+            if not toks:
+                continue
+            segs = [
+                " ".join(toks[k : k + window]) for k in range(0, len(toks), window)
+            ]
+            ids_out.extend([doc_id] * len(segs))
+            hashes.append(_hash64_strings(segs))
+        h = (
+            np.concatenate(hashes).astype(np.int64)
+            if hashes
+            else np.empty(0, np.int64)
+        )
+        nparts = _n_partitions()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "seg_hash": pa.array(h, pa.int64()),
+                "__b": pa.array(
+                    np.abs(h % np.int64(nparts)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def bucket_flags(g: pa.Table) -> pa.Table:
+        seg = g["seg_hash"].to_numpy(zero_copy_only=False)
+        doc = g["doc_id"].to_numpy(zero_copy_only=False)
+        # df per segment over DISTINCT (seg, doc) pairs
+        pairs = np.unique(np.stack([seg, doc], axis=1), axis=0)
+        useg, df = np.unique(pairs[:, 0], return_counts=True)
+        boiler_seg = useg[df >= min_df]
+        if len(boiler_seg):
+            pos = np.minimum(np.searchsorted(boiler_seg, seg), len(boiler_seg) - 1)
+            hit = boiler_seg[pos] == seg
+        else:
+            hit = np.zeros(len(seg), bool)
+        # pre-aggregate to one partial per doc in this bucket
+        udoc, inv = np.unique(doc, return_inverse=True)
+        n = np.bincount(inv, minlength=len(udoc))
+        nb = np.bincount(inv, weights=hit.astype(np.float64), minlength=len(udoc))
+        return pa.table(
+            {
+                "doc_id": pa.array(udoc, pa.int64()),
+                "n_segs": pa.array(n.astype(np.int64), pa.int64()),
+                "n_boiler": pa.array(nb.astype(np.int64), pa.int64()),
+            }
+        )
+
+    summed = (
+        docs.map_batches(seg_rows, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(bucket_flags, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_segs", alias_name="n_segs"),
+            Sum("n_boiler", alias_name="n_boiler"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_segs"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = t["n_boiler"].to_numpy(zero_copy_only=False).astype(np.float64)
+        micro = np.floor(nb * 1e6 / n + 0.5).astype(np.int64)
+        return t.append_column("boiler_ratio_micro", pa.array(micro, pa.int64()))
+
+    return summed.map_batches(finish, batch_format="pyarrow")
+
+
 def doc_repetition(docs: ray.data.Dataset):
     """Gopher-style within-document repetition signals: token count,
     distinct-token count, and the occurrence count of the most frequent

@@ -308,3 +308,38 @@ def test_doc_entropy(ray_session):
     # diversity ordering: uniform > half-half > constant
     e = out["entropy_micro"]
     assert e[1] > e[2] > e[0] == 0
+
+
+def test_boilerplate_segments_closed_form(ray_session):
+    """4-token segments; 'a b c d' appears in 3 distinct docs (boiler at
+    min_df=3), 'e f g h' in 2 (not boiler); within-doc multiplicity
+    counts in n_boiler; a doc with no boiler segments scores 0."""
+    import pyarrow as pa
+    import ray.data
+
+    from georay.textops import boilerplate_segments
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "a b c d e f g h",          # 1 boiler of 2 segs
+                    "a b c d a b c d",          # 2 boiler of 2 segs (multiplicity)
+                    "a b c d x y z w",          # 1 boiler of 2 segs
+                    "e f g h p q r s",          # df(e f g h)=2 -> 0 boiler
+                ]
+            ),
+        }
+    )
+    out = (
+        boilerplate_segments(
+            ray.data.from_arrow(docs).repartition(3), window=4, min_df=3
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_segs"].tolist() == [2, 2, 2, 2]
+    assert out["n_boiler"].tolist() == [1, 2, 1, 0]
+    assert out["boiler_ratio_micro"].tolist() == [500000, 1000000, 500000, 0]
