@@ -541,6 +541,14 @@ def _q_ann_topk_ivf(sf_dir):
     return ann_topk_ivf(_emb(sf_dir), ANN_QUERY_IDS, k=ANN_K, n_clusters=8, nprobe=8)
 
 
+def _q_pq_encode(sf_dir):
+    """Product-quantization codes (2 subspaces, 8 deterministic codes):
+    the IVF-PQ compression half of the ANN scale path."""
+    from georay.ann import pq_encode
+
+    return pq_encode(_emb(sf_dir), n_codes=8, n_sub=2)
+
+
 # multimodal (deterministic GRB media corpus). The GRB container is a
 # plain header + raw bytes, so DuckDB can replay the decoders byte-by-
 # byte (hex(payload) + substring + '0x' cast over a generate_series):
@@ -1021,6 +1029,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "ann_topk_ivf": _q_ann_topk_ivf,
         "embedding_clusters": _q_embedding_clusters,
+        "pq_encode": _q_pq_encode,
         "label_centroids": _q_label_centroids,
         "knn_label_vote": _q_knn_label_vote,
         "embedding_near_dups": _q_emb_near_dups,
@@ -2234,6 +2243,34 @@ def _oracle_sql_raw() -> dict[str, str]:
         # fixed centroids = vec_id < 8; cosine micro-quantized BEFORE
         # the argmax, ties to the lowest centroid id (both sides), so
         # float-summation-order differences can't flip an assignment
+        # PQ: per (vector, subspace, code) the squared euclidean
+        # distance quantized to 1e4 units before the argmin (ties ->
+        # lowest code); list_distance(slice)^2 replays numpy's
+        # sum((a-b)^2) within ~1e-11 abs vs the 1e-4 boundary spacing
+        "pq_encode": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            cb AS (SELECT vec_id AS code, v FROM e WHERE vec_id < 8),
+            d AS (
+              SELECT e.vec_id, cb.code, s.m AS sub,
+                     CAST(FLOOR(POWER(list_distance(
+                              list_slice(e.v, s.m*32 + 1, s.m*32 + 32),
+                              list_slice(cb.v, s.m*32 + 1, s.m*32 + 32)), 2)
+                            * 10000 + 0.5) AS BIGINT) AS dm
+              FROM e, cb, (SELECT 0 AS m UNION ALL SELECT 1) s
+            ),
+            best AS (
+              SELECT vec_id, sub, code, dm,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                        ORDER BY dm, code) AS rn
+              FROM d
+            )
+            SELECT vec_id,
+                   CAST(MAX(CASE WHEN sub = 0 THEN code END) AS INTEGER) AS code_0,
+                   CAST(MAX(CASE WHEN sub = 1 THEN code END) AS INTEGER) AS code_1,
+                   CAST(SUM(CASE WHEN rn = 1 THEN dm END) AS BIGINT) AS dist_dm
+            FROM best WHERE rn = 1 GROUP BY vec_id
+        """,
         "embedding_clusters": """
             WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
                        FROM embeddings WHERE vec_id < 8),

@@ -249,6 +249,51 @@ def cluster_assign_fixed(embeddings: ray.data.Dataset, k: int = 8):
     return embeddings.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 8))
 
 
+def pq_encode(embeddings: ray.data.Dataset, n_codes: int = 8, n_sub: int = 2):
+    """Product-quantization encode — the vector-compression half of the
+    IVF-PQ scale path (at 10^12 vectors the raw float corpus cannot be
+    probed; PQ codes shrink it ~64x and distances reconstruct from
+    per-subspace lookup tables). Each embedding splits into n_sub
+    contiguous subspaces; per subspace the code is the argmin squared
+    euclidean distance to a DETERMINISTIC codebook (the sub-vectors of
+    vec_id < n_codes — no training RNG, mirroring cluster_assign_fixed)
+    with the distance quantized to integer 1e4 units BEFORE the argmin
+    and ties broken to the lowest code, so the SQL oracle replays the
+    assignment exactly (floor(d2*1e4+0.5): cross-engine float error
+    ~1e-11 abs vs 1e-4 boundary spacing).
+
+    Shape: the codebook is a few KB, shipped once in the task spec;
+    one stateless map_batches pass, no shuffle.
+
+    Output: vec_id, code_0..code_{n_sub-1} (int32), dist_dm (int64 sum
+    of the chosen per-subspace quantized distances)."""
+    cent_rows = embeddings.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], n_codes)), batch_format="pyarrow"
+    ).take_all()
+    cent_rows.sort(key=lambda r: r["vec_id"])
+    C = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
+
+    def encode(batch: pa.Table, C=C, n_sub=n_sub) -> pa.Table:
+        E = unpack_embeddings(batch)
+        k, D = C.shape
+        w = D // n_sub
+        out: dict = {"vec_id": batch["vec_id"]}
+        total = np.zeros(len(E), np.int64)
+        for m in range(n_sub):
+            Es = E[:, m * w : (m + 1) * w]
+            Cs = C[:, m * w : (m + 1) * w]
+            d2 = ((Es[:, None, :] - Cs[None, :, :]) ** 2).sum(axis=2)
+            dm = np.floor(d2 * 1e4 + 0.5).astype(np.int64)
+            score = dm * 1024 + np.arange(k, dtype=np.int64)
+            best = np.argmin(score, axis=1)
+            out[f"code_{m}"] = pa.array(best.astype(np.int32), pa.int32())
+            total += dm[np.arange(len(E)), best]
+        out["dist_dm"] = pa.array(total, pa.int64())
+        return pa.table(out)
+
+    return embeddings.map_batches(encode, batch_format="pyarrow")
+
+
 def ann_topk_ivf(
     embeddings: ray.data.Dataset,
     query_ids: list,

@@ -160,3 +160,42 @@ def test_knn_label_vote(ray_session):
     ).to_pandas().sort_values("query_id")
     assert out["label"].tolist() == [0, 1, 2]
     assert (out["votes"] == 5).all()
+
+
+def test_pq_encode_roundtrip(ray_session):
+    """Codebook vectors encode to their own code with zero distance;
+    codes are within range; dist_dm is the sum of per-subspace minima."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from georay.ann import pq_encode
+
+    rng = np.random.default_rng(7)
+    E = rng.normal(size=(40, 64)).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(40), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in E], pa.list_(pa.float32())),
+        }
+    )
+    out = (
+        pq_encode(ray.data.from_arrow(t).repartition(3), n_codes=8, n_sub=2)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 40
+    # codebook rows self-encode at distance 0
+    head = out.iloc[:8]
+    assert head["code_0"].tolist() == list(range(8))
+    assert head["code_1"].tolist() == list(range(8))
+    assert head["dist_dm"].tolist() == [0] * 8
+    assert out["code_0"].between(0, 7).all() and out["code_1"].between(0, 7).all()
+    # brute-force check one non-codebook row
+    C = E[:8].astype(np.float64)
+    x = E[20].astype(np.float64)
+    for m, col in ((0, "code_0"), (1, "code_1")):
+        d2 = ((C[:, m * 32 : (m + 1) * 32] - x[m * 32 : (m + 1) * 32]) ** 2).sum(axis=1)
+        dm = np.floor(d2 * 1e4 + 0.5).astype(np.int64)
+        assert out.loc[20, col] == int(np.argmin(dm * 1024 + np.arange(8)))
