@@ -352,6 +352,6 @@ def ann_topk_ivf(
             )
 
     partials = embeddings.map_batches(ProbeTopK, batch_format="pyarrow", concurrency=(1, 8))
-    refs = partials.to_arrow_refs()
+    refs = partials.materialize().to_arrow_refs()
     merged = ray.get(_tree_reduce(refs, _merge_ann_partials, args=(k,)))
     return _ann_rank_output(merged)

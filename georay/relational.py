@@ -219,7 +219,7 @@ def tiny_key_sum(ds: ray.data.Dataset, group_cols, sum_cols, sort_cols=None):
     Returns a 1-block Dataset sorted by sort_cols."""
     from georay.textops import _tree_reduce
 
-    refs = ds.to_arrow_refs()
+    refs = ds.materialize().to_arrow_refs()
     final = ray.get(
         _tree_reduce(refs, _merge_sum_partials, args=(tuple(group_cols), tuple(sum_cols)))
     )

@@ -1195,7 +1195,7 @@ def bm25_topk(
             }
         )
 
-    refs = stat.map_batches(score_batch, batch_format="pyarrow").to_arrow_refs()
+    refs = stat.map_batches(score_batch, batch_format="pyarrow").materialize().to_arrow_refs()
     top = ray.get(_tree_reduce(refs, _merge_scalar_topk, args=(k,)))
     return pa.table(
         {
@@ -1254,7 +1254,7 @@ def ann_topk(
             )
 
     partials = embeddings.map_batches(PartialTopK, batch_format="pyarrow", concurrency=(1, 8))
-    refs = partials.to_arrow_refs()
+    refs = partials.materialize().to_arrow_refs()
     merged = ray.get(_tree_reduce(refs, _merge_ann_partials, args=(k,)))
     return _ann_rank_output(merged)
 
