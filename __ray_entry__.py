@@ -944,6 +944,99 @@ def _geo_tile_coverage(sf_dir):
     return polygon_tile_coverage(decode_features(pages), zoom=15)
 
 
+def _geo_tile_hours(sf_dir):
+    """Spatio-temporal rollup: page counts per (z13 tile, crawl hour) —
+    the tile x time-window density surface a crawl scheduler reads.
+    Per-batch np.unique partials over the 2-col key (the tile-counts
+    shape: the shuffle moves one row per (batch, tile, hour), never one
+    per page), then one small groupby."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from georay.pages import page_coords, pages_dir_for
+    from georay.spatial.cells import cell_encode
+
+    pages = ray.data.read_parquet(pages_dir_for(sf_dir), columns=["url", "warc_ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        urls = t["url"].to_pylist()
+        lons = np.empty(len(urls))
+        lats = np.empty(len(urls))
+        for i, u in enumerate(urls):
+            lons[i], lats[i] = page_coords(u)
+        tiles = cell_encode(lons, lats, 13).astype(np.int64)
+        hours = (
+            t["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 3_600_000_000
+        )
+        keys, counts = np.unique(np.stack([tiles, hours], axis=1), axis=0, return_counts=True)
+        return pa.table(
+            {
+                "tile": pa.array(keys[:, 0], pa.int64()),
+                "hour": pa.array(keys[:, 1], pa.int64()),
+                "n_pages": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        pages.map_batches(partial, batch_format="pyarrow")
+        .groupby(["tile", "hour"])
+        .aggregate(Sum("n_pages", alias_name="n_pages"))
+    )
+
+
+def _geo_dissolve(sf_dir):
+    """Region merge (dissolve): polygons connected through shared edges
+    WITHIN the same layer collapse to one region (region_id = min
+    polygon_id of the connected component). Composition: distributed
+    segment-groupby adjacency with the layer attribute riding the
+    segment rows (same_prop — the constraint costs zero extra joins)
+    -> BSP connected components; singletons fold in through a final
+    Min groupby (each polygon contributes its own id as a candidate
+    label).
+
+    Grid closed form: layer = pid % 2 flips on horizontal neighbors and
+    is constant down a column, so every present column dissolves into
+    one region labeled by its row-0 cell: region_id = pid % 16."""
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Min
+
+    from georay.graph import connected_components
+    from georay.pages import pages_dir_for
+    from georay.pipeline import decode_features
+    from georay.spatial.measure import polygon_adjacency, polygon_attrs
+
+    pages = ray.data.read_parquet(pages_dir_for(sf_dir), columns=["url", "html"])
+    feats = decode_features(pages).materialize()  # two consumers below
+    same = polygon_adjacency(feats, same_prop="layer")
+    attrs = polygon_attrs(feats)  # the present polygon universe
+    cc = connected_components(same)  # (node, label)
+
+    # singleton fold-in: every polygon votes its own id; Min picks the
+    # component label when one exists (label <= member ids)
+    self_rows = attrs.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t["polygon_id"],
+                "label": t["polygon_id"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return (
+        cc.union(self_rows)
+        .groupby("node")
+        .aggregate(Min("label", alias_name="region_id"))
+        .map_batches(
+            lambda t: t.rename_columns(["polygon_id", "region_id"]),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def _geo_adjacency(sf_dir):
     """Shared-edge polygon adjacency derived from decoded geometry
     (distributed quantized boundary-segment groupby); the oracle is the
@@ -1062,6 +1155,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_hex_counts": _geo_hex_counts,
         "geo_tile_coverage": _geo_tile_coverage,
         "geo_tile_pyramid": _geo_tile_pyramid,
+        "geo_tile_hours": _geo_tile_hours,
+        "geo_dissolve": _geo_dissolve,
         "geo_adjacency": _geo_adjacency,
         "geo_summary": _geo_summary,
         "geo_summary_abbrev": _geo_summary_abbrev,
@@ -2542,6 +2637,43 @@ def _oracle_sql_raw() -> dict[str, str]:
         """,
         # pyramid rollup: z15 tile from the mercator closed form,
         # parents by integer x>>2 / x>>4 (bit-exact on both sides)
+        # spatio-temporal rollup: z13 tile from the mercator closed
+        # form over the coord hash, hour from epoch(warc_ts)//3600
+        "geo_tile_hours": f"""
+            WITH p AS (
+              SELECT url, warc_ts,
+                     CAST(('0x' || substr(sha256('coord:' || url), 1, 16)) AS UBIGINT) AS h
+              FROM read_parquet('{_PAGES_GLOB}')
+            ),
+            pt AS (
+              SELECT warc_ts,
+                     -122.5 + (CAST(h % 4294967296 AS DOUBLE) / 4294967296.0)
+                              * (CAST(-122.2 AS DOUBLE) - CAST(-122.5 AS DOUBLE)) AS lon,
+                     47.4 + (CAST(h // 4294967296 AS DOUBLE) / 4294967296.0)
+                            * (CAST(47.8 AS DOUBLE) - CAST(47.4 AS DOUBLE)) AS lat
+              FROM p
+            ),
+            xy AS (
+              SELECT CAST(floor((lon + 180.0) / 360.0 * 8192) AS BIGINT) AS x,
+                     {_MERC_Y_SQL("lat", 8192)} AS y,
+                     CAST(epoch(warc_ts) AS BIGINT) // 3600 AS hour
+              FROM pt
+            )
+            SELECT {_pack_cell_sql(13, "x", "y")} AS tile, hour,
+                   COUNT(*) AS n_pages
+            FROM xy GROUP BY 1, 2
+        """,
+        # dissolve: same-layer (pid %% 2) shared-edge components over
+        # the grid collapse each present column to one region labeled
+        # by its row-0 cell
+        "geo_dissolve": f"""
+            WITH {_NPOLY_CTE},
+            ids AS (
+              SELECT CAST(v AS BIGINT) AS pid
+              FROM range(256) t(v), npoly WHERE v < npoly.np
+            )
+            SELECT pid AS polygon_id, pid % 16 AS region_id FROM ids
+        """,
         "geo_tile_pyramid": f"""
             WITH p AS (
               SELECT url,

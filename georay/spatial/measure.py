@@ -238,8 +238,52 @@ def polygon_tile_coverage(
     )
 
 
+def polygon_attrs(
+    features: ray.data.Dataset, id_prop: str = "polygon_id", props: list = ()
+) -> ray.data.Dataset:
+    """Deduped per-polygon attribute table (polygon_id, *props) from
+    decoded polygon features — the dimension side for dissolve /
+    region-level joins. One stateless pass + one small groupby (group
+    count = polygon universe); integer-valued properties only."""
+
+    cols = ["polygon_id", *props]
+
+    def rows(t: pa.Table) -> pa.Table:
+        empty = pa.table({c: pa.array([], pa.int64()) for c in cols})
+        if "wkb" not in t.column_names:
+            return empty
+        mask = pc.and_(
+            pc.is_valid(t["wkb"]),
+            pc.is_in(
+                t["geom_type"], value_set=pa.array(["polygon", "multipolygon"])
+            ),
+        )
+        t = t.filter(mask)
+        out: dict = {c: [] for c in cols}
+        for pj, cj in zip(t["props_json"].to_pylist(), t["cols_json"].to_pylist()):
+            names, _types = json.loads(cj)
+            p = dict(zip(names[1:], json.loads(pj)))
+            pid = p.get(id_prop)
+            if pid is None:
+                continue
+            out["polygon_id"].append(int(pid))
+            for c in props:
+                v = p.get(c)
+                out[c].append(int(v) if v is not None else None)
+        return pa.table({c: pa.array(out[c], pa.int64()) for c in cols})
+
+    return (
+        features.map_batches(rows, batch_format="pyarrow")
+        .groupby(cols)
+        .aggregate(Count(alias_name="__n"))
+        .drop_columns(["__n"])
+    )
+
+
 def polygon_adjacency(
-    features: ray.data.Dataset, id_prop: str = "polygon_id"
+    features: ray.data.Dataset,
+    id_prop: str = "polygon_id",
+    same_prop: str | None = None,
 ) -> ray.data.Dataset:
     """Shared-edge polygon adjacency derived from GEOMETRY (not ids):
     two polygons are adjacent iff they share at least one quantized
@@ -264,6 +308,11 @@ def polygon_adjacency(
          segments.
     Shuffle traffic is fixed-width int64 segment rows, never geometry.
 
+    With ``same_prop`` set (an integer-valued property name), only
+    pairs whose two polygons share that property value are emitted —
+    the attribute rides the segment rows, so the constraint costs zero
+    extra joins (the dissolve path).
+
     Output: a < b polygon_id pairs, one row each."""
     Q = 1e9
 
@@ -274,6 +323,8 @@ def polygon_adjacency(
         "by": pa.array([], pa.int64()),
         "pid": pa.array([], pa.int64()),
     }
+    if same_prop is not None:
+        _EMPTY_SEGS["attr"] = pa.array([], pa.int64())
 
     def segment_rows(t: pa.Table) -> pa.Table:
         if "wkb" not in t.column_names:
@@ -296,6 +347,10 @@ def polygon_adjacency(
             pid = props.get(id_prop)
             if pid is None:
                 continue
+            if same_prop is not None:
+                attr = props.get(same_prop)
+                if attr is None:
+                    continue
             ctype, coords = wkb_decode(wkb)
             polys = [coords] if ctype == "polygon" else coords
             for ring in (r for rs in polys for r in rs if len(r) >= 2):
@@ -305,13 +360,15 @@ def polygon_adjacency(
                 keep = (ax != bx) | (ay != by)  # drop quantization-degenerate
                 ax, ay, bx, by = ax[keep], ay[keep], bx[keep], by[keep]
                 swap = (ax > bx) | ((ax == bx) & (ay > by))
-                cols = (
+                cols = [
                     np.where(swap, bx, ax),
                     np.where(swap, by, ay),
                     np.where(swap, ax, bx),
                     np.where(swap, ay, by),
                     np.full(len(ax), int(pid), np.int64),
-                )
+                ]
+                if same_prop is not None:
+                    cols.append(np.full(len(ax), int(attr), np.int64))
                 segs.append(np.stack(cols, axis=1))
         if not segs:
             return pa.table(_EMPTY_SEGS)
@@ -339,10 +396,10 @@ def polygon_adjacency(
             "__b", pa.array((h % nparts).astype(np.int64), pa.int64())
         )
 
+    seg_cols = tuple(_EMPTY_SEGS)  # (..., "pid"[, "attr"])
+
     def bucket_pairs(g: pa.Table) -> pa.Table:
-        cols = [
-            g[c].to_numpy(zero_copy_only=False) for c in ("ax", "ay", "bx", "by", "pid")
-        ]
+        cols = [g[c].to_numpy(zero_copy_only=False) for c in seg_cols]
         M = np.unique(np.stack(cols, axis=1), axis=0)  # cross-batch dedup + lexsort
         if len(M) < 2:
             return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
@@ -351,11 +408,19 @@ def polygon_adjacency(
         counts = np.diff(np.r_[starts, len(M)])
         out_a, out_b = [], []
         s2 = starts[counts == 2]  # the dominant tessellation case, branch-free
-        out_a.append(M[s2, 4])
-        out_b.append(M[s2 + 1, 4])
+        a2, b2 = M[s2, 4], M[s2 + 1, 4]
+        if same_prop is not None:
+            ok = M[s2, 5] == M[s2 + 1, 5]
+            a2, b2 = a2[ok], b2[ok]
+        out_a.append(a2)
+        out_b.append(b2)
         for s, c in zip(starts[counts > 2], counts[counts > 2]):
             ids = M[s : s + c, 4]
             iu, ju = np.triu_indices(int(c), k=1)
+            if same_prop is not None:
+                at = M[s : s + c, 5]
+                keep = at[iu] == at[ju]
+                iu, ju = iu[keep], ju[keep]
             out_a.append(ids[iu])
             out_b.append(ids[ju])
         a = np.concatenate(out_a)

@@ -172,3 +172,50 @@ def test_polygon_adjacency_non_grid_shared_edge_only(ray_session):
         for r in polygon_adjacency(decode_features(pages)).to_pandas().itertuples()
     }
     assert got == {(1, 2)}
+
+
+def test_polygon_adjacency_same_prop_constraint(ray_session):
+    """same_prop='layer': a shared edge between different-layer polygons
+    is NOT emitted; same-layer shared edges are."""
+    import base64
+    import json
+
+    import ray.data
+
+    from georay.pipeline import decode_features
+    from georay.spatial.measure import polygon_adjacency
+
+    def feat(pid, layer, ring):
+        return {
+            "type": "Feature",
+            "geometry": {"type": "Polygon", "coordinates": [ring]},
+            "properties": {"polygon_id": pid, "layer": layer},
+        }
+
+    sq = lambda x0: [[x0, 0], [x0 + 1, 0], [x0 + 1, 1], [x0, 1], [x0, 0]]
+    feats = [
+        feat(1, 0, sq(0)),   # shares x=1 edge with 2 (same layer)
+        feat(2, 0, sq(1)),   # shares x=2 edge with 3 (different layer)
+        feat(3, 1, sq(2)),
+    ]
+    blob = json.dumps({"type": "FeatureCollection", "features": feats}).encode()
+    b64 = base64.b64encode(blob).decode()
+    html = (
+        "<html><body>"
+        f'<script type="application/x-geo" data-filename="t.geojson">{b64}</script>'
+        "</body></html>"
+    ).encode()
+    pages = ray.data.from_arrow(
+        pa.table({"url": pa.array(["http://t/1"]), "html": pa.array([html], pa.binary())})
+    )
+    feats_ds = decode_features(pages).materialize()
+    got_all = {
+        (int(r.a), int(r.b))
+        for r in polygon_adjacency(feats_ds).to_pandas().itertuples()
+    }
+    got_same = {
+        (int(r.a), int(r.b))
+        for r in polygon_adjacency(feats_ds, same_prop="layer").to_pandas().itertuples()
+    }
+    assert got_all == {(1, 2), (2, 3)}
+    assert got_same == {(1, 2)}
