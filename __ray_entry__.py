@@ -241,6 +241,14 @@ def _q_top_words(sf_dir):
     return top_words(_docs(sf_dir), k=50)
 
 
+def _q_vocab_ids(sf_dir):
+    """Tokenizer vocabulary: top-64 corpus words with contiguous ids in
+    (count desc, word asc) order."""
+    from georay.textops import vocab_ids
+
+    return vocab_ids(_docs(sf_dir), vocab_size=64)
+
+
 def _q_token_counts(sf_dir):
     from georay.textops import token_counts
 
@@ -1084,6 +1092,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25_topk,
         "doc_entropy": _q_doc_entropy,
         "top_words": _q_top_words,
+        "vocab_ids": _q_vocab_ids,
         "order_price_quantiles": _q_order_price_quantiles,
         "approx_price_quantiles": _q_approx_price_quantiles,
         "rolling_event_sums": _q_rolling_event_sums,
@@ -2043,6 +2052,19 @@ def _oracle_sql_raw() -> dict[str, str]:
             ),
             c AS (SELECT word, COUNT(*) AS n FROM toks GROUP BY word)
             SELECT word, n FROM c ORDER BY n DESC, word ASC LIMIT 50
+        """,
+        "vocab_ids": """
+            WITH toks AS (
+              SELECT UNNEST(regexp_split_to_array(TRIM(text), '\\s+')) AS word
+              FROM documents WHERE TRIM(text) <> ''
+            ),
+            c AS (SELECT word, COUNT(*) AS n FROM toks GROUP BY word),
+            r AS (
+              SELECT word, n,
+                     ROW_NUMBER() OVER (ORDER BY n DESC, word ASC) - 1 AS token_id
+              FROM c
+            )
+            SELECT token_id, word, n FROM r WHERE token_id < 64
         """,
         "token_counts": """
             SELECT doc_id,

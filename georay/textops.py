@@ -979,6 +979,25 @@ def top_words(docs: ray.data.Dataset, k: int = 50):
     return counted.sort(["n", "word"], descending=[True, False]).limit(k)
 
 
+def vocab_ids(docs: ray.data.Dataset, vocab_size: int = 64):
+    """Tokenizer-vocabulary build: the top-``vocab_size`` corpus words
+    by (count desc, word asc) with CONTIGUOUS ids 0..V-1 in that order
+    — the id table a BPE/wordpiece trainer seeds from and every
+    token-id encode step joins against. Reuses top_words' pre-
+    aggregated count shuffle; the V-row id assignment is driver-side
+    (V is a constant, never corpus-sized).
+
+    Output: token_id (int64), word, n."""
+    top = top_words(docs, k=vocab_size).take_all()
+    return pa.table(
+        {
+            "token_id": pa.array(np.arange(len(top)), pa.int64()),
+            "word": pa.array([r["word"] for r in top], pa.string()),
+            "n": pa.array([r["n"] for r in top], pa.int64()),
+        }
+    )
+
+
 def token_counts(docs: ray.data.Dataset):
     def tc(batch: pa.Table) -> pa.Table:
         n = [len(tokenize(t or "")) for t in batch["text"].to_pylist()]
