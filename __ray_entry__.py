@@ -1045,6 +1045,58 @@ def _geo_dissolve(sf_dir):
     )
 
 
+def _geo_radius_join(sf_dir, radius_m: float = 3000.0):
+    """Radius search: every (page, polygon) pair whose polygon CENTROID
+    lies within radius_m haversine meters of the page point — the
+    proximity join behind geofenced retrieval. The centroid side is the
+    bounded CentroidIndex broadcast (same contract as flagship kNN);
+    each batch does one vectorized [B, P] haversine against it, no
+    shuffle. At 100x polygons the prefilter is the kNN cell-ring
+    machinery (georay/spatial/join.py); the threshold COMPARISON is
+    float-safe without quantization (cross-engine skew ~um vs a 3 km
+    radius).
+
+    Output: url, polygon_id."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from georay.pages import page_coords, pages_dir_for
+    from georay.pipeline import decode_features
+    from georay.relational import broadcast_map_batches
+    from georay.spatial.index import build_centroid_index_remote
+    from georay.spatial.join import haversine_m
+
+    feats = decode_features(
+        ray.data.read_parquet(pages_dir_for(sf_dir), columns=["url", "html"])
+    )
+    cref = build_centroid_index_remote(
+        feats.select_columns(["wkb", "geom_type", "props_json", "cols_json"])
+    )
+    pages = ray.data.read_parquet(pages_dir_for(sf_dir), columns=["url"])
+
+    def radius_fn(t: pa.Table, idx) -> pa.Table:
+        urls = t["url"].to_pylist()
+        lons = np.empty(len(urls))
+        lats = np.empty(len(urls))
+        for i, u in enumerate(urls):
+            lons[i], lats[i] = page_coords(u)
+        cents = idx.centroids  # [P, 2]
+        pids = np.asarray(idx.polygon_ids, dtype=np.int64)
+        d = haversine_m(
+            lons[:, None], lats[:, None], cents[None, :, 0], cents[None, :, 1]
+        )
+        ii, jj = np.nonzero(d <= radius_m)
+        return pa.table(
+            {
+                "url": t["url"].take(pa.array(ii, pa.int64())),
+                "polygon_id": pa.array(pids[jj], pa.int64()),
+            }
+        )
+
+    return broadcast_map_batches(pages, radius_fn, cref)
+
+
 def _geo_adjacency(sf_dir):
     """Shared-edge polygon adjacency derived from decoded geometry
     (distributed quantized boundary-segment groupby); the oracle is the
@@ -1166,6 +1218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_tile_pyramid": _geo_tile_pyramid,
         "geo_tile_hours": _geo_tile_hours,
         "geo_dissolve": _geo_dissolve,
+        "geo_radius_join": _geo_radius_join,
         "geo_adjacency": _geo_adjacency,
         "geo_summary": _geo_summary,
         "geo_summary_abbrev": _geo_summary_abbrev,
@@ -2684,6 +2737,41 @@ def _oracle_sql_raw() -> dict[str, str]:
             SELECT {_pack_cell_sql(13, "x", "y")} AS tile, hour,
                    COUNT(*) AS n_pages
             FROM xy GROUP BY 1, 2
+        """,
+        # radius join: page coords from the url-hash closed form,
+        # centroid = grid-cell center (the decoded outer ring's vertex
+        # mean lands on the same point within ulps; the 3 km threshold
+        # comparison is float-safe without quantization)
+        "geo_radius_join": f"""
+            WITH {_NPOLY_CTE},
+            p AS (
+              SELECT url,
+                     CAST(('0x' || substr(sha256('coord:' || url), 1, 16)) AS UBIGINT) AS h
+              FROM read_parquet('{_PAGES_GLOB}')
+            ),
+            pt AS (
+              SELECT url,
+                     -122.5 + (CAST(h % 4294967296 AS DOUBLE) / 4294967296.0)
+                              * (CAST(-122.2 AS DOUBLE) - CAST(-122.5 AS DOUBLE)) AS lon,
+                     47.4 + (CAST(h // 4294967296 AS DOUBLE) / 4294967296.0)
+                            * (CAST(47.8 AS DOUBLE) - CAST(47.4 AS DOUBLE)) AS lat
+              FROM p
+            ),
+            cent AS (
+              SELECT CAST(v AS BIGINT) AS polygon_id,
+                     -122.5 + ((CAST(v AS BIGINT) % 16) + 0.5)
+                              * ((CAST(-122.2 AS DOUBLE) - CAST(-122.5 AS DOUBLE)) / 16) AS cx,
+                     47.4 + ((CAST(v AS BIGINT) // 16) + 0.5)
+                            * ((CAST(47.8 AS DOUBLE) - CAST(47.4 AS DOUBLE)) / 16) AS cy
+              FROM range(256) t(v), npoly WHERE v < npoly.np
+            )
+            SELECT pt.url, cent.polygon_id
+            FROM pt, cent
+            WHERE 2.0 * 6371008.8 * asin(sqrt(
+                    pow(sin(radians(cent.cy - pt.lat) / 2.0), 2)
+                    + cos(radians(pt.lat)) * cos(radians(cent.cy))
+                      * pow(sin(radians(cent.cx - pt.lon) / 2.0), 2)
+                  )) <= 3000.0
         """,
         # dissolve: same-layer (pid %% 2) shared-edge components over
         # the grid collapse each present column to one region labeled
