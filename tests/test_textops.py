@@ -343,3 +343,22 @@ def test_boilerplate_segments_closed_form(ray_session):
     assert out["n_segs"].tolist() == [2, 2, 2, 2]
     assert out["n_boiler"].tolist() == [1, 2, 1, 0]
     assert out["boiler_ratio_micro"].tolist() == [500000, 1000000, 500000, 0]
+
+
+def test_vocab_ids_closed_form(ray_session):
+    """Ids are contiguous in (count desc, word asc) order; V caps."""
+    import pyarrow as pa
+    import ray.data
+
+    from georay.textops import vocab_ids
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["b a a c", "a b z"]),
+        }
+    )
+    out = vocab_ids(ray.data.from_arrow(docs).repartition(2), vocab_size=3)
+    assert out["word"].to_pylist() == ["a", "b", "c"]  # a:3, b:2, then c/z tie -> c
+    assert out["token_id"].to_pylist() == [0, 1, 2]
+    assert out["n"].to_pylist() == [3, 2, 1]
