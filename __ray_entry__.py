@@ -549,6 +549,14 @@ def _q_ann_topk_ivf(sf_dir):
     return ann_topk_ivf(_emb(sf_dir), ANN_QUERY_IDS, k=ANN_K, n_clusters=8, nprobe=8)
 
 
+def _q_ann_topk_pq(sf_dir):
+    """PQ-scored approximate top-k (IVF-PQ retrieval half): integer
+    lookup-table distances, deterministic cross-engine."""
+    from georay.ann import ann_topk_pq
+
+    return ann_topk_pq(_emb(sf_dir), ANN_QUERY_IDS, k=ANN_K, n_codes=8, n_sub=2)
+
+
 def _q_pq_encode(sf_dir):
     """Product-quantization codes (2 subspaces, 8 deterministic codes):
     the IVF-PQ compression half of the ANN scale path."""
@@ -1184,6 +1192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": _q_ann_topk_ivf,
         "embedding_clusters": _q_embedding_clusters,
         "pq_encode": _q_pq_encode,
+        "ann_topk_pq": _q_ann_topk_pq,
         "label_centroids": _q_label_centroids,
         "knn_label_vote": _q_knn_label_vote,
         "embedding_near_dups": _q_emb_near_dups,
@@ -2440,6 +2449,49 @@ def _oracle_sql_raw() -> dict[str, str]:
                    CAST(MAX(CASE WHEN sub = 1 THEN code END) AS INTEGER) AS code_1,
                    CAST(SUM(CASE WHEN rn = 1 THEN dm END) AS BIGINT) AS dist_dm
             FROM best WHERE rn = 1 GROUP BY vec_id
+        """,
+        # PQ retrieval: the d CTE below is the SAME per-(vector, sub,
+        # code) quantized distance pq_encode pins; codes = argmin rows,
+        # a query's approx distance = sum of its LUT rows at the
+        # neighbor's codes; rank by (dist asc, vec_id asc)
+        "ann_topk_pq": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            cb AS (SELECT vec_id AS code, v FROM e WHERE vec_id < 8),
+            d AS (
+              SELECT e.vec_id, cb.code, s.m AS sub,
+                     CAST(FLOOR(POWER(list_distance(
+                              list_slice(e.v, s.m*32 + 1, s.m*32 + 32),
+                              list_slice(cb.v, s.m*32 + 1, s.m*32 + 32)), 2)
+                            * 10000 + 0.5) AS BIGINT) AS dm
+              FROM e, cb, (SELECT 0 AS m UNION ALL SELECT 1) s
+            ),
+            codes AS (
+              SELECT vec_id, sub, code FROM (
+                SELECT vec_id, sub, code,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                          ORDER BY dm, code) AS rn
+                FROM d
+              ) WHERE rn = 1
+            ),
+            lut AS (
+              SELECT vec_id AS qid, sub, code, dm FROM d
+              WHERE vec_id IN (0, 1, 2, 3)
+            ),
+            approx AS (
+              SELECT l.qid AS query_id, c.vec_id AS neighbor_id,
+                     SUM(l.dm) AS dist
+              FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+              WHERE c.vec_id <> l.qid
+              GROUP BY 1, 2
+            ),
+            r AS (
+              SELECT query_id, neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY dist, neighbor_id) - 1 AS rank
+              FROM approx
+            )
+            SELECT query_id, rank, neighbor_id FROM r WHERE rank < {ANN_K}
         """,
         "embedding_clusters": """
             WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce

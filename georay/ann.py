@@ -294,6 +294,90 @@ def pq_encode(embeddings: ray.data.Dataset, n_codes: int = 8, n_sub: int = 2):
     return embeddings.map_batches(encode, batch_format="pyarrow")
 
 
+def ann_topk_pq(
+    embeddings: ray.data.Dataset,
+    query_ids: list,
+    k: int = 5,
+    n_codes: int = 8,
+    n_sub: int = 2,
+):
+    """PQ-scored approximate top-k — the retrieval half of IVF-PQ: each
+    vector collapses to its per-subspace codes (pq_encode's exact
+    assignment) and a query's distance to it is the sum of PRECOMPUTED
+    query->codebook-entry lookup-table entries, so the scan never
+    touches raw floats. All quantities are the same integer 1e4-unit
+    distances pq_encode pins, so the approximation itself is
+    deterministic and the SQL oracle replays it bit-for-bit (ranking by
+    dist asc, vec_id asc).
+
+    Shape: codebook + per-query LUT ([Q, M, K] ints, a few KB) ship in
+    the task spec; one stateless map_batches emits k x Q partial
+    top-ks; a remote fan-in tree merges (O(k x Q) driver traffic).
+
+    Output: {query_id, rank, neighbor_id} (self excluded), same schema
+    as ann_topk."""
+    from georay.textops import _merge_ann_partials, _ann_rank_output, _tree_reduce
+
+    cent_rows = embeddings.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], n_codes)), batch_format="pyarrow"
+    ).take_all()
+    cent_rows.sort(key=lambda r: r["vec_id"])
+    C = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
+
+    q_arr = pa.array(sorted(set(int(q) for q in query_ids)), pa.int64())
+    qrows = embeddings.map_batches(
+        lambda t: t.filter(pc.is_in(t["vec_id"], value_set=q_arr)),
+        batch_format="pyarrow",
+    ).take_all()
+    qrows.sort(key=lambda r: r["vec_id"])
+    Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+
+    D = C.shape[1]
+    w = D // n_sub
+    # LUT[qi, m, code] = quantized squared distance (pq_encode units)
+    lut = np.empty((len(qids), n_sub, C.shape[0]), dtype=np.int64)
+    for m in range(n_sub):
+        d2 = ((Q[:, None, m * w : (m + 1) * w] - C[None, :, m * w : (m + 1) * w]) ** 2).sum(
+            axis=2
+        )
+        lut[:, m, :] = np.floor(d2 * 1e4 + 0.5).astype(np.int64)
+
+    def score(batch: pa.Table, C=C, lut=lut, qids=qids) -> pa.Table:
+        E = unpack_embeddings(batch)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        kcodes = C.shape[0]
+        approx = np.zeros((len(E), len(qids)), dtype=np.int64)
+        for m in range(n_sub):
+            Es = E[:, m * w : (m + 1) * w]
+            Cs = C[:, m * w : (m + 1) * w]
+            d2 = ((Es[:, None, :] - Cs[None, :, :]) ** 2).sum(axis=2)
+            dm = np.floor(d2 * 1e4 + 0.5).astype(np.int64)
+            codes = np.argmin(dm * 1024 + np.arange(kcodes, dtype=np.int64), axis=1)
+            approx += lut[:, m, :][:, codes].T  # [B, Q]
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(qids)):
+            mask = ids != qids[qi]
+            cand = np.nonzero(mask)[0]
+            col = approx[cand, qi]
+            top = cand[np.lexsort((ids[cand], col))[:k]]
+            out_q.extend([int(qids[qi])] * len(top))
+            out_n.extend(ids[top].tolist())
+            out_s.extend((-approx[top, qi]).astype(np.float64).tolist())  # sim = -dist
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = embeddings.map_batches(score, batch_format="pyarrow")
+    refs = partials.materialize().to_arrow_refs()
+    merged = ray.get(_tree_reduce(refs, _merge_ann_partials, args=(k,)))
+    return _ann_rank_output(merged)
+
+
 def ann_topk_ivf(
     embeddings: ray.data.Dataset,
     query_ids: list,

@@ -199,3 +199,52 @@ def test_pq_encode_roundtrip(ray_session):
         d2 = ((C[:, m * 32 : (m + 1) * 32] - x[m * 32 : (m + 1) * 32]) ** 2).sum(axis=1)
         dm = np.floor(d2 * 1e4 + 0.5).astype(np.int64)
         assert out.loc[20, col] == int(np.argmin(dm * 1024 + np.arange(8)))
+
+
+def test_ann_topk_pq_recall_and_determinism(ray_session):
+    """PQ top-k: deterministic under repartition; neighbors overlap the
+    exact brute-force top-k on clustered data (recall sanity, not
+    exactness — PQ is an approximation)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from georay.ann import ann_topk_pq
+    from georay.textops import ann_topk
+
+    rng = np.random.default_rng(11)
+    # 4 tight clusters; vec_ids 0..7 (the PQ codebook seeds) span the
+    # clusters two-per (a codebook from one cluster can't resolve the
+    # others), then 10 more members per cluster
+    centers = rng.normal(size=(4, 64)) * 5
+    seeds = np.concatenate(
+        [centers[i % 4] + rng.normal(size=(1, 64)) * 0.1 for i in range(8)]
+    )
+    members = np.concatenate(
+        [c + rng.normal(size=(10, 64)) * 0.1 for c in centers]
+    )
+    E = np.concatenate([seeds, members])
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(E)), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, r)) for r in E.astype(np.float32)],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    q = [8, 18, 28, 38]  # one member per cluster
+    out3 = ann_topk_pq(ray.data.from_arrow(t).repartition(3), q, k=5).to_pandas()
+    out7 = ann_topk_pq(ray.data.from_arrow(t).repartition(7), q, k=5).to_pandas()
+    assert out3.sort_values(["query_id", "rank"]).values.tolist() == \
+        out7.sort_values(["query_id", "rank"]).values.tolist()
+    # recall sanity: every PQ neighbor (and every exact neighbor) is a
+    # same-cluster vector — within a tight cluster the top-5 ORDER is
+    # noise, so membership is the meaningful approximate-recall check
+    exact = ann_topk(ray.data.from_arrow(t), q, k=5).to_pandas()
+    def cluster_of(vid):
+        return vid % 4 if vid < 8 else (vid - 8) // 10
+    for qid in q:
+        for frame in (out3, exact):
+            ns = frame[frame.query_id == qid]["neighbor_id"]
+            assert all(cluster_of(int(n)) == cluster_of(qid) for n in ns)
