@@ -496,6 +496,15 @@ def _q_unigram_logprob(sf_dir):
     return unigram_logprob(_docs(sf_dir))
 
 
+def _q_bigram_logprob(sf_dir):
+    """Per-doc log-prob under the corpus bigram LM (KenLM-style
+    perplexity quality filter), in integer micro-nats
+    (georay/textops.py bigram_logprob)."""
+    from georay.textops import bigram_logprob
+
+    return bigram_logprob(_docs(sf_dir))
+
+
 def _q_dedup_clusters(sf_dir):
     """Near-dup CLUSTER ids: MinHash+LSH pairs -> distributed connected
     components (BSP min-label propagation with pointer doubling;
@@ -1178,6 +1187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "dedup_clusters": _q_dedup_clusters,
         "unigram_logprob": _q_unigram_logprob,
+        "bigram_logprob": _q_bigram_logprob,
         "doc_rank_ntile": _q_doc_rank_ntile,
         "pmi_collocations": _q_pmi_collocations,
         "curriculum_pack": _q_curriculum_pack,
@@ -1847,6 +1857,35 @@ def _oracle_sql_raw() -> dict[str, str]:
         # integer micro-nats on BOTH sides, per-doc scores are exact
         # int64 sums (no float accumulation order in the hash)
         "unigram_logprob": _UNIGRAM_LM_SQL,
+        # bigram LM scoring: conditional ln(n(w1,w2)/n(w1 as first)),
+        # quantized half-up to integer micro-nats per bigram, int64
+        # sum per doc — replays georay.textops.bigram_logprob exactly
+        "bigram_logprob": """
+            WITH t AS (SELECT doc_id, TRIM(text) AS tt FROM documents),
+            arr AS (SELECT doc_id, regexp_split_to_array(tt, '\\s+') AS a
+                    FROM t WHERE tt <> ''),
+            toks AS (SELECT doc_id, UNNEST(a) AS w,
+                            UNNEST(generate_series(1, len(a))) AS pos
+                     FROM arr),
+            bi AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
+                   FROM toks a JOIN toks b
+                     ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+            cnt AS (SELECT w1, w2, COUNT(*) AS n FROM bi GROUP BY w1, w2),
+            ft AS (SELECT w1, SUM(n) AS tot FROM cnt GROUP BY w1),
+            lp AS (SELECT w1, w2,
+                          CAST(floor(ln(CAST(n AS DOUBLE) / tot) * 1000000 + 0.5)
+                               AS BIGINT) AS unats
+                   FROM cnt JOIN ft USING (w1)),
+            per_doc AS (
+              SELECT bi.doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                     CAST(SUM(lp.unats) AS BIGINT) AS logprob_unats
+              FROM bi JOIN lp USING (w1, w2) GROUP BY bi.doc_id)
+            SELECT d.doc_id,
+                   COALESCE(p.n_bigrams, 0) AS n_bigrams,
+                   COALESCE(p.logprob_unats, 0) AS logprob_unats
+            FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        """,
         # curriculum packing: rank by LM score then prefix-sum-pack the
         # ordered token stream — the composed pipeline's oracle is the
         # composed SQL (row_number + window prefix sum over the LM CTE)

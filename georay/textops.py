@@ -1813,6 +1813,97 @@ def unigram_logprob(docs: ray.data.Dataset):
     return docs.map_batches(score, batch_format="pyarrow")
 
 
+def bigram_logprob(docs: ray.data.Dataset):
+    """Per-doc log-probability under the corpus's own bigram LM — the
+    KenLM-style perplexity quality filter (CCNet / Gopher use an
+    n-gram LM score to rank web documents; a doc whose word SEQUENCES
+    are unlike the corpus scores low even when its unigram mix looks
+    normal). Conditional form: each bigram (w1, w2) scores
+    ln(count(w1, w2) / count(w1 as first word)); every bigram in a doc
+    is observed in the corpus-trained model (count >= 1), so no
+    smoothing term is needed and the score is exactly replayable.
+
+    Shape mirrors unigram_logprob: one pass of per-batch np.unique
+    bigram-count partials merged by a single groupby (one row per
+    (batch, distinct bigram) crosses the shuffle, never one per
+    token); first-word totals derive from the aggregated table on the
+    driver (vocab²-bounded); the (bigram, unats) table broadcasts once
+    via ray.put into a scoring map. At open-web vocab sizes the
+    broadcast side would be gated like the relational dim_side budget
+    and scored via a hash-join on bigram instead; the synthetic corpus
+    vocab is bounded by contract.
+
+    Scores are integer MICRO-NATS (floor(ln(p) * 1e6 + 0.5), half-up
+    so DuckDB replays the arithmetic); per-doc score is an int64 sum —
+    order-independent, float-accumulation-free.
+
+    Output: (doc_id, n_bigrams, logprob_unats)."""
+
+    def bigram_partial(batch: pa.Table) -> pa.Table:
+        grams: list = []
+        for t in batch["text"].to_pylist():
+            toks = tokenize(t or "")
+            grams.extend(
+                [toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)]
+            )
+        if not grams:
+            return pa.table(
+                {"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        uniq, counts = np.unique(np.asarray(grams, dtype=object), return_counts=True)
+        return pa.table(
+            {
+                "bigram": pa.array(uniq.tolist(), pa.string()),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    counts = (
+        docs.map_batches(bigram_partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    if len(counts) == 0:  # no doc had two tokens
+        grams_sorted = np.empty(0, dtype=object)
+        lp_unats = np.empty(0, dtype=np.int64)
+    else:
+        grams = counts["bigram"].to_numpy()
+        n = counts["n"].to_numpy().astype(np.float64)
+        first = np.asarray([g.split(" ", 1)[0] for g in grams], dtype=object)
+        fw, inv = np.unique(first, return_inverse=True)
+        fw_tot = np.zeros(len(fw), dtype=np.float64)
+        np.add.at(fw_tot, inv, n)
+        lp = np.floor(np.log(n / fw_tot[inv]) * 1e6 + 0.5).astype(np.int64)
+        order = np.argsort(grams, kind="stable")
+        grams_sorted = grams[order]
+        lp_unats = lp[order]
+    handle = ray.put((grams_sorted, lp_unats))
+
+    def score(batch: pa.Table) -> pa.Table:
+        gs, lp = ray.get(handle)
+        out_id, out_n, out_lp = [], [], []
+        for doc_id, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            toks = tokenize(t or "")
+            grams = [toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)]
+            out_id.append(doc_id)
+            out_n.append(len(grams))
+            if grams:
+                idx = np.searchsorted(gs, np.asarray(grams, dtype=object))
+                out_lp.append(int(lp[idx].sum()))
+            else:
+                out_lp.append(0)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "n_bigrams": pa.array(out_n, pa.int64()),
+                "logprob_unats": pa.array(out_lp, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
 def pmi_collocations(docs: ray.data.Dataset, k: int = 20, min_count: int = 5):
     """Top-k word-bigram collocations by pointwise mutual information:
     PMI(a,b) = ln( (n_ab / N_bi) / ((n_a / N_uni) * (n_b / N_uni)) ),

@@ -164,6 +164,36 @@ def test_unigram_logprob_closed_form(ray_session):
     assert out["logprob_unats"].tolist() == [2 * u(2) + u(2), u(2) + u(1), 0]
 
 
+def test_bigram_logprob_closed_form(ray_session):
+    import math
+
+    import ray.data
+
+    from georay.textops import bigram_logprob
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(["a b a b", "a b c", "x", ""], pa.string()),
+        }
+    )
+    out = (
+        bigram_logprob(ray.data.from_arrow(t))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # bigram counts: (a,b)=3, (b,a)=1, (b,c)=1; first-word totals: a=3, b=2
+    u = lambda n, tot: math.floor(math.log(n / tot) * 1e6 + 0.5)
+    assert out["n_bigrams"].tolist() == [3, 2, 0, 0]
+    assert out["logprob_unats"].tolist() == [
+        2 * u(3, 3) + u(1, 2),  # "a b","b a","a b"
+        u(3, 3) + u(1, 2),  # "a b","b c"
+        0,
+        0,
+    ]
+
+
 def test_pmi_collocations_closed_form(ray_session):
     import math
 
