@@ -441,6 +441,14 @@ def _q_rolling_time_sums(sf_dir):
     return rolling_time_sums(sf_dir)
 
 
+def _q_attribution_join(sf_dir):
+    """Interval join: purchases x same-user events in the trailing 24h,
+    strictly before (georay/relational.py attribution_join)."""
+    from georay.relational import attribution_join
+
+    return attribution_join(sf_dir)
+
+
 def _q_orders_rollup(sf_dir):
     from georay.relational import orders_rollup
 
@@ -1196,6 +1204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_pair_counts": _q_part_pair_counts,
         "funnel_users": _q_funnel_users,
         "rolling_time_sums": _q_rolling_time_sums,
+        "attribution_join": _q_attribution_join,
         "orders_rollup": _q_orders_rollup,
         "weekly_retention": _q_weekly_retention,
         "ann_topk": _q_ann_topk,
@@ -1802,6 +1811,24 @@ def _oracle_sql_raw() -> dict[str, str]:
                      RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING
                            AND CURRENT ROW) AS BIGINT) AS win_sum_micro
             FROM events
+        """,
+        # interval join: purchases x same-user events in the trailing
+        # 24h, strictly before (self and ts-peers excluded); values
+        # quantized to integer micro-units before the sum
+        "attribution_join": """
+            WITH p AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase')
+            SELECT p.event_id,
+                   CAST(COUNT(e.event_id) AS BIGINT) AS n_prior,
+                   CAST(COALESCE(
+                     SUM(CAST(ROUND(e.value * 1000000) AS BIGINT)), 0)
+                     AS BIGINT) AS prior_sum_micro
+            FROM p LEFT JOIN events e
+              ON e.user_id = p.user_id
+             AND e.ts >= p.ts - INTERVAL 24 HOURS
+             AND e.ts < p.ts
+            GROUP BY p.event_id
         """,
         # funnel: EXISTS(click before purchase) == MIN(click ts) <
         # MAX(purchase ts) — one grouped conditional min/max

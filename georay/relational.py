@@ -1756,6 +1756,93 @@ def rolling_time_sums(sf_dir: str, window_us: int = 600_000_000):
     )
 
 
+def attribution_join(sf_dir: str, window_us: int = 86_400_000_000):
+    """Interval/range JOIN: each 'purchase' event joined to the same
+    user's events in the trailing `window_us` microseconds STRICTLY
+    before it (the marketing-attribution window: which touches
+    preceded this conversion?). Unlike rolling_time_sums this is a
+    two-relation non-equi join — the probe side is a filtered stream,
+    matches exclude the row itself and its ts-peers, and the output is
+    one row per PROBE row with join-side aggregates.
+
+    Shape: ONE hash(user) bucket shuffle co-partitions both roles of
+    the self-join (the build side is the full stream, the probe side a
+    mask over the same rows — no second scan); per partition a lexsort
+    + two searchsorteds per user span turn the interval predicate into
+    prefix-sum differences. No driver materialization; at 100 TB the
+    bucket count scales with cpus and a user's history is the only
+    co-residency requirement (salt a pathological single user by
+    sub-windowing if one ever exceeds a block).
+
+    Values quantize to integer micro-units before summing (hash is
+    float-free). Output: (event_id, n_prior, prior_sum_micro)."""
+    n_parts = _n_partitions()
+    ds = _read(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "value"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        is_probe = pc.equal(t["event_type"], "purchase")
+        return pa.table(
+            {
+                "user_id": pa.array(uid, pa.int64()),
+                "event_id": t["event_id"].cast(pa.int64()),
+                "us": t["ts"].cast(pa.int64()),
+                "v_micro": pa.array(
+                    np.rint(
+                        t["value"].to_numpy(zero_copy_only=False) * 1e6
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+                "is_probe": is_probe,
+                "__bucket": pa.array(_hash_bucket(uid, n_parts), pa.int64()),
+            }
+        )
+
+    def join_bucket(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        us = t["us"].to_numpy(zero_copy_only=False)
+        v = t["v_micro"].to_numpy(zero_copy_only=False)
+        probe = t["is_probe"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, us, uid))
+        uid, eid, us, v, probe = (
+            uid[order],
+            eid[order],
+            us[order],
+            v[order],
+            probe[order],
+        )
+        n = len(uid)
+        n_prior = np.zeros(n, dtype=np.int64)
+        sum_prior = np.zeros(n, dtype=np.int64)
+        if n:
+            csum = np.concatenate(([0], np.cumsum(v)))
+            starts = np.concatenate(([0], np.flatnonzero(uid[1:] != uid[:-1]) + 1))
+            ends = np.concatenate((starts[1:], [n]))
+            for s, e in zip(starts, ends):  # per-user span, vectorized inside
+                span = us[s:e]
+                lo = s + np.searchsorted(span, span - window_us, side="left")
+                # strictly before: exclude the row and its ts-peers
+                hi = s + np.searchsorted(span, span, side="left")
+                n_prior[s:e] = hi - lo
+                sum_prior[s:e] = csum[hi] - csum[lo]
+        return pa.table(
+            {
+                "event_id": pa.array(eid[probe], pa.int64()),
+                "n_prior": pa.array(n_prior[probe], pa.int64()),
+                "prior_sum_micro": pa.array(sum_prior[probe], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(join_bucket, batch_format="pyarrow")
+    )
+
+
 def rolling_event_sums(sf_dir: str, window: int = 3):
     """ROWS-window aggregate over a keyed stream: per user, the sum of
     the last `window` event values (current row + window-1 preceding,

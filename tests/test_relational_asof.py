@@ -246,6 +246,38 @@ def test_rolling_time_sums_reference(ray_session):
     assert gotd == want
 
 
+def test_attribution_join_reference(ray_session):
+    """Interval-join semantics (strictly-before window, ts-peers and
+    self excluded, probe side filtered to purchases) vs a plain scan."""
+    import duckdb
+
+    from georay.relational import attribution_join
+
+    got = attribution_join("/root/testdata/sf0.001").to_pandas()
+    rows = duckdb.sql(
+        "SELECT event_id, user_id, epoch_us(ts), event_type,"
+        " CAST(ROUND(value*1000000) AS BIGINT)"
+        " FROM read_parquet('/root/testdata/sf0.001/events.parquet')"
+    ).fetchall()
+    by_user = {}
+    for eid, uid, us, et, vm in rows:
+        by_user.setdefault(uid, []).append((us, eid, et, vm))
+    want = {}
+    W = 86_400_000_000
+    for uid, evs in by_user.items():
+        for us, eid, et, _ in evs:
+            if et != "purchase":
+                continue
+            prior = [(u2, v) for u2, _, _, v in evs if us - W <= u2 < us]
+            want[eid] = (len(prior), sum(v for _, v in prior))
+    gotd = {
+        eid: (n, s)
+        for eid, n, s in zip(got["event_id"], got["n_prior"], got["prior_sum_micro"])
+    }
+    assert gotd == want
+    assert len(gotd) > 0
+
+
 def test_orders_rollup_levels(ray_session):
     """Every subtotal level sums to the grand total and the NULL
     markers land exactly at ROLLUP's prefix levels."""
