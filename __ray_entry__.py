@@ -566,6 +566,15 @@ def _q_ann_topk_ivf(sf_dir):
     return ann_topk_ivf(_emb(sf_dir), ANN_QUERY_IDS, k=ANN_K, n_clusters=8, nprobe=8)
 
 
+def _q_ann_topk_lsh(sf_dir):
+    """LSH-bucketed approximate cosine top-k: sign-bit band signatures
+    gate candidates, exact cosine ranks them (georay/ann.py
+    ann_topk_lsh)."""
+    from georay.ann import ann_topk_lsh
+
+    return ann_topk_lsh(_emb(sf_dir), ANN_QUERY_IDS, k=ANN_K, n_planes=16, n_bands=4)
+
+
 def _q_ann_topk_pq(sf_dir):
     """PQ-scored approximate top-k (IVF-PQ retrieval half): integer
     lookup-table distances, deterministic cross-engine."""
@@ -1212,6 +1221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_clusters": _q_embedding_clusters,
         "pq_encode": _q_pq_encode,
         "ann_topk_pq": _q_ann_topk_pq,
+        "ann_topk_lsh": _q_ann_topk_lsh,
         "label_centroids": _q_label_centroids,
         "knn_label_vote": _q_knn_label_vote,
         "embedding_near_dups": _q_emb_near_dups,
@@ -2557,6 +2567,44 @@ def _oracle_sql_raw() -> dict[str, str]:
                                         ORDER BY dist, neighbor_id) - 1 AS rank
               FROM approx
             )
+            SELECT query_id, rank, neighbor_id FROM r WHERE rank < {ANN_K}
+        """,
+        # LSH retrieval: sign bit j = quantized dot with plane j >= 1
+        # (1e4 units, the pq_encode recipe), 4 bands x 4 bits packed
+        # MSB-first; candidates share >= 1 band with the query; exact
+        # cosine ranks candidates (sim desc, neighbor_id asc)
+        "ann_topk_lsh": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            h AS (SELECT vec_id AS hid, v AS hv FROM e WHERE vec_id < 16),
+            bits AS (
+              SELECT e.vec_id, h.hid,
+                     CASE WHEN CAST(FLOOR(list_dot_product(e.v, h.hv)
+                                          * 10000 + 0.5) AS BIGINT) >= 1
+                          THEN 1 ELSE 0 END AS bit
+              FROM e, h),
+            bands AS (
+              SELECT vec_id, hid // 4 AS band,
+                     SUM(bit * CASE hid % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                                            WHEN 2 THEN 2 ELSE 1 END) AS code
+              FROM bits GROUP BY 1, 2),
+            qb AS (SELECT vec_id AS qid, band, code FROM bands
+                   WHERE vec_id IN (0, 1, 2, 3)),
+            cand AS (
+              SELECT DISTINCT qb.qid AS query_id, b.vec_id AS neighbor_id
+              FROM bands b JOIN qb ON b.band = qb.band AND b.code = qb.code
+              WHERE b.vec_id <> qb.qid),
+            s AS (
+              SELECT c.query_id, c.neighbor_id,
+                     list_cosine_similarity(ev.v, qv.v) AS sim
+              FROM cand c
+              JOIN e ev ON ev.vec_id = c.neighbor_id
+              JOIN e qv ON qv.vec_id = c.query_id),
+            r AS (SELECT query_id, neighbor_id,
+                         ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY sim DESC,
+                                                     neighbor_id ASC) - 1 AS rank
+                  FROM s)
             SELECT query_id, rank, neighbor_id FROM r WHERE rank < {ANN_K}
         """,
         "embedding_clusters": """

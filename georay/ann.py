@@ -378,6 +378,109 @@ def ann_topk_pq(
     return _ann_rank_output(merged)
 
 
+def _lsh_band_codes(E: np.ndarray, H: np.ndarray, n_bands: int) -> np.ndarray:
+    """Band codes of an [n, D] matrix under hyperplanes H [P, D]: bit j
+    = (quantized dot with plane j) >= 1, packed w = P/n_bands bits per
+    band. Dots quantize to 1e4 units before the sign test (floor(x*1e4
+    + 0.5) — cross-engine float error ~1e-11 vs the 1e-4 boundary
+    spacing, the pq_encode determinism recipe), so the bucketing is
+    bit-identical across numpy and the SQL oracle."""
+    dq = np.floor(E @ H.T * 1e4 + 0.5).astype(np.int64)
+    bits = (dq >= 1).astype(np.int64)  # [n, P]
+    n_planes = H.shape[0]
+    w = n_planes // n_bands
+    codes = np.zeros((len(E), n_bands), dtype=np.int64)
+    for b in range(n_bands):
+        for j in range(w):
+            codes[:, b] = codes[:, b] * 2 + bits[:, b * w + j]
+    return codes
+
+
+def ann_topk_lsh(
+    embeddings: ray.data.Dataset,
+    query_ids: list,
+    k: int = 5,
+    n_planes: int = 16,
+    n_bands: int = 4,
+):
+    """LSH-bucketed approximate cosine top-k — the random-hyperplane
+    (SimHash) member of the ANN family (brute / IVF / PQ / LSH): a
+    vector is a CANDIDATE for a query iff they share at least one of
+    `n_bands` signature bands (w = n_planes/n_bands sign bits each);
+    only candidates get exact cosine scoring. Hyperplanes are the
+    first `n_planes` corpus vectors — deterministic and training-free
+    (mirroring pq_encode's codebook convention); at scale they'd be
+    seeded Gaussian planes shipped the same way.
+
+    Shape: planes + query band codes (a few KB) broadcast once via
+    ray.put; ONE stateless map_batches pass computes each batch's band
+    codes with a [B, P] matmul, masks candidates per query, scores
+    only those rows, and emits k x Q partial top-ks; a remote fan-in
+    tree merges them (O(k x Q) driver traffic). No shuffle anywhere —
+    the bucket test runs WHERE the data is instead of moving rows into
+    band buckets, which is the right trade when Q is small; the
+    band-explode groupby variant (minhash_near_dups' shape) is the
+    all-pairs sibling.
+
+    Output: {query_id, rank, neighbor_id} (self excluded), ranked by
+    exact cosine desc, neighbor_id asc."""
+    q_arr = pa.array(sorted(set(int(q) for q in query_ids)), pa.int64())
+
+    def take_rows(flt):
+        rows = embeddings.map_batches(flt, batch_format="pyarrow").take_all()
+        rows.sort(key=lambda r: r["vec_id"])
+        ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+        M = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        return ids, M
+
+    _, H = take_rows(
+        lambda t: t.filter(pc.less(t["vec_id"], n_planes))
+    )
+    qids, Q = take_rows(
+        lambda t: t.filter(pc.is_in(t["vec_id"], value_set=q_arr))
+    )
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    qcodes = _lsh_band_codes(Q, H, n_bands)  # [Q, n_bands]
+    spec = ray.put((H, qids, Qn, qcodes))
+
+    class LSHTopK:
+        def __init__(self):
+            self.H, self.qids, self.Qn, self.qcodes = ray.get(spec)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            E = unpack_embeddings(batch)
+            codes = _lsh_band_codes(E, self.H, n_bands)  # [B, n_bands]
+            En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(self.qids)):
+                cand = np.nonzero(
+                    (codes == self.qcodes[qi]).any(axis=1)
+                    & (ids != self.qids[qi])
+                )[0]
+                if not len(cand):
+                    continue
+                sims = En[cand] @ self.Qn[qi]
+                top = cand[np.lexsort((ids[cand], -sims))[:k]]
+                out_q.extend([int(self.qids[qi])] * len(top))
+                out_n.extend(ids[top].tolist())
+                out_s.extend((En[top] @ self.Qn[qi]).tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "neighbor_id": pa.array(out_n, pa.int64()),
+                    "sim": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    partials = embeddings.map_batches(
+        LSHTopK, batch_format="pyarrow", concurrency=(1, 8)
+    )
+    refs = partials.materialize().to_arrow_refs()
+    merged = ray.get(_tree_reduce(refs, _merge_ann_partials, args=(k,)))
+    return _ann_rank_output(merged)
+
+
 def ann_topk_ivf(
     embeddings: ray.data.Dataset,
     query_ids: list,

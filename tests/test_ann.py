@@ -248,3 +248,52 @@ def test_ann_topk_pq_recall_and_determinism(ray_session):
         for frame in (out3, exact):
             ns = frame[frame.query_id == qid]["neighbor_id"]
             assert all(cluster_of(int(n)) == cluster_of(qid) for n in ns)
+
+
+def test_ann_topk_lsh_candidates_and_determinism(ray_session):
+    """LSH top-k: deterministic under repartition; every returned
+    neighbor shares >= 1 signature band with its query (the candidate
+    contract); on clustered data neighbors stay in-cluster."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from georay.ann import ann_topk_lsh, _lsh_band_codes
+
+    rng = np.random.default_rng(7)
+    # 4 well-separated clusters around zero-mean centers so sign-bit
+    # signatures carry signal; vec_ids 0..15 are the hyperplanes
+    centers = rng.normal(size=(4, 64)) * 5
+    E = np.concatenate(
+        [centers[i % 4] + rng.normal(size=(1, 64)) * 0.2 for i in range(16)]
+        + [centers[c] + rng.normal(size=(10, 64)) * 0.2 for c in range(4)]
+    )
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(E)), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, r)) for r in E.astype(np.float32)],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    q = [16, 26, 36, 46]  # one member per cluster
+    out3 = ann_topk_lsh(ray.data.from_arrow(t).repartition(3), q, k=5).to_pandas()
+    out7 = ann_topk_lsh(ray.data.from_arrow(t).repartition(7), q, k=5).to_pandas()
+    assert out3.sort_values(["query_id", "rank"]).values.tolist() == \
+        out7.sort_values(["query_id", "rank"]).values.tolist()
+    # candidate contract: neighbor and query share at least one band
+    Ed = np.array([np.asarray(r, dtype=np.float64) for r in E.astype(np.float32)])
+    H = Ed[:16]
+    codes = _lsh_band_codes(Ed, H, 4)
+    for _, row in out3.iterrows():
+        qi, ni = int(row.query_id), int(row.neighbor_id)
+        assert ni != qi
+        assert (codes[ni] == codes[qi]).any()
+    # in-cluster recall on tight clusters
+    def cluster_of(vid):
+        return vid % 4 if vid < 16 else (vid - 16) // 10
+    for qid in q:
+        ns = out3[out3.query_id == qid]["neighbor_id"]
+        assert len(ns) > 0
+        assert all(cluster_of(int(n)) == cluster_of(qid) for n in ns)
