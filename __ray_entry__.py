@@ -441,6 +441,14 @@ def _q_rolling_time_sums(sf_dir):
     return rolling_time_sums(sf_dir)
 
 
+def _q_hopping_window_counts(sf_dir):
+    """Hopping/sliding window counts (1h span, 15min hop) per event
+    type (georay/relational.py hopping_window_counts)."""
+    from georay.relational import hopping_window_counts
+
+    return hopping_window_counts(sf_dir)
+
+
 def _q_attribution_join(sf_dir):
     """Interval join: purchases x same-user events in the trailing 24h,
     strictly before (georay/relational.py attribution_join)."""
@@ -1214,6 +1222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_users": _q_funnel_users,
         "rolling_time_sums": _q_rolling_time_sums,
         "attribution_join": _q_attribution_join,
+        "hopping_window_counts": _q_hopping_window_counts,
         "orders_rollup": _q_orders_rollup,
         "weekly_retention": _q_weekly_retention,
         "ann_topk": _q_ann_topk,
@@ -1821,6 +1830,18 @@ def _oracle_sql_raw() -> dict[str, str]:
                      RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING
                            AND CURRENT ROW) AS BIGINT) AS win_sum_micro
             FROM events
+        """,
+        # hopping window: each event lands in span/hop = 4 overlapping
+        # windows whose starts are hop-aligned
+        "hopping_window_counts": """
+            WITH e AS (SELECT CAST(epoch_us(ts) AS BIGINT) AS us,
+                              event_type FROM events),
+            w AS (SELECT (us // 900000000) * 900000000
+                           - i.i * 900000000 AS win_us,
+                         event_type
+                  FROM e, (SELECT UNNEST(generate_series(0, 3)) AS i) i)
+            SELECT win_us, event_type, COUNT(*) AS n_events
+            FROM w GROUP BY 1, 2
         """,
         # interval join: purchases x same-user events in the trailing
         # 24h, strictly before (self and ts-peers excluded); values

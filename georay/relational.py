@@ -402,6 +402,49 @@ def events_hourly(sf_dir: str):
     return agged.sort(["window_hour", "event_type"])
 
 
+def hopping_window_counts(
+    sf_dir: str, span_us: int = 3_600_000_000, hop_us: int = 900_000_000
+):
+    """HOPPING (sliding) window counts per event_type: overlapping
+    windows of `span_us` starting every `hop_us` — each event lands in
+    span/hop windows (here 4). The streaming-sibling of events_hourly's
+    tumbling window; Ray Data has no window-assign primitive, so the
+    fan-out is an integer-arithmetic explode INSIDE map_batches
+    followed by the usual two-phase count (the shuffle sees one row
+    per (batch, window, type) partial, never one per event x window —
+    at 100 TB the fan-out factor multiplies pre-aggregated partials,
+    not shuffled rows).
+
+    Window starts are aligned to hop boundaries (floor(ts/hop)*hop -
+    i*hop for i in 0..span/hop-1); partial windows at the stream edges
+    are emitted as-is (no watermark clipping), matching the SQL replay.
+
+    Output: (win_us, event_type, n_events), win_us = window-start epoch
+    microseconds."""
+    fanout = span_us // hop_us
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        micros = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        base = (micros // hop_us) * hop_us
+        # fan each event into its `fanout` covering windows
+        wins = (
+            base[:, None] - np.arange(fanout, dtype=np.int64)[None, :] * hop_us
+        ).ravel()
+        types = t["event_type"].to_pandas().to_numpy().repeat(fanout)
+        df = pd.DataFrame({"win_us": wins, "event_type": types})
+        g = df.groupby(["win_us", "event_type"], as_index=False, sort=False).agg(
+            n_events=("win_us", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["win_us", "event_type"])
+        .aggregate(Sum("n_events", alias_name="n_events"))
+    )
+
+
 def orders_filter_sort(sf_dir: str, k: int = 100):
     """Filter + multi-key sort + limit."""
     ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_totalprice", "o_orderstatus"])

@@ -246,6 +246,29 @@ def test_rolling_time_sums_reference(ray_session):
     assert gotd == want
 
 
+def test_hopping_window_counts_semantics(ray_session):
+    """Every event appears in exactly span/hop windows; each window's
+    count equals a brute-force interval scan."""
+    import duckdb
+
+    from georay.relational import hopping_window_counts
+
+    got = hopping_window_counts("/root/testdata/sf0.001").to_pandas()
+    rows = duckdb.sql(
+        "SELECT epoch_us(ts), event_type"
+        " FROM read_parquet('/root/testdata/sf0.001/events.parquet')"
+    ).fetchall()
+    # total window memberships = 4 per event
+    assert got["n_events"].sum() == 4 * len(rows)
+    SPAN, HOP = 3_600_000_000, 900_000_000
+    # spot-check a handful of windows against a brute interval scan
+    for _, r in got.head(20).iterrows():
+        w, et = int(r.win_us), r.event_type
+        assert w % HOP == 0
+        brute = sum(1 for us, t in rows if t == et and w <= us < w + SPAN)
+        assert brute == int(r.n_events)
+
+
 def test_attribution_join_reference(ray_session):
     """Interval-join semantics (strictly-before window, ts-peers and
     self excluded, probe side filtered to purchases) vs a plain scan."""
