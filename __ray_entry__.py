@@ -512,6 +512,14 @@ def _q_unigram_logprob(sf_dir):
     return unigram_logprob(_docs(sf_dir))
 
 
+def _q_dup_substring_spans(sf_dir):
+    """Exact-substring duplicate positions per doc (Lee et al. 2022
+    suffix-array criterion; georay/textops.py dup_substring_spans)."""
+    from georay.textops import dup_substring_spans
+
+    return dup_substring_spans(_docs(sf_dir))
+
+
 def _q_bigram_logprob(sf_dir):
     """Per-doc log-prob under the corpus bigram LM (KenLM-style
     perplexity quality filter), in integer micro-nats
@@ -1213,6 +1221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": _q_dedup_clusters,
         "unigram_logprob": _q_unigram_logprob,
         "bigram_logprob": _q_bigram_logprob,
+        "dup_substring_spans": _q_dup_substring_spans,
         "doc_rank_ntile": _q_doc_rank_ntile,
         "pmi_collocations": _q_pmi_collocations,
         "curriculum_pack": _q_curriculum_pack,
@@ -1915,6 +1924,28 @@ def _oracle_sql_raw() -> dict[str, str]:
         # integer micro-nats on BOTH sides, per-doc scores are exact
         # int64 sums (no float accumulation order in the hash)
         "unigram_logprob": _UNIGRAM_LM_SQL,
+        # exact-substring dedup: a character position is dup iff its
+        # 20-gram occurs anywhere else in the corpus (any doc, any
+        # offset) — the Lee et al. repeated-span criterion
+        "dup_substring_spans": """
+            WITH t AS (SELECT doc_id, text FROM documents
+                       WHERE length(text) >= 20),
+            pp AS (SELECT doc_id, text,
+                          UNNEST(generate_series(1, length(text) - 19)) AS i
+                   FROM t),
+            pos AS (SELECT doc_id, substring(text, i, 20) AS g FROM pp),
+            cnt AS (SELECT g, COUNT(*) AS tot FROM pos GROUP BY g),
+            per AS (SELECT doc_id, g, COUNT(*) AS c
+                    FROM pos GROUP BY doc_id, g),
+            j AS (SELECT doc_id,
+                         SUM(c) AS n_pos,
+                         SUM(CASE WHEN tot > 1 THEN c ELSE 0 END) AS n_dup
+                  FROM per JOIN cnt USING (g) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(j.n_pos, 0) AS BIGINT) AS n_pos,
+                   CAST(COALESCE(j.n_dup, 0) AS BIGINT) AS n_dup
+            FROM documents d LEFT JOIN j USING (doc_id)
+        """,
         # bigram LM scoring: conditional ln(n(w1,w2)/n(w1 as first)),
         # quantized half-up to integer micro-nats per bigram, int64
         # sum per doc — replays georay.textops.bigram_logprob exactly

@@ -1813,6 +1813,134 @@ def unigram_logprob(docs: ray.data.Dataset):
     return docs.map_batches(score, batch_format="pyarrow")
 
 
+def dup_substring_spans(docs: ray.data.Dataset, L: int = 20):
+    """Exact-substring duplicate detection — the character-level dedup
+    of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"), which builds a suffix array to find all repeated
+    substrings of length >= L. Re-expressed Ray-Data-first: every
+    character position contributes its L-gram; a position is DUP iff
+    its gram occurs anywhere else in the corpus (another doc, or
+    another offset of the same doc) — exactly the suffix-array
+    criterion for membership in a repeated span of length >= L.
+
+    Shape (no suffix array, two bounded shuffles):
+      1. per-batch sliding-window gram extraction, vectorized via a
+         numpy byte-window view + one np.unique over (doc, gram) rows
+         — the shuffle sees one row per DISTINCT (doc, gram) per
+         batch, never one per character position;
+      2. ONE hash(gram)-bucket shuffle (4 x cpus buckets, the
+         map_groups idiom everywhere in this repo — per-gram groups
+         would schedule 100k+ tiny UDF calls); inside a bucket a sort
+         + np.add.reduceat computes every gram group's total T in one
+         vectorized pass (T > 1 => every occurrence is dup) and folds
+         the per-doc partial sums before anything re-shuffles;
+      3. ONE doc-keyed groupby of those partials; a zero-row stream
+         unioned in keeps docs with no grams (len < L) in the output.
+    At 100 TB the gram key would be a 128-bit hash instead of the
+    20-byte string (collision-safe, narrower shuffle); the string key
+    here keeps the SQL oracle exact.
+
+    Output: (doc_id, n_pos, n_dup) — total L-gram positions and how
+    many sit inside a duplicated substring."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    n_parts = _n_partitions()
+
+    def gram_partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        rows = []  # [doc_id(8 bytes big-endian) + gram] per position
+        for doc_id, t in zip(ids, texts):
+            b = (t or "").encode("utf-8", "surrogatepass")
+            if len(b) < L:
+                continue
+            w = sliding_window_view(np.frombuffer(b, np.uint8), L)
+            pre = np.empty((len(w), 8 + L), np.uint8)
+            pre[:, :8] = np.frombuffer(
+                int(doc_id).to_bytes(8, "big", signed=True), np.uint8
+            )
+            pre[:, 8:] = w
+            rows.append(pre)
+        if not rows:
+            return pa.table(
+                {
+                    "g": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                    "__bucket": pa.array([], pa.int64()),
+                }
+            )
+        allrows = np.concatenate(rows)
+        v = allrows.view([("k", f"V{8 + L}")]).ravel()
+        uniq, counts = np.unique(v, return_counts=True)
+        raw = uniq["k"].tobytes()
+        out_doc = np.empty(len(uniq), np.int64)
+        out_g = []
+        for i in range(len(uniq)):
+            o = i * (8 + L)
+            out_doc[i] = int.from_bytes(raw[o : o + 8], "big", signed=True)
+            out_g.append(raw[o + 8 : o + 8 + L].decode("utf-8", "surrogatepass"))
+        garr = np.asarray(out_g, dtype=object)
+        return pa.table(
+            {
+                "g": pa.array(garr, pa.string()),
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "c": pa.array(counts.astype(np.int64), pa.int64()),
+                "__bucket": pa.array(
+                    (_hash64_strings(garr) % np.uint64(n_parts)).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def decide_bucket(t: pa.Table) -> pa.Table:
+        g = t["g"].to_numpy(zero_copy_only=False)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        order = np.argsort(g, kind="stable")
+        g, doc, c = g[order], doc[order], c[order]
+        n = len(g)
+        starts = np.r_[0, np.nonzero(g[1:] != g[:-1])[0] + 1]
+        totals = np.add.reduceat(c, starts) if n else np.empty(0, np.int64)
+        counts_per = np.diff(np.r_[starts, n])
+        dup_gram = np.repeat(totals > 1, counts_per)
+        n_dup = np.where(dup_gram, c, 0).astype(np.int64)
+        # fold per-doc partial sums before the next shuffle
+        udoc, inv = np.unique(doc, return_inverse=True)
+        pos_sum = np.zeros(len(udoc), np.int64)
+        dup_sum = np.zeros(len(udoc), np.int64)
+        np.add.at(pos_sum, inv, c)
+        np.add.at(dup_sum, inv, n_dup)
+        return pa.table(
+            {
+                "doc_id": pa.array(udoc, pa.int64()),
+                "n_pos": pa.array(pos_sum, pa.int64()),
+                "n_dup": pa.array(dup_sum, pa.int64()),
+            }
+        )
+
+    zeros = docs.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "n_pos": pa.array(np.zeros(len(t), np.int64), pa.int64()),
+                "n_dup": pa.array(np.zeros(len(t), np.int64), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    decided = (
+        docs.map_batches(gram_partial, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(decide_bucket, batch_format="pyarrow")
+    )
+    return (
+        decided.union(zeros)
+        .groupby("doc_id")
+        .aggregate(Sum("n_pos", alias_name="n_pos"), Sum("n_dup", alias_name="n_dup"))
+    )
+
+
 def bigram_logprob(docs: ray.data.Dataset):
     """Per-doc log-probability under the corpus's own bigram LM — the
     KenLM-style perplexity quality filter (CCNet / Gopher use an

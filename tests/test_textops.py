@@ -164,6 +164,31 @@ def test_unigram_logprob_closed_form(ray_session):
     assert out["logprob_unats"].tolist() == [2 * u(2) + u(2), u(2) + u(1), 0]
 
 
+def test_dup_substring_spans_closed_form(ray_session):
+    import ray.data
+
+    from georay.textops import dup_substring_spans
+
+    # L=4: doc0 and doc1 share "abcd"; doc0 repeats "xyxy" at two
+    # offsets of itself via "xyxyxy"; doc2 is unique; doc3 too short
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(["abcd xyxyxy", "zabcdz", "qwerty", "ab"], pa.string()),
+        }
+    )
+    out = (
+        dup_substring_spans(ray.data.from_arrow(t), L=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # doc0 grams (8): abcd,bcd ,cd x,d xy," xyx","xyxy","yxyx","xyxy"
+    #  dup: abcd (doc1), xyxy x2 + yxyx? yxyx occurs once -> not dup
+    assert out["n_pos"].tolist() == [8, 3, 3, 0]
+    assert out["n_dup"].tolist() == [3, 1, 0, 0]
+
+
 def test_bigram_logprob_closed_form(ray_session):
     import math
 
