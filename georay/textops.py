@@ -1830,15 +1830,20 @@ def dup_substring_spans(docs: ray.data.Dataset, L: int = 20):
          batch, never one per character position;
       2. ONE hash(gram)-bucket shuffle (4 x cpus buckets, the
          map_groups idiom everywhere in this repo — per-gram groups
-         would schedule 100k+ tiny UDF calls); inside a bucket a sort
-         + np.add.reduceat computes every gram group's total T in one
-         vectorized pass (T > 1 => every occurrence is dup) and folds
-         the per-doc partial sums before anything re-shuffles;
-      3. ONE doc-keyed groupby of those partials; a zero-row stream
-         unioned in keeps docs with no grams (len < L) in the output.
-    At 100 TB the gram key would be a 128-bit hash instead of the
-    20-byte string (collision-safe, narrower shuffle); the string key
-    here keeps the SQL oracle exact.
+         would schedule 100k+ tiny UDF calls); inside a bucket a
+         lexsort + np.add.reduceat computes every gram group's total T
+         in one vectorized pass (T > 1 => every occurrence is dup) and
+         folds the per-doc partial sums before anything re-shuffles;
+      3. ONE hash(doc)-bucketed fold of those partials (same idiom —
+         Ray's generic Aggregate measured ~60x the CPU of a bucketed
+         sort+reduceat here); a zero-row stream unioned in keeps docs
+         with no grams (len < L) in the output.
+    The gram identity that crosses the shuffle is a 128-bit pair of
+    vectorized polynomial byte hashes (two independent odd bases mod
+    2^64), not the L-byte string — 16 fixed bytes per key and zero
+    per-gram Python work; at 1.4M grams the two-hash collision odds
+    are ~1e-26, and the SQL oracle (which compares the FINAL per-doc
+    counts, not the keys) stays hash-equal.
 
     Output: (doc_id, n_pos, n_dup) — total L-gram positions and how
     many sit inside a duplicated substring."""
@@ -1864,7 +1869,8 @@ def dup_substring_spans(docs: ray.data.Dataset, L: int = 20):
         if not rows:
             return pa.table(
                 {
-                    "g": pa.array([], pa.string()),
+                    "g1": pa.array([], pa.int64()),
+                    "g2": pa.array([], pa.int64()),
                     "doc_id": pa.array([], pa.int64()),
                     "c": pa.array([], pa.int64()),
                     "__bucket": pa.array([], pa.int64()),
@@ -1873,34 +1879,47 @@ def dup_substring_spans(docs: ray.data.Dataset, L: int = 20):
         allrows = np.concatenate(rows)
         v = allrows.view([("k", f"V{8 + L}")]).ravel()
         uniq, counts = np.unique(v, return_counts=True)
-        raw = uniq["k"].tobytes()
-        out_doc = np.empty(len(uniq), np.int64)
-        out_g = []
-        for i in range(len(uniq)):
-            o = i * (8 + L)
-            out_doc[i] = int.from_bytes(raw[o : o + 8], "big", signed=True)
-            out_g.append(raw[o + 8 : o + 8 + L].decode("utf-8", "surrogatepass"))
-        garr = np.asarray(out_g, dtype=object)
+        U = uniq.view(np.uint8).reshape(-1, 8 + L)
+        out_doc = U[:, :8].copy().view(">i8").ravel().astype(np.int64)
+        G = U[:, 8:].astype(np.uint64)  # [n, L] gram bytes
+        h1 = np.zeros(len(G), np.uint64)
+        h2 = np.zeros(len(G), np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(L):  # L iterations of whole-column ops
+                h1 = h1 * np.uint64(0x100000001B3) + G[:, j]
+                h2 = h2 * np.uint64(0xDA942042E4DD58B5) + G[:, j]
         return pa.table(
             {
-                "g": pa.array(garr, pa.string()),
+                "g1": pa.array(h1.view(np.int64), pa.int64()),
+                "g2": pa.array(h2.view(np.int64), pa.int64()),
                 "doc_id": pa.array(out_doc, pa.int64()),
                 "c": pa.array(counts.astype(np.int64), pa.int64()),
                 "__bucket": pa.array(
-                    (_hash64_strings(garr) % np.uint64(n_parts)).astype(np.int64),
-                    pa.int64(),
+                    (h1 % np.uint64(n_parts)).astype(np.int64), pa.int64()
                 ),
             }
         )
 
     def decide_bucket(t: pa.Table) -> pa.Table:
-        g = t["g"].to_numpy(zero_copy_only=False)
+        g1 = t["g1"].to_numpy(zero_copy_only=False)
+        g2 = t["g2"].to_numpy(zero_copy_only=False)
         doc = t["doc_id"].to_numpy(zero_copy_only=False)
         c = t["c"].to_numpy(zero_copy_only=False)
-        order = np.argsort(g, kind="stable")
-        g, doc, c = g[order], doc[order], c[order]
-        n = len(g)
-        starts = np.r_[0, np.nonzero(g[1:] != g[:-1])[0] + 1]
+        n = len(g1)
+        if not n:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_pos": pa.array([], pa.int64()),
+                    "n_dup": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((g2, g1))
+        g1, g2, doc, c = g1[order], g2[order], doc[order], c[order]
+        starts = np.r_[
+            0,
+            np.nonzero((g1[1:] != g1[:-1]) | (g2[1:] != g2[:-1]))[0] + 1,
+        ]
         totals = np.add.reduceat(c, starts) if n else np.empty(0, np.int64)
         counts_per = np.diff(np.r_[starts, n])
         dup_gram = np.repeat(totals > 1, counts_per)
@@ -1934,10 +1953,33 @@ def dup_substring_spans(docs: ray.data.Dataset, L: int = 20):
         .groupby("__bucket")
         .map_groups(decide_bucket, batch_format="pyarrow")
     )
+
+    def add_doc_bucket(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "__dbucket", pa.array((d % n_parts).astype(np.int64), pa.int64())
+        )
+
+    def fold_doc_bucket(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        udoc, inv = np.unique(d, return_inverse=True)
+        pos_sum = np.zeros(len(udoc), np.int64)
+        dup_sum = np.zeros(len(udoc), np.int64)
+        np.add.at(pos_sum, inv, t["n_pos"].to_numpy(zero_copy_only=False))
+        np.add.at(dup_sum, inv, t["n_dup"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "doc_id": pa.array(udoc, pa.int64()),
+                "n_pos": pa.array(pos_sum, pa.int64()),
+                "n_dup": pa.array(dup_sum, pa.int64()),
+            }
+        )
+
     return (
         decided.union(zeros)
-        .groupby("doc_id")
-        .aggregate(Sum("n_pos", alias_name="n_pos"), Sum("n_dup", alias_name="n_dup"))
+        .map_batches(add_doc_bucket, batch_format="pyarrow")
+        .groupby("__dbucket")
+        .map_groups(fold_doc_bucket, batch_format="pyarrow")
     )
 
 
