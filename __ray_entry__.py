@@ -483,6 +483,70 @@ def _q_curriculum_pack(sf_dir):
     return pack_by_rank(ranked, budget=4096)
 
 
+def _q_curate_corpus(sf_dir):
+    """End-to-end corpus curation: quality filter -> normalized dedup
+    -> rank -> 4096-token packing (georay/textops.py curate_corpus)."""
+    from georay.textops import curate_corpus
+
+    return curate_corpus(_docs(sf_dir))
+
+
+def _q_ccnet_buckets(sf_dir):
+    """CCNet-style head/middle/tail quality buckets: per-token mean
+    unigram-LM score (micro-nats) -> global NTILE(3), bucket 1 = most
+    corpus-like (head). Composition: textops.unigram_logprob ->
+    rank.rank_by(ntile=3)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from georay.rank import rank_by
+    from georay.textops import unigram_logprob
+
+    scored = unigram_logprob(_docs(sf_dir))
+
+    def mean_row(t):
+        n = t["n_tokens"].to_numpy(zero_copy_only=False)
+        lp = t["logprob_unats"].to_numpy(zero_copy_only=False)
+        keep = n > 0
+        mean = np.floor(lp[keep] / n[keep]).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    t["doc_id"].to_numpy(zero_copy_only=False)[keep], pa.int64()
+                ),
+                "mean_unats": pa.array(mean, pa.int64()),
+                # rank_by orders ASC; negate so bucket 1 = highest score
+                "neg_mean": pa.array(-mean, pa.int64()),
+            }
+        )
+
+    ranked = rank_by(
+        scored.map_batches(mean_row, batch_format="pyarrow"),
+        "neg_mean",
+        "doc_id",
+        ntile=3,
+    )
+
+    def out(t):
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "mean_unats": t["mean_unats"],
+                "bucket": t["ntile_3"].cast(pa.int64()),
+            }
+        )
+
+    return ranked.map_batches(out, batch_format="pyarrow")
+
+
+def _q_hard_negatives(sf_dir):
+    """Contrastive hard negatives: top-k cosine among DIFFERENT-label
+    vectors per query (georay/ann.py hard_negatives)."""
+    from georay.ann import hard_negatives
+
+    return hard_negatives(_emb(sf_dir), ANN_QUERY_IDS, k=ANN_K)
+
+
 def _q_pmi_collocations(sf_dir):
     """Top-20 bigram collocations by PMI (integer micro-nats;
     georay/textops.py)."""
@@ -1240,6 +1304,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_encode": _q_pq_encode,
         "ann_topk_pq": _q_ann_topk_pq,
         "ann_topk_lsh": _q_ann_topk_lsh,
+        "hard_negatives": _q_hard_negatives,
+        "ccnet_buckets": _q_ccnet_buckets,
+        "curate_corpus": _q_curate_corpus,
         "label_centroids": _q_label_centroids,
         "knn_label_vote": _q_knn_label_vote,
         "embedding_near_dups": _q_emb_near_dups,
@@ -2619,6 +2686,80 @@ def _oracle_sql_raw() -> dict[str, str]:
                                         ORDER BY dist, neighbor_id) - 1 AS rank
               FROM approx
             )
+            SELECT query_id, rank, neighbor_id FROM r WHERE rank < {ANN_K}
+        """,
+        # end-to-end curation: the quality_filter predicate gates, the
+        # normalized form dedups (min doc_id kept), survivors rank by
+        # doc_id and pack into 4096-token shards by prefix sums
+        "curate_corpus": """
+            WITH base AS (
+              SELECT doc_id,
+                     CASE WHEN TRIM(text) = '' THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(TRIM(text), '\\s+') END AS a,
+                     TRIM(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+                       AS norm_text
+              FROM documents),
+            dst AS (
+              SELECT doc_id, COUNT(DISTINCT tok) AS n_distinct
+              FROM (SELECT doc_id, unnest(a) AS tok FROM base) GROUP BY doc_id),
+            bg AS (
+              SELECT doc_id, MAX(c) AS top_bigram_n
+              FROM (SELECT doc_id, g, COUNT(*) AS c FROM
+                    (SELECT doc_id,
+                            unnest(list_transform(generate_series(1, len(a) - 1),
+                                                  i -> a[i] || ' ' || a[i+1])) AS g
+                     FROM base WHERE len(a) >= 2) GROUP BY doc_id, g)
+              GROUP BY doc_id),
+            keep AS (
+              SELECT b.doc_id, len(b.a) AS n_tokens, b.norm_text
+              FROM base b LEFT JOIN dst d USING (doc_id)
+                          LEFT JOIN bg g USING (doc_id)
+              WHERE len(b.a) >= 20 AND len(b.a) <= 100000
+                AND 100 * COALESCE(d.n_distinct, 0) >= 40 * len(b.a)
+                AND 100 * COALESCE(g.top_bigram_n, 0) <= 8 * len(b.a)),
+            uniq AS (SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+                     FROM keep GROUP BY norm_text),
+            j AS (SELECT u.doc_id, k.n_tokens, u.dup_count
+                  FROM uniq u JOIN keep k USING (doc_id)),
+            r AS (SELECT doc_id, n_tokens, dup_count,
+                         row_number() OVER (ORDER BY doc_id) AS rnk FROM j),
+            s AS (SELECT *,
+                         CAST(COALESCE(SUM(n_tokens) OVER (
+                            ORDER BY rnk
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                           AS BIGINT) AS start_offset
+                  FROM r)
+            SELECT doc_id, n_tokens, dup_count, rnk, start_offset,
+                   start_offset // 4096 AS shard_id
+            FROM s
+        """,
+        # CCNet head/middle/tail: per-token mean LM score (floor of
+        # the micro-nat total over n_tokens) -> NTILE(3), 1 = head
+        "ccnet_buckets": f"""
+            WITH lm AS ({_UNIGRAM_LM_SQL}),
+            m AS (SELECT doc_id,
+                         CAST(FLOOR(logprob_unats * 1.0 / n_tokens) AS BIGINT)
+                           AS mean_unats
+                  FROM lm WHERE n_tokens > 0)
+            SELECT doc_id, mean_unats,
+                   CAST(NTILE(3) OVER (ORDER BY mean_unats DESC, doc_id)
+                        AS BIGINT) AS bucket
+            FROM m
+        """,
+        # hard negatives: brute cosine over the label-mismatch set
+        "hard_negatives": f"""
+            WITH q AS (SELECT vec_id AS qid, label AS qlabel,
+                              CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings WHERE vec_id IN (0, 1, 2, 3)),
+            s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                         list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]), q.qe) AS sim
+                  FROM embeddings e, q WHERE e.label <> q.qlabel),
+            r AS (SELECT query_id, neighbor_id,
+                         ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY sim DESC,
+                                                     neighbor_id ASC) - 1 AS rank
+                  FROM s)
             SELECT query_id, rank, neighbor_id FROM r WHERE rank < {ANN_K}
         """,
         # LSH retrieval: sign bit j = quantized dot with plane j >= 1

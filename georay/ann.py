@@ -481,6 +481,77 @@ def ann_topk_lsh(
     return _ann_rank_output(merged)
 
 
+def hard_negatives(
+    embeddings: ray.data.Dataset,
+    query_ids: list,
+    k: int = 5,
+):
+    """Contrastive hard-negative mining: for each query vector, the
+    top-k most-cosine-similar vectors whose LABEL DIFFERS from the
+    query's — the negatives that sit closest to the decision boundary,
+    the standard mining pass when training embedding models
+    (contrastive / triplet losses want negatives the current model
+    already confuses).
+
+    Shape is ann_topk's: queries + labels broadcast once via ray.put,
+    ONE stateless map_batches emits per-batch partial top-ks over the
+    label-mismatch mask, a remote fan-in tree merges (O(k x Q) driver
+    traffic). No shuffle.
+
+    Output: {query_id, rank, neighbor_id}, ranked by cosine desc,
+    neighbor_id asc."""
+    from georay.textops import unpack_embeddings as _unpack
+
+    q_arr = pa.array(sorted(set(int(q) for q in query_ids)), pa.int64())
+    qrows = embeddings.map_batches(
+        lambda t: t.filter(pc.is_in(t["vec_id"], value_set=q_arr)),
+        batch_format="pyarrow",
+    ).take_all()
+    qrows.sort(key=lambda r: r["vec_id"])
+    Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qlabels = np.array([r["label"] for r in qrows], dtype=np.int64)
+    spec = ray.put((qids, qlabels, Qn))
+
+    class NegTopK:
+        def __init__(self):
+            self.qids, self.qlabels, self.Qn = ray.get(spec)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            labels = (
+                batch["label"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            )
+            E = _unpack(batch)
+            En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
+            sims = En @ self.Qn.T  # [B, Q]
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(self.qids)):
+                cand = np.nonzero(labels != self.qlabels[qi])[0]
+                if not len(cand):
+                    continue
+                col = sims[cand, qi]
+                top = cand[np.lexsort((ids[cand], -col))[:k]]
+                out_q.extend([int(self.qids[qi])] * len(top))
+                out_n.extend(ids[top].tolist())
+                out_s.extend(sims[top, qi].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "neighbor_id": pa.array(out_n, pa.int64()),
+                    "sim": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    partials = embeddings.map_batches(
+        NegTopK, batch_format="pyarrow", concurrency=(1, 8)
+    )
+    refs = partials.materialize().to_arrow_refs()
+    merged = ray.get(_tree_reduce(refs, _merge_ann_partials, args=(k,)))
+    return _ann_rank_output(merged)
+
+
 def ann_topk_ivf(
     embeddings: ray.data.Dataset,
     query_ids: list,

@@ -61,9 +61,18 @@ def rank_by(
     stats = ds.aggregate(AggMin(key_col), AggMax(key_col))
     if stats is None or stats.get(f"min({key_col})") is None:  # empty input
         # same schema as the non-empty path: every input column plus
-        # rnk (+ ntile_k), so downstream composition still binds
+        # rnk (+ ntile_k), so downstream composition still binds.
+        # schema() is None when an executed-empty upstream produced no
+        # typed blocks (e.g. a groupby over zero rows) — fall back to
+        # the key/tie columns so the output still carries them
         sch = ds.schema()
-        fields = {n: pa.array([], t) for n, t in zip(sch.names, sch.types)}
+        if sch is None:
+            names, types = [key_col, tie_col], [pa.int64(), pa.int64()]
+            if key_col == tie_col:
+                names, types = [key_col], [pa.int64()]
+        else:
+            names, types = sch.names, sch.types
+        fields = {n: pa.array([], t) for n, t in zip(names, types)}
         fields["rnk"] = pa.array([], pa.int64())
         if ntile is not None:
             fields[f"ntile_{ntile}"] = pa.array([], pa.int64())

@@ -1813,6 +1813,128 @@ def unigram_logprob(docs: ray.data.Dataset):
     return docs.map_batches(score, batch_format="pyarrow")
 
 
+def curate_corpus(
+    docs: ray.data.Dataset,
+    budget: int = 4096,
+    min_tokens: int = 20,
+    max_tokens: int = 100000,
+    min_distinct_pct: int = 40,
+    max_top_bigram_pct: int = 8,
+):
+    """END-TO-END corpus curation — the canonical webtext training-data
+    pipeline as ONE composed dataset: Gopher/C4 quality filter ->
+    CCNet normalized exact dedup -> global rank -> fixed-token-budget
+    sequence packing. A user of the pieces (quality_filter,
+    normalize_text/dedup_normalized, rank_by, pack_by_rank) runs this
+    exact chain; this operator IS that chain, with the stages fused
+    where fusion removes a pass:
+
+      1. one map_batches pass computes the repetition signals
+         (doc_repetition semantics) AND the normalized content hash
+         (normalize_text semantics — Arrow RE2 kernels + sha256-prefix
+         hash) and drops failing docs locally — no shuffle carries a
+         doomed row;
+      2. ONE hash(norm)-bucket shuffle keeps the min doc_id per
+         normalized form (dup_count rides along);
+      3. the survivors rank by doc_id (histogram range buckets,
+         O(bins) driver state) and pack into `budget`-token shards by
+         distributed prefix sums.
+
+    Output: (doc_id, n_tokens, dup_count, rnk, start_offset,
+    shard_id) — one row per KEPT doc."""
+    from georay.packing import pack_by_rank
+    from georay.rank import rank_by
+
+    n_parts = _n_partitions()
+
+    def sig(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(batch["text"])
+        folded = pc.replace_substring_regex(
+            low, pattern=r"[^a-z0-9]+", replacement=" "
+        )
+        clean = pc.utf8_trim_whitespace(folded)
+        hashes = _hash64_strings(clean.to_pylist())
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        out_id, out_n, out_h = [], [], []
+        for i, text in enumerate(batch["text"].to_pylist()):
+            toks = tokenize(text or "")
+            n = len(toks)
+            if n < min_tokens or n > max_tokens:
+                continue
+            arr = np.asarray(toks, dtype=object)
+            if 100 * len(np.unique(arr)) < min_distinct_pct * n:
+                continue
+            if n >= 2:
+                grams = np.asarray(
+                    [toks[j] + " " + toks[j + 1] for j in range(n - 1)],
+                    dtype=object,
+                )
+                _, counts = np.unique(grams, return_counts=True)
+                if 100 * int(counts.max()) > max_top_bigram_pct * n:
+                    continue
+            out_id.append(int(ids[i]))
+            out_n.append(n)
+            out_h.append(int(hashes[i]))
+        h = np.asarray(out_h, dtype=np.uint64)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "n_tokens": pa.array(out_n, pa.int64()),
+                "norm_hash": pa.array(h.view(np.int64), pa.int64()),
+                "__bucket": pa.array(
+                    (h % np.uint64(n_parts)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def dedup_bucket(t: pa.Table) -> pa.Table:
+        h = t["norm_hash"].to_numpy(zero_copy_only=False)
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        n = t["n_tokens"].to_numpy(zero_copy_only=False)
+        if not len(h):
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "dup_count": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((d, h))
+        h, d, n = h[order], d[order], n[order]
+        starts = np.r_[0, np.nonzero(h[1:] != h[:-1])[0] + 1]
+        sizes = np.diff(np.r_[starts, len(h)])
+        return pa.table(
+            {
+                "doc_id": pa.array(d[starts], pa.int64()),
+                "n_tokens": pa.array(n[starts], pa.int64()),
+                "dup_count": pa.array(sizes.astype(np.int64), pa.int64()),
+            }
+        )
+
+    kept = (
+        docs.map_batches(sig, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(dedup_bucket, batch_format="pyarrow")
+    )
+    ranked = rank_by(kept, "doc_id", "doc_id")
+    if "n_tokens" not in (ranked.schema().names or []):
+        # nothing survived the filter: rank_by's empty fallback carries
+        # only the key column — return the full typed output schema
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "dup_count": pa.array([], pa.int64()),
+                    "rnk": pa.array([], pa.int64()),
+                    "start_offset": pa.array([], pa.int64()),
+                    "shard_id": pa.array([], pa.int64()),
+                }
+            )
+        )
+    return pack_by_rank(ranked, budget=budget)
+
+
 def dup_substring_spans(docs: ray.data.Dataset, L: int = 20):
     """Exact-substring duplicate detection — the character-level dedup
     of Lee et al. 2022 ("Deduplicating Training Data Makes Language

@@ -297,3 +297,38 @@ def test_ann_topk_lsh_candidates_and_determinism(ray_session):
         ns = out3[out3.query_id == qid]["neighbor_id"]
         assert len(ns) > 0
         assert all(cluster_of(int(n)) == cluster_of(qid) for n in ns)
+
+
+def test_hard_negatives_label_contract(ray_session):
+    """Every mined negative has a different label from its query, and
+    matches a brute-force numpy reference ranking."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from georay.ann import hard_negatives
+
+    rng = np.random.default_rng(3)
+    E = rng.normal(size=(40, 16))
+    labels = (np.arange(40) % 4).astype(np.int32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(40), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, r)) for r in E.astype(np.float32)],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    q = [0, 5]
+    out = hard_negatives(ray.data.from_arrow(t).repartition(4), q, k=5).to_pandas()
+    Ed = np.array([np.asarray(r, np.float64) for r in E.astype(np.float32)])
+    En = Ed / np.linalg.norm(Ed, axis=1, keepdims=True)
+    for qid in q:
+        ns = out[out.query_id == qid].sort_values("rank")["neighbor_id"].tolist()
+        assert all(labels[n] != labels[qid] for n in ns)
+        sims = En @ En[qid]
+        cand = np.nonzero(labels != labels[qid])[0]
+        want = cand[np.lexsort((cand, -sims[cand]))[:5]].tolist()
+        assert ns == want

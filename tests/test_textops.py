@@ -417,3 +417,43 @@ def test_vocab_ids_closed_form(ray_session):
     assert out["word"].to_pylist() == ["a", "b", "c"]  # a:3, b:2, then c/z tie -> c
     assert out["token_id"].to_pylist() == [0, 1, 2]
     assert out["n"].to_pylist() == [3, 2, 1]
+
+
+def test_curate_corpus_invariants(ray_session):
+    """Filter gates, dedup keeps min doc_id, offsets are prefix sums."""
+    import numpy as np
+    import ray.data
+
+    from georay.textops import curate_corpus
+
+    body = " ".join(f"w{i}" for i in range(30))  # 30 distinct tokens
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [body, body, "too short", body + " extra"], pa.string()
+            ),
+        }
+    )
+    out = (
+        curate_corpus(ray.data.from_arrow(t), budget=32)
+        .to_pandas()
+        .sort_values("rnk")
+        .reset_index(drop=True)
+    )
+    # doc2 fails min_tokens; doc1 is a normalized dup of doc0 (min kept)
+    assert out["doc_id"].tolist() == [0, 3]
+    assert out["dup_count"].tolist() == [2, 1]
+    assert out["n_tokens"].tolist() == [30, 31]
+    assert out["start_offset"].tolist() == [0, 30]
+    assert out["shard_id"].tolist() == [0, 0]
+
+    # empty survivor set keeps the schema
+    t2 = pa.table(
+        {
+            "doc_id": pa.array([0], pa.int64()),
+            "text": pa.array(["tiny"], pa.string()),
+        }
+    )
+    out2 = curate_corpus(ray.data.from_arrow(t2)).to_pandas()
+    assert len(out2) == 0
