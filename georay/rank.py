@@ -58,6 +58,11 @@ def rank_by(
             cpus = 8
         n_buckets = 4 * cpus
 
+    # rank_by is a MULTI-PASS consumer (min/max aggregate, histogram
+    # partials, final offset map) — materialize once so a lazy scoring
+    # chain upstream executes once, not three times; blocks spill to
+    # the object store rather than recompute (the fan-out idiom)
+    ds = ds.materialize()
     stats = ds.aggregate(AggMin(key_col), AggMax(key_col))
     if stats is None or stats.get(f"min({key_col})") is None:  # empty input
         # same schema as the non-empty path: every input column plus
