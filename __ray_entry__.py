@@ -463,6 +463,14 @@ def _q_orders_rollup(sf_dir):
     return orders_rollup(sf_dir)
 
 
+def _q_orders_cube(sf_dir):
+    """GROUP BY CUBE subtotals over one fact scan
+    (georay/relational.py orders_cube)."""
+    from georay.relational import orders_cube
+
+    return orders_cube(sf_dir)
+
+
 def _q_weekly_retention(sf_dir):
     from georay.relational import weekly_retention
 
@@ -1297,6 +1305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attribution_join": _q_attribution_join,
         "hopping_window_counts": _q_hopping_window_counts,
         "orders_rollup": _q_orders_rollup,
+        "orders_cube": _q_orders_cube,
         "weekly_retention": _q_weekly_retention,
         "ann_topk": _q_ann_topk,
         "ann_topk_ivf": _q_ann_topk_ivf,
@@ -1897,6 +1906,14 @@ def _oracle_sql_raw() -> dict[str, str]:
                      AS total_cents
             FROM orders
             GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        """,
+        "orders_cube": """
+            SELECT o_orderpriority, o_orderstatus,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                     AS total_cents
+            FROM orders
+            GROUP BY CUBE (o_orderpriority, o_orderstatus)
         """,
         # RANGE window (time-interval frame, ts peers share a frame)
         "rolling_time_sums": """

@@ -1174,6 +1174,97 @@ def orders_rollup(sf_dir: str):
     return finest.union(by_priority).union(grand)
 
 
+def orders_cube(sf_dir: str):
+    """GROUP BY CUBE(priority, status): every grouping set — (priority,
+    status), (priority), (status), and the grand total. The full-cube
+    sibling of orders_rollup (which emits only the prefix sets); the
+    extra (status) level is one more cheap re-aggregation over the
+    same O(groups) fine table, so the fact table is STILL scanned
+    once whatever the number of grouping sets — the property that
+    matters at 100 TB, where each extra fact scan is the cost.
+
+    Output: o_orderpriority | null, o_orderstatus | null, n_orders,
+    total_cents."""
+    # compose over the rollup's three levels plus the (status) set,
+    # derived from the SAME single fact scan: orders_rollup's fine
+    # table is rebuilt here rather than shared because each query is
+    # independently registered; the two-phase partial keeps it cheap
+    ds = _read(
+        sf_dir, "orders", columns=["o_orderpriority", "o_orderstatus", "o_totalprice"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "o_orderpriority": t["o_orderpriority"].to_pandas(),
+                "o_orderstatus": t["o_orderstatus"].to_pandas(),
+                "cents": np.rint(
+                    t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+                ).astype(np.int64),
+            }
+        )
+        g = (
+            df.groupby(["o_orderpriority", "o_orderstatus"], sort=False)
+            .agg(n=("cents", "size"), c=("cents", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(g["o_orderpriority"], pa.string()),
+                "o_orderstatus": pa.array(g["o_orderstatus"], pa.string()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64), pa.int64()),
+                "c": pa.array(g["c"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    fine = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_orderpriority", "o_orderstatus"])
+        .aggregate(Sum("n", alias_name="n_orders"), Sum("c", alias_name="total_cents"))
+    ).materialize()  # feeds four consumers; O(priorities x statuses) rows
+
+    def level(keep_priority: bool, keep_status: bool):
+        def f(t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            if not keep_status:
+                df["o_orderstatus"] = None
+            if not keep_priority:
+                df["o_orderpriority"] = None
+            keys = ["o_orderpriority", "o_orderstatus"]
+            g = (
+                df.groupby(keys, dropna=False, sort=False)
+                .agg(n_orders=("n_orders", "sum"), total_cents=("total_cents", "sum"))
+                .reset_index()
+            )
+            return pa.table(
+                {
+                    "o_orderpriority": pa.array(
+                        [None if pd.isna(v) else v for v in g["o_orderpriority"]],
+                        pa.string(),
+                    ),
+                    "o_orderstatus": pa.array(
+                        [None if pd.isna(v) else v for v in g["o_orderstatus"]],
+                        pa.string(),
+                    ),
+                    "n_orders": pa.array(
+                        g["n_orders"].to_numpy().astype(np.int64), pa.int64()
+                    ),
+                    "total_cents": pa.array(
+                        g["total_cents"].to_numpy().astype(np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        return f
+
+    out = fine.map_batches(level(True, True), batch_format="pyarrow")
+    for kp, ks in ((True, False), (False, True), (False, False)):
+        out = out.union(
+            fine.repartition(1).map_batches(level(kp, ks), batch_format="pyarrow")
+        )
+    return out
+
+
 def funnel_users(sf_dir: str, first: str = "click", then: str = "purchase"):
     """Funnel conversion: users with a `first` event strictly before a
     `then` event. The temporal-precedence predicate EXISTS(t1 < t2)

@@ -345,3 +345,28 @@ def test_weekly_retention_reference(ray_session):
         assert r.n_active == len(active)
         assert r.n_retained == len(active & nxt)
     assert set(got["week"]) == set(weeks)
+
+
+def test_orders_cube_levels(ray_session):
+    """CUBE emits all four grouping sets; every level sums to the
+    grand total; the extra (status) level matches a direct groupby."""
+    import duckdb
+
+    from georay.relational import orders_cube
+
+    got = orders_cube("/root/testdata/sf0.001").to_pandas()
+    grand = got[got.o_orderpriority.isna() & got.o_orderstatus.isna()]
+    assert len(grand) == 1
+    total = int(grand.n_orders.iloc[0])
+    fine = got[got.o_orderpriority.notna() & got.o_orderstatus.notna()]
+    by_p = got[got.o_orderpriority.notna() & got.o_orderstatus.isna()]
+    by_s = got[got.o_orderpriority.isna() & got.o_orderstatus.notna()]
+    assert fine.n_orders.sum() == by_p.n_orders.sum() == by_s.n_orders.sum() == total
+    want = dict(
+        duckdb.sql(
+            "SELECT o_orderstatus, COUNT(*) FROM"
+            " read_parquet('/root/testdata/sf0.001/orders.parquet')"
+            " GROUP BY 1"
+        ).fetchall()
+    )
+    assert dict(zip(by_s.o_orderstatus, by_s.n_orders)) == want
