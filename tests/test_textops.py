@@ -457,3 +457,43 @@ def test_curate_corpus_invariants(ray_session):
     )
     out2 = curate_corpus(ray.data.from_arrow(t2)).to_pandas()
     assert len(out2) == 0
+
+
+def test_dup_substring_spans_random_reference(ray_session):
+    """Vectorized gram/hash pipeline vs a brute python dict over random
+    low-alphabet strings (high collision pressure on the gram space)."""
+    import numpy as np
+    import ray.data
+
+    from georay.textops import dup_substring_spans
+
+    rng = np.random.default_rng(99)
+    L = 5
+    texts = [
+        "".join(rng.choice(list("abc "), size=int(rng.integers(0, 40))))
+        for _ in range(60)
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(60), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = (
+        dup_substring_spans(ray.data.from_arrow(t).repartition(7), L=L)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    from collections import Counter
+
+    gram_total = Counter()
+    per_doc = []
+    for tx in texts:
+        grams = [tx[p : p + L] for p in range(max(0, len(tx) - L + 1))]
+        per_doc.append(grams)
+        gram_total.update(grams)
+    for i, grams in enumerate(per_doc):
+        n_dup = sum(1 for g in grams if gram_total[g] > 1)
+        assert out["n_pos"][i] == len(grams)
+        assert out["n_dup"][i] == n_dup
