@@ -153,3 +153,69 @@ def test_normalize_dedup_empty(ray_session):
 
     assert normalize_text(_empty_docs()).count() == 0
     assert dedup_normalized(_empty_docs()).count() == 0
+
+
+def test_bigram_logprob_single_token_docs(ray_session):
+    from georay.textops import bigram_logprob
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["solo", ""], pa.string()),
+        }
+    )
+    out = bigram_logprob(_ds(t)).to_pandas().sort_values("doc_id")
+    assert out["n_bigrams"].tolist() == [0, 0]
+    assert out["logprob_unats"].tolist() == [0, 0]
+
+
+def test_dup_substring_spans_all_short(ray_session):
+    from georay.textops import dup_substring_spans
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["ab", "c"], pa.string()),
+        }
+    )
+    out = dup_substring_spans(_ds(t), L=20).to_pandas().sort_values("doc_id")
+    assert out["n_pos"].tolist() == [0, 0]
+    assert out["n_dup"].tolist() == [0, 0]
+
+
+def test_hopping_window_empty(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from georay.relational import hopping_window_counts
+
+    t = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "ts": pa.array([], pa.timestamp("us")),
+            "user_id": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+            "value": pa.array([], pa.float64()),
+            "props": pa.array([], pa.string()),
+        }
+    )
+    pq.write_table(t, f"{tmp_path}/events.parquet")
+    assert hopping_window_counts(str(tmp_path)).count() == 0
+
+
+def test_attribution_join_no_purchases(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from georay.relational import attribution_join
+
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([10, 20], pa.timestamp("us")),
+            "user_id": pa.array([1, 1], pa.int64()),
+            "event_type": pa.array(["click", "view"], pa.string()),
+            "value": pa.array([1.0, 2.0], pa.float64()),
+            "props": pa.array(["", ""], pa.string()),
+        }
+    )
+    pq.write_table(t, f"{tmp_path}/events.parquet")
+    assert attribution_join(str(tmp_path)).count() == 0
