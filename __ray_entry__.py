@@ -361,6 +361,18 @@ def _q_url_host_stats(sf_dir):
     return url_host_stats(pages)
 
 
+def _q_url_bpe_tokens(sf_dir):
+    """Top-40 GPT-2-style regex pre-tokens over the crawl URLs
+    (georay/textops.py url_bpe_tokens)."""
+    import ray.data
+
+    from georay.pages import pages_dir_for
+    from georay.textops import url_bpe_tokens
+
+    pages = ray.data.read_parquet(pages_dir_for(sf_dir), columns=["url"])
+    return url_bpe_tokens(pages)
+
+
 def _q_decontam_ngrams(sf_dir):
     from georay.textops import decontam_ngrams
 
@@ -1284,6 +1296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": _q_doc_repetition,
         "boilerplate_segments": _q_boilerplate_segments,
         "url_host_stats": _q_url_host_stats,
+        "url_bpe_tokens": _q_url_bpe_tokens,
         "decontam_ngrams": _q_decontam_ngrams,
         "quality_filter": _q_quality_filter,
         "pack_sequences": _q_pack_sequences,
@@ -1800,6 +1813,24 @@ def _oracle_sql_raw() -> dict[str, str]:
                    COUNT(DISTINCT lang) AS n_langs
             FROM read_parquet('{_PAGES_GLOB}')
             GROUP BY host
+        """,
+        # GPT-2-style pre-tokenizer categories over URLs, top-40 by
+        # (count desc, token asc)
+        "url_bpe_tokens": f"""
+            WITH toks AS (
+              SELECT UNNEST(regexp_extract_all(
+                       url, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9]+')) AS tok
+              FROM read_parquet('{_PAGES_GLOB}')),
+            cnt AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+            r AS (SELECT tok, n,
+                         ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rn
+                  FROM cnt)
+            SELECT tok,
+                   CASE WHEN regexp_matches(tok, '^[A-Za-z]') THEN 'alpha'
+                        WHEN regexp_matches(tok, '^[0-9]') THEN 'num'
+                        ELSE 'other' END AS category,
+                   n
+            FROM r WHERE rn <= 40
         """,
         # Decontamination: eval membership replays the sampling hash
         # split (sha256-prefix UBIGINT vs the same int threshold the

@@ -1813,6 +1813,93 @@ def unigram_logprob(docs: ray.data.Dataset):
     return docs.map_batches(score, batch_format="pyarrow")
 
 
+@ray.remote
+def _merge_tok_topk(k: int, *tables):
+    """Fan-in merge for (tok, n) partial top-ks: global top-k by
+    (n desc, tok asc). Associative under that total order."""
+    t = pa.concat_tables(tables)
+    tok = t["tok"].to_numpy(zero_copy_only=False)
+    n = t["n"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((tok, -n))[:k]
+    return t.take(pa.array(order, pa.int64()))
+
+
+def url_bpe_tokens(pages: ray.data.Dataset, k: int = 40):
+    """BPE-style regex pre-tokenization over the crawl's URLs — the
+    GPT-2 pre-tokenizer's category split ([A-Za-z]+ | [0-9]+ |
+    punctuation runs) applied where it has real signal (URLs mix all
+    three classes), counting the top-k tokens corpus-wide. This is the
+    "what would a subword tokenizer see" profiling pass that precedes
+    a BPE train.
+
+    The tokenizer is NOT a compiled-regex loop over rows: each batch
+    joins its URLs with a NUL sentinel and classifies every byte
+    (alpha/digit/other/sentinel) in numpy; token spans are the
+    class-change boundaries — one vectorized pass, with Python only
+    slicing out the span strings. Counts flow through the usual
+    two-phase shape (per-batch np.unique partials -> ONE groupby),
+    then per-block top-k partials fan into a remote tree merge so the
+    driver sees O(k) rows however many blocks the count table has.
+
+    Output: (tok, category, n) for the top k by (n desc, tok asc)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        urls = t["url"].to_pylist()
+        joined = "\x00".join(u or "" for u in urls).encode()
+        b = np.frombuffer(joined, np.uint8)
+        if not len(b):
+            return pa.table(
+                {"tok": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        cls = np.full(len(b), 2, np.int8)
+        cls[((b >= 65) & (b <= 90)) | ((b >= 97) & (b <= 122))] = 0
+        cls[(b >= 48) & (b <= 57)] = 1
+        cls[b == 0] = 3
+        starts = np.r_[0, np.nonzero(cls[1:] != cls[:-1])[0] + 1]
+        ends = np.r_[starts[1:], len(b)]
+        keep = cls[starts] != 3
+        toks = [
+            joined[s:e].decode() for s, e in zip(starts[keep], ends[keep])
+        ]
+        uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        return pa.table(
+            {
+                "tok": pa.array(uniq.tolist(), pa.string()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    counts = (
+        pages.map_batches(partial, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        tok = t["tok"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tok, -n))[:k]
+        return t.take(pa.array(order, pa.int64()))
+
+    partials = counts.map_batches(local_topk, batch_format="pyarrow")
+    refs = partials.materialize().to_arrow_refs()
+    merged: pa.Table = ray.get(_tree_reduce(refs, _merge_tok_topk, args=(k,)))
+    toks = merged["tok"].to_pylist()
+    cat = [
+        "alpha" if t[:1].isalpha() else ("num" if t[:1].isdigit() else "other")
+        for t in toks
+    ]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "tok": merged["tok"],
+                "category": pa.array(cat, pa.string()),
+                "n": merged["n"],
+            }
+        )
+    )
+
+
 def curate_corpus(
     docs: ray.data.Dataset,
     budget: int = 4096,

@@ -497,3 +497,25 @@ def test_dup_substring_spans_random_reference(ray_session):
         n_dup = sum(1 for g in grams if gram_total[g] > 1)
         assert out["n_pos"][i] == len(grams)
         assert out["n_dup"][i] == n_dup
+
+
+def test_url_bpe_tokens_closed_form(ray_session):
+    """Byte-class span tokenizer vs a regex reference; category labels."""
+    import re
+
+    import ray.data
+
+    from georay.textops import url_bpe_tokens
+
+    urls = ["https://a1.example/x9", "ftp://a1.example/x9", ""]
+    t = pa.table({"url": pa.array(urls, pa.string())})
+    out = url_bpe_tokens(ray.data.from_arrow(t).repartition(2), k=100).to_pandas()
+    from collections import Counter
+
+    want = Counter()
+    for u in urls:
+        want.update(re.findall(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9]+", u))
+    assert dict(zip(out["tok"], out["n"])) == dict(want)
+    for _, r in out.iterrows():
+        c = "alpha" if r.tok[0].isalpha() else ("num" if r.tok[0].isdigit() else "other")
+        assert r.category == c
