@@ -361,6 +361,14 @@ def _q_url_host_stats(sf_dir):
     return url_host_stats(pages)
 
 
+def _q_dataset_split(sf_dir):
+    """Deterministic hash-threshold train/val/test assignment
+    (georay/textops.py dataset_split)."""
+    from georay.textops import dataset_split
+
+    return dataset_split(_docs(sf_dir))
+
+
 def _q_url_bpe_tokens(sf_dir):
     """Top-40 GPT-2-style regex pre-tokens over the crawl URLs
     (georay/textops.py url_bpe_tokens)."""
@@ -1297,6 +1305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_segments": _q_boilerplate_segments,
         "url_host_stats": _q_url_host_stats,
         "url_bpe_tokens": _q_url_bpe_tokens,
+        "dataset_split": _q_dataset_split,
         "decontam_ngrams": _q_decontam_ngrams,
         "quality_filter": _q_quality_filter,
         "pack_sequences": _q_pack_sequences,
@@ -1813,6 +1822,23 @@ def _oracle_sql_raw() -> dict[str, str]:
                    COUNT(DISTINCT lang) AS n_langs
             FROM read_parquet('{_PAGES_GLOB}')
             GROUP BY host
+        """,
+        # train/val/test: sha256-prefix of "split:7:{doc_id}" against
+        # integer fraction thresholds (test < 5%, val < 10%, else train)
+        "dataset_split": f"""
+            SELECT doc_id,
+                   CASE WHEN CAST(('0x' || substr(sha256(
+                               'split:7:' || CAST(doc_id AS VARCHAR)), 1, 16))
+                             AS UBIGINT)
+                          < CAST({int(0.05 * float(2**64))} AS UBIGINT)
+                        THEN 'test'
+                        WHEN CAST(('0x' || substr(sha256(
+                               'split:7:' || CAST(doc_id AS VARCHAR)), 1, 16))
+                             AS UBIGINT)
+                          < CAST({int(0.10 * float(2**64))} AS UBIGINT)
+                        THEN 'val'
+                        ELSE 'train' END AS split
+            FROM documents
         """,
         # GPT-2-style pre-tokenizer categories over URLs, top-40 by
         # (count desc, token asc)

@@ -1813,6 +1813,44 @@ def unigram_logprob(docs: ray.data.Dataset):
     return docs.map_batches(score, batch_format="pyarrow")
 
 
+def dataset_split(
+    docs: ray.data.Dataset,
+    val_frac: float = 0.05,
+    test_frac: float = 0.05,
+    seed: int = 7,
+):
+    """Deterministic train/val/test assignment — the split step every
+    training pipeline runs before anything touches the data. Membership
+    is a pure function of the KEY (sha256-prefix of "split:{seed}:{id}"
+    against integer thresholds), never of row order or partitioning,
+    so the split is reproducible across re-runs, resumable shards, and
+    engines — the property that matters when 100 TB is re-processed
+    incrementally and yesterday's test doc must not drift into today's
+    train set. Same hash-threshold form as the sampling ops and the
+    decontam eval split (SQL-replayable).
+
+    One stateless map_batches; no shuffle. Output: (doc_id, split)."""
+    test_thr = int(test_frac * float(2**64))
+    val_thr = int((test_frac + val_frac) * float(2**64))
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        h = _hash64_strings([f"split:{seed}:{int(i)}" for i in ids])
+        split = np.where(
+            h < np.uint64(test_thr),
+            "test",
+            np.where(h < np.uint64(val_thr), "val", "train"),
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "split": pa.array(split.tolist(), pa.string()),
+            }
+        )
+
+    return docs.map_batches(assign, batch_format="pyarrow")
+
+
 @ray.remote
 def _merge_tok_topk(k: int, *tables):
     """Fan-in merge for (tok, n) partial top-ks: global top-k by

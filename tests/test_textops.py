@@ -519,3 +519,23 @@ def test_url_bpe_tokens_closed_form(ray_session):
     for _, r in out.iterrows():
         c = "alpha" if r.tok[0].isalpha() else ("num" if r.tok[0].isdigit() else "other")
         assert r.category == c
+
+
+def test_dataset_split_deterministic_and_balanced(ray_session):
+    import ray.data
+
+    from georay.textops import dataset_split
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(4000), pa.int64()),
+            "text": pa.array(["x"] * 4000, pa.string()),
+        }
+    )
+    a = dataset_split(ray.data.from_arrow(t).repartition(3)).to_pandas()
+    b = dataset_split(ray.data.from_arrow(t).repartition(9)).to_pandas()
+    assert a.sort_values("doc_id").split.tolist() == b.sort_values("doc_id").split.tolist()
+    frac = a.split.value_counts(normalize=True)
+    assert 0.85 < frac.get("train", 0) < 0.95
+    assert 0.03 < frac.get("val", 0) < 0.07
+    assert 0.03 < frac.get("test", 0) < 0.07
