@@ -1973,14 +1973,8 @@ def curate_corpus(
     n_parts = _n_partitions()
 
     def sig(batch: pa.Table) -> pa.Table:
-        low = pc.utf8_lower(batch["text"])
-        folded = pc.replace_substring_regex(
-            low, pattern=r"[^a-z0-9]+", replacement=" "
-        )
-        clean = pc.utf8_trim_whitespace(folded)
-        hashes = _hash64_strings(clean.to_pylist())
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        out_id, out_n, out_h = [], [], []
+        out_id, out_n, out_idx = [], [], []
         for i, text in enumerate(batch["text"].to_pylist()):
             toks = tokenize(text or "")
             n = len(toks)
@@ -1999,8 +1993,16 @@ def curate_corpus(
                     continue
             out_id.append(int(ids[i]))
             out_n.append(n)
-            out_h.append(int(hashes[i]))
-        h = np.asarray(out_h, dtype=np.uint64)
+            out_idx.append(i)
+        # normalize + hash only the SURVIVORS — doomed rows never pay
+        # the RE2 pass or the digest
+        surv = batch.take(pa.array(out_idx, pa.int64()))
+        low = pc.utf8_lower(surv["text"])
+        folded = pc.replace_substring_regex(
+            low, pattern=r"[^a-z0-9]+", replacement=" "
+        )
+        clean = pc.utf8_trim_whitespace(folded)
+        h = _hash64_strings(clean.to_pylist())
         return pa.table(
             {
                 "doc_id": pa.array(out_id, pa.int64()),
