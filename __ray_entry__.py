@@ -699,6 +699,32 @@ def _q_pq_encode(sf_dir):
     return pq_encode(_emb(sf_dir), n_codes=8, n_sub=2)
 
 
+def _q_semantic_dedup(sf_dir):
+    """SemDeDup (cluster, then prune within-cluster cosine near-dups;
+    georay/ann.py semantic_dedup). tau matches EMB_TAU so the synthetic
+    near-orthogonal embeddings produce a real pruned set."""
+    from georay.ann import semantic_dedup
+
+    return semantic_dedup(_emb(sf_dir), k=8, thresh_micro=int(EMB_TAU * 1_000_000))
+
+
+def _q_graph_pagerank(sf_dir):
+    """Integer-exact PageRank (5 supersteps) over the customer-supplier
+    interaction multigraph — the iterative numeric BSP operator
+    (georay/graph.py pagerank)."""
+    from georay.graph import pagerank, supplier_customer_edges
+
+    return pagerank(supplier_customer_edges(sf_dir), n_iters=5)
+
+
+def _q_image_ahash_dups(sf_dir):
+    """Perceptual-hash (4x4 aHash) image near-dup groups — multimodal
+    dedup (georay/multimodal.py image_ahash_dups)."""
+    from georay.multimodal import image_ahash_dups
+
+    return image_ahash_dups(_media(sf_dir))
+
+
 # multimodal (deterministic GRB media corpus). The GRB container is a
 # plain header + raw bytes, so DuckDB can replay the decoders byte-by-
 # byte (hex(payload) + substring + '0x' cast over a generate_series):
@@ -1341,6 +1367,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": _q_label_centroids,
         "knn_label_vote": _q_knn_label_vote,
         "embedding_near_dups": _q_emb_near_dups,
+        "semantic_dedup": _q_semantic_dedup,
+        "graph_pagerank": _q_graph_pagerank,
+        "image_ahash_dups": _q_image_ahash_dups,
         "cust_order_counts": _q_cust_order_counts,
         "mktsegment_stats": _q_mktsegment_stats,
         "priority_line_counts": _q_priority_line_counts,
@@ -1547,6 +1576,43 @@ def _ensure_media_corpus() -> str:
     from georay.multimodal import media_dir_for
 
     return media_dir_for(_oracle_sf_dir()) + "/*.parquet"
+
+
+def _pagerank_sql(n_iters: int = 5) -> str:
+    """Unrolled integer-nano PageRank over the cust<->supp multigraph:
+    every operation is int64/HUGEINT floor arithmetic, so DuckDB
+    reproduces georay.graph.pagerank bit-for-bit (no float summation
+    order anywhere)."""
+    prev = "r0t"
+    iters = []
+    for i in range(1, n_iters + 1):
+        iters.append(
+            f"""i{i} AS (
+              SELECT n.node, CAST(p.base + (85 * COALESCE(f.s, 0)) // 100 AS BIGINT) AS r
+              FROM nodes n CROSS JOIN params p LEFT JOIN (
+                SELECT e.dst AS node, SUM(rr.r // dg.d) AS s
+                FROM e JOIN {prev} rr ON e.src = rr.node
+                       JOIN deg dg ON e.src = dg.node
+                GROUP BY e.dst) f ON n.node = f.node)"""
+        )
+        prev = f"i{i}"
+    joined = ",\n        ".join(iters)
+    return f"""
+        WITH pair AS (
+          SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        ),
+        e AS (SELECT c AS src, s AS dst FROM pair
+              UNION ALL SELECT s AS src, c AS dst FROM pair),
+        nodes AS (SELECT DISTINCT src AS node FROM e),
+        deg AS (SELECT src AS node, COUNT(*) AS d FROM e GROUP BY src),
+        params AS (SELECT CAST(1000000000000 // COUNT(*) AS BIGINT) AS r0,
+                          CAST((15 * (1000000000000 // COUNT(*))) // 100 AS BIGINT) AS base
+                   FROM nodes),
+        r0t AS (SELECT node, r0 AS r FROM nodes, params),
+        {joined}
+        SELECT node, r AS rank_nano FROM {prev}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3014,6 +3080,59 @@ def _oracle_sql_raw() -> dict[str, str]:
             JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= {EMB_TAU}
+        """,
+        "semantic_dedup": f"""
+            WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+                       FROM embeddings WHERE vec_id < 8),
+            s AS (SELECT e.vec_id, c.cid,
+                         CAST(FLOOR(list_cosine_similarity(
+                                CAST(e.embedding AS DOUBLE[]), c.ce) * 1000000 + 0.5)
+                              AS BIGINT) AS cos_micro
+                  FROM embeddings e, c),
+            a AS (SELECT vec_id, cid AS cluster FROM (
+                    SELECT vec_id, cid,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY cos_micro DESC, cid) AS rn
+                    FROM s) WHERE rn = 1),
+            emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+            pruned AS (SELECT DISTINCT x.vec_id
+                       FROM a x JOIN a y
+                         ON x.cluster = y.cluster AND y.vec_id < x.vec_id
+                       JOIN emb ex ON ex.vec_id = x.vec_id
+                       JOIN emb ey ON ey.vec_id = y.vec_id
+                       WHERE CAST(FLOOR(list_cosine_similarity(ex.ev, ey.ev)
+                                        * 1000000 + 0.5) AS BIGINT)
+                             >= {int(EMB_TAU * 1_000_000)})
+            SELECT a.vec_id, CAST(a.cluster AS INTEGER) AS cluster,
+                   (p.vec_id IS NULL) AS keep
+            FROM a LEFT JOIN pruned p ON a.vec_id = p.vec_id
+        """,
+        "graph_pagerank": _pagerank_sql(5),
+        "image_ahash_dups": f"""
+            WITH im AS (
+              SELECT media_id, width, height, channels, hex(payload) AS hx
+              FROM read_parquet('{_MEDIA_GLOB}') WHERE kind = 'image'
+            ),
+            px AS (
+              SELECT media_id,
+                     ((i // channels) // width) * 4 // height AS br,
+                     ((i // channels) % width) * 4 // width AS bc,
+                     CAST(('0x' || substring(hx, 2*(9 + i) + 1, 2)) AS INTEGER) AS v
+              FROM im, generate_series(0, 99999) AS t(i)
+              WHERE i < width*height*channels
+            ),
+            bs AS (SELECT media_id, br, bc, SUM(v) AS s
+                   FROM px GROUP BY media_id, br, bc),
+            tot AS (SELECT media_id, SUM(s) AS ts FROM bs GROUP BY media_id),
+            hsh AS (SELECT b.media_id,
+                           CAST(SUM(CASE WHEN b.s * 16 > t.ts
+                                         THEN CAST(1 AS BIGINT) << (br*4 + bc)
+                                         ELSE 0 END) AS BIGINT) AS ahash
+                    FROM bs b JOIN tot t USING (media_id)
+                    GROUP BY b.media_id)
+            SELECT media_id, ahash,
+                   COUNT(*) OVER (PARTITION BY ahash) AS n_same
+            FROM hsh
         """,
         # ---- geo oracles: the pages corpus + payloads are closed-form
         # deterministic (georay/pages.py, georay/fixtures.py), so DuckDB

@@ -249,6 +249,86 @@ def cluster_assign_fixed(embeddings: ray.data.Dataset, k: int = 8):
     return embeddings.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 8))
 
 
+def semantic_dedup(
+    embeddings: ray.data.Dataset, k: int = 8, thresh_micro: int = 920_000
+):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then inside each
+    cluster prune every vector that is near-identical (cosine >=
+    threshold) to a lower-id vector — "keep one representative per
+    semantic duplicate set, but only compare within a cluster".
+
+    Deterministic / oracle-friendly choices:
+    - centroids are the k vectors with ``vec_id < k`` (the
+      cluster_assign_fixed contract — no training RNG);
+    - assignment quantizes cosine to integer micro-units BEFORE the
+      argmax with low-cid tie-break, so SQL replays it exactly;
+    - the prune rule compares the micro-quantized pair cosine against
+      an integer threshold and emits only the BOOLEAN verdict, so a
+      last-ulp float difference between engines can only matter on an
+      exact threshold boundary (probability ~1e-11 per pair).
+
+    Scale shape: assignment is one broadcast-centroids map_batches (no
+    shuffle); the pairwise pass is one groupby(cluster).map_groups with
+    an O(|cluster|^2) blocked matmul inside. The partitioning
+    assumption is the SemDeDup contract itself: k grows with the
+    corpus (the paper uses 50k clusters) so a cluster's members fit
+    one worker; a hot cluster would be salted into fixed-size
+    sub-blocks with a cross-block pair sweep.
+
+    Output: vec_id, cluster (int32), keep (bool) — keep=False means a
+    smaller-id vector in the same cluster sits at or above the
+    threshold."""
+    cent_rows = embeddings.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], k)),
+        batch_format="pyarrow",
+    ).take_all()
+    cent_rows.sort(key=lambda r: r["vec_id"])
+    C = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
+    Cn = np.linalg.norm(C, axis=1)
+    c_ref = ray.put((C, Cn))
+
+    class AssignCarry:
+        def __init__(self):
+            self.C, self.Cn = ray.get(c_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            E = unpack_embeddings(batch)
+            norms = np.maximum(np.linalg.norm(E, axis=1), 1e-300)
+            cos = (E @ self.C.T) / np.outer(norms, np.maximum(self.Cn, 1e-300))
+            micro = np.floor(cos * 1e6 + 0.5).astype(np.int64)
+            score = micro * 1024 - np.arange(self.C.shape[0], dtype=np.int64)
+            best = np.argmax(score, axis=1).astype(np.int32)
+            return batch.append_column("cluster", pa.array(best, pa.int32()))
+
+    assigned = embeddings.map_batches(
+        AssignCarry, batch_format="pyarrow", concurrency=(1, 8)
+    )
+
+    def per_cluster(group: pa.Table) -> pa.Table:
+        ids = group["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        E = unpack_embeddings(group)[order]
+        En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-300)
+        micro = np.floor((En @ En.T) * 1e6 + 0.5).astype(np.int64)
+        # ids ascending => strictly-lower triangle row i = pairs with a
+        # smaller-id vector; prune i if any such pair clears the bar
+        hit = np.tril(micro >= thresh_micro, k=-1)
+        keep = ~hit.any(axis=1)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "cluster": pa.array(
+                    np.full(len(ids), group["cluster"][0].as_py(), dtype=np.int32)
+                ),
+                "keep": pa.array(keep),
+            }
+        )
+
+    return assigned.groupby("cluster").map_groups(per_cluster, batch_format="pyarrow")
+
+
 def pq_encode(embeddings: ray.data.Dataset, n_codes: int = 8, n_sub: int = 2):
     """Product-quantization encode — the vector-compression half of the
     IVF-PQ scale path (at 10^12 vectors the raw float corpus cannot be

@@ -198,6 +198,165 @@ def connected_components(
     return labels
 
 
+@ray.remote
+def _pr_prep(nodes: np.ndarray, block: pa.Table) -> pa.Table:
+    """Edge block -> (src_idx, dst_idx) positions into the sorted node
+    array, so the per-iteration kernel is pure integer gathers."""
+    if block.num_rows == 0:  # empty blocks can carry an empty schema
+        empty = np.array([], dtype=np.int64)
+        return pa.table({"si": pa.array(empty), "di": pa.array(empty)})
+    src = block["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = block["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table(
+        {
+            "si": pa.array(np.searchsorted(nodes, src).astype(np.int64)),
+            "di": pa.array(np.searchsorted(nodes, dst).astype(np.int64)),
+        }
+    )
+
+
+@ray.remote
+def _pr_nodes_partial(block: pa.Table) -> np.ndarray:
+    if block.num_rows == 0:  # empty blocks can carry an empty schema
+        return np.array([], dtype=np.int64)
+    return np.unique(
+        np.concatenate(
+            [
+                block["src"].to_numpy(zero_copy_only=False).astype(np.int64),
+                block["dst"].to_numpy(zero_copy_only=False).astype(np.int64),
+            ]
+        )
+    )
+
+
+@ray.remote
+def _pr_union(*parts):
+    return np.unique(np.concatenate(parts))
+
+
+@ray.remote
+def _pr_deg_partial(n_nodes: int, prep: pa.Table) -> np.ndarray:
+    out = np.zeros(n_nodes, dtype=np.int64)
+    np.add.at(out, prep["si"].to_numpy(zero_copy_only=False), 1)
+    return out
+
+
+@ray.remote
+def _pr_inflow_partial(rank, deg, prep: pa.Table) -> np.ndarray:
+    """One edge block's inflow: each edge instance carries
+    rank[src] // outdeg[src] nano-units to dst. Integer adds are exact
+    and associative, so the fan-in tree is order-free."""
+    si = prep["si"].to_numpy(zero_copy_only=False)
+    di = prep["di"].to_numpy(zero_copy_only=False)
+    out = np.zeros(len(rank), dtype=np.int64)
+    np.add.at(out, di, rank[si] // deg[si])
+    return out
+
+
+@ray.remote
+def _pr_sum_dense(*parts):
+    out = parts[0].copy()
+    for p in parts[1:]:
+        out += p
+    return out
+
+
+def pagerank(
+    edges: ray.data.Dataset,
+    n_iters: int = 5,
+    damping_pct: int = 85,
+    total_nano: int = 10**12,
+) -> ray.data.Dataset:
+    """Integer-exact PageRank over a directed multigraph edge list
+    (``src``/``dst`` int64 columns; parallel edges count as
+    multiplicity). Fixed ``n_iters`` supersteps, no convergence test —
+    the iterative-numeric-BSP pattern.
+
+    Why integers: rank mass lives in int64 "nano-units"
+    (``total_nano`` split evenly at iteration 0) and every operation —
+    floor-division by out-degree, damping as ``*85 // 100``, the
+    teleport base — is exact and associative. A SQL engine replaying
+    the same formula reaches bit-identical ranks regardless of its
+    float summation order, which is what makes an iterative numeric
+    algorithm oracle-checkable at all.
+
+    Scale shape: the edge set is pinned once and stays distributed;
+    each iteration broadcasts the O(|V|) rank vector (``ray.put``,
+    read once per task, never re-shipped per batch), every edge block
+    emits a dense int64 inflow vector, and a remote fan-in tree
+    (textops._tree_reduce) sums them so the driver receives exactly
+    one O(|V|) array per iteration. Driver/broadcast state is O(|V|) —
+    the node universe (hosts, not pages, in a web graph) — the same
+    bounded-small-side contract as the dim_side broadcasts
+    (relational.py:76); a beyond-budget node universe would switch to
+    a co-partitioned rank⨝edges join per iteration.
+
+    The reference has no graph ops (SURVEY.md §2.6); this adds the
+    canonical web-graph quality signal used in pretraining-data
+    curation (page/host importance weighting).
+    """
+    from .textops import _tree_reduce
+
+    refs = edges.materialize().to_arrow_refs()
+    nodes = ray.get(
+        _tree_reduce([_pr_nodes_partial.remote(r) for r in refs], _pr_union)
+    )
+    n_nodes = int(len(nodes))
+    if n_nodes == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {"node": pa.array([], pa.int64()), "rank_nano": pa.array([], pa.int64())}
+            )
+        )
+    nodes_ref = ray.put(nodes)
+    preps = [_pr_prep.remote(nodes_ref, r) for r in refs]
+    deg = ray.get(
+        _tree_reduce([_pr_deg_partial.remote(n_nodes, p) for p in preps], _pr_sum_dense)
+    )
+    deg_ref = ray.put(deg)
+
+    r0 = total_nano // n_nodes
+    base = ((100 - damping_pct) * r0) // 100
+    rank = np.full(n_nodes, r0, dtype=np.int64)
+    for _ in range(n_iters):
+        rank_ref = ray.put(rank)
+        inflow = ray.get(
+            _tree_reduce(
+                [_pr_inflow_partial.remote(rank_ref, deg_ref, p) for p in preps],
+                _pr_sum_dense,
+            )
+        )
+        rank = base + (damping_pct * inflow) // 100
+    return ray.data.from_arrow(
+        pa.table({"node": pa.array(nodes), "rank_nano": pa.array(rank)})
+    )
+
+
+def supplier_customer_edges(sf_dir: str) -> ray.data.Dataset:
+    """The sandbox stand-in for a web host-link graph: the undirected
+    customer↔supplier interaction multigraph (one edge instance per
+    lineitem, via its order's customer), node ids namespaced as
+    custkey*2 / suppkey*2+1. Undirected = both directed instances, so
+    every node has out-degree >= 1 and PageRank has no dangling mass."""
+    from .relational import _read, bucket_hash_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    lineitem = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    joined = bucket_hash_join(orders, lineitem, on="o_orderkey", right_on="l_orderkey")
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        c = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64) * 2
+        s = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64) * 2 + 1
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([c, s])),
+                "dst": pa.array(np.concatenate([s, c])),
+            }
+        )
+
+    return joined.map_batches(both_dirs, batch_format="pyarrow")
+
+
 def dedup_clusters(docs: ray.data.Dataset, threshold: float = 0.8):
     """(doc_id, cluster_id) for every doc in a near-dup pair: MinHash+
     LSH pair detection (textops.minhash_near_dups) followed by

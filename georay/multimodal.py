@@ -494,3 +494,64 @@ def audio_stats(media, concurrency=None):
         )
 
     return feats.map_batches(explode, batch_format="pyarrow")
+
+
+def _ahash16_batch(batch: pa.Table) -> pa.Table:
+    """GRB image payload -> 16-bit average-hash: split the image into a
+    4x4 block grid (every synthesized dimension is divisible by 4),
+    integer-sum all bytes per block, set bit r*4+c when the block sum
+    strictly exceeds its equal share of the image total (block mean >
+    global mean, cross-multiplied so it stays pure int64). The per-
+    image loop is over ~128 images/batch, not pixels — each body is
+    one numpy reshape+sum."""
+    hashes = np.empty(batch.num_rows, dtype=np.int64)
+    for i, payload in enumerate(batch["payload"].to_pylist()):
+        h, w, c = decode_image_payload(payload).shape
+        arr = np.frombuffer(payload, dtype=np.uint8, offset=9).reshape(h, w, c)
+        blocks = (
+            arr.reshape(4, h // 4, 4, w // 4, c)
+            .sum(axis=(1, 3, 4), dtype=np.int64)
+        )
+        bits = (blocks * 16) > blocks.sum()
+        hashes[i] = int((bits.reshape(-1) << np.arange(16, dtype=np.int64)).sum())
+    return pa.table(
+        {
+            "media_id": batch["media_id"].cast(pa.int64()),
+            "ahash": pa.array(hashes, pa.int64()),
+        }
+    )
+
+
+def image_ahash_dups(media):
+    """Perceptual-hash (aHash) near-duplicate detection over the image
+    corpus — the multimodal counterpart of textops' text dedup tier:
+    images whose 4x4 average-luma signature collides are near-dups
+    (same coarse structure regardless of pixel noise / resolution,
+    since blocks are resolution-relative).
+
+    Scale shape: one task-mode decode pass emits the tiny (media_id,
+    ahash) table; the collision count joins back via a BOUNDED
+    broadcast — the hash domain is 2^16, so the count map is <= 65536
+    entries at ANY corpus size (never a shuffle join). Output:
+    media_id, ahash, n_same (group size; n_same > 1 == near-dup).
+    """
+    import ray
+
+    hashed = (
+        _kind(media, "image")
+        .map_batches(_ahash16_batch, batch_format="pyarrow", batch_size=MEDIA_BATCH_SIZE)
+        .materialize()
+    )
+    counts = np.zeros(1 << 16, dtype=np.int64)
+    for t in ray.get(hashed.to_arrow_refs()):
+        counts += np.bincount(
+            t["ahash"].to_numpy(zero_copy_only=False), minlength=1 << 16
+        )
+    cmap_ref = ray.put(counts)
+
+    def add_count(t: pa.Table) -> pa.Table:
+        cmap = ray.get(cmap_ref)
+        n_same = cmap[t["ahash"].to_numpy(zero_copy_only=False)]
+        return t.append_column("n_same", pa.array(n_same, pa.int64()))
+
+    return hashed.map_batches(add_count, batch_format="pyarrow")

@@ -332,3 +332,57 @@ def test_hard_negatives_label_contract(ray_session):
         cand = np.nonzero(labels != labels[qid])[0]
         want = cand[np.lexsort((cand, -sims[cand]))[:5]].tolist()
         assert ns == want
+
+
+def test_semantic_dedup(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from georay.ann import semantic_dedup
+
+    rng = np.random.default_rng(23)
+    E = rng.normal(size=(40, 16))
+    E /= np.linalg.norm(E, axis=1, keepdims=True)
+    # vec 30 duplicates centroid 2 exactly; vec 31 duplicates vec 30;
+    # vec 32 is vec 30 slightly perturbed (still >= 0.99 cosine)
+    E[30] = E[2]
+    E[31] = E[2]
+    E[32] = E[2] + rng.normal(size=16) * 1e-3
+    E[32] /= np.linalg.norm(E[32])
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(40), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in E]),
+        }
+    )
+    out = (
+        semantic_dedup(
+            ray.data.from_arrow(t).repartition(4), k=8, thresh_micro=990_000
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 40
+    keep = dict(zip(out["vec_id"], out["keep"]))
+    clus = dict(zip(out["vec_id"], out["cluster"]))
+    # the exact-dup family all lands in centroid 2's cluster
+    assert clus[30] == clus[31] == clus[32] == clus[2] == 2
+    # lowest id of the near-identical set survives, the rest are pruned
+    assert keep[2] and not keep[30] and not keep[31] and not keep[32]
+    # brute-force reference over the quantized rule
+    C = E[:8]
+    micro_a = np.floor(
+        (E @ C.T)
+        / np.outer(np.linalg.norm(E, axis=1), np.linalg.norm(C, axis=1))
+        * 1e6
+        + 0.5
+    ).astype(np.int64)
+    best = np.argmax(micro_a * 1024 - np.arange(8), axis=1)
+    pair = np.floor((E @ E.T) * 1e6 + 0.5).astype(np.int64)
+    for i in range(40):
+        expect = not any(
+            best[j] == best[i] and pair[i, j] >= 990_000 for j in range(i)
+        )
+        assert keep[i] == expect, i

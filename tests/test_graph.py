@@ -96,3 +96,79 @@ def test_dedup_clusters_keep_one_per_cluster(ray_session):
     # the keep-rule leaves exactly one representative per cluster
     keep = out[out["doc_id"] == out["cluster_id"]]["doc_id"].tolist()
     assert sorted(keep) == [0, 3]
+
+
+def _pagerank_reference(edges, n_iters=5, total=10**12):
+    """Driver-side integer replay of graph.pagerank's exact formula."""
+    nodes = sorted({n for e in edges for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    deg = {n: 0 for n in nodes}
+    for s, _ in edges:
+        deg[s] += 1
+    r0 = total // len(nodes)
+    base = (15 * r0) // 100
+    rank = {n: r0 for n in nodes}
+    for _ in range(n_iters):
+        inflow = {n: 0 for n in nodes}
+        for s, d in edges:
+            inflow[d] += rank[s] // deg[s]
+        rank = {n: base + (85 * inflow[n]) // 100 for n in nodes}
+    return nodes, [rank[n] for n in nodes]
+
+
+def _run_pagerank(edges, blocks=4, n_iters=5):
+    import ray.data
+
+    from georay.graph import pagerank
+
+    t = pa.table(
+        {
+            "src": pa.array([e[0] for e in edges], pa.int64()),
+            "dst": pa.array([e[1] for e in edges], pa.int64()),
+        }
+    )
+    got = (
+        pagerank(ray.data.from_arrow(t).repartition(blocks), n_iters=n_iters)
+        .to_pandas()
+        .sort_values("node")
+    )
+    return got["node"].tolist(), got["rank_nano"].tolist()
+
+
+def test_pagerank_matches_integer_reference_random(ray_session):
+    rng = np.random.default_rng(11)
+    # random multigraph incl. parallel edges; make it undirected so no
+    # node is dangling (the supplier_customer_edges contract)
+    half = [
+        (int(a), int(b))
+        for a, b in rng.integers(0, 40, size=(300, 2))
+        if a != b
+    ]
+    edges = half + [(b, a) for a, b in half]
+    nodes, expect = _pagerank_reference(edges)
+    got_nodes, got = _run_pagerank(edges)
+    assert got_nodes == nodes
+    assert got == expect
+
+
+def test_pagerank_partition_invariant_and_hub_wins(ray_session):
+    # star: hub 0 <-> leaves 1..20 — the hub must out-rank every leaf
+    edges = [(0, i) for i in range(1, 21)] + [(i, 0) for i in range(1, 21)]
+    n1, r1 = _run_pagerank(edges, blocks=1)
+    n2, r2 = _run_pagerank(edges, blocks=7)
+    assert (n1, r1) == (n2, r2)
+    ranks = dict(zip(n1, r1))
+    assert all(ranks[0] > ranks[i] for i in range(1, 21))
+
+
+def test_pagerank_empty(ray_session):
+    import ray.data
+
+    from georay.graph import pagerank
+
+    t = pa.table(
+        {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+    )
+    out = pagerank(ray.data.from_arrow(t).repartition(1), n_iters=5)
+    # Ray drops column metadata on empty to_pandas; zero rows is the contract
+    assert out.count() == 0

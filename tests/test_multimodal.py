@@ -158,3 +158,43 @@ def test_audio_stats_explode(media_ds):
     for r in sorted(frames, key=lambda r: r["frame_idx"]):
         assert r["rms"] == want_rms[r["frame_idx"]]  # bit-exact by design
         assert r["zcr"] == want_zcr[r["frame_idx"]]
+
+
+def test_image_ahash_known_pattern(ray_session):
+    import ray.data
+
+    # 8x8 single-channel image: top half 255, bottom half 0 -> the top
+    # two block-rows exceed the global mean -> bits 0..7 set = 0x00FF
+    px_light = np.full(8 * 8, 0, dtype=np.uint8)
+    px_light[: 8 * 4] = 255
+    payload = mm.encode_image(8, 8, 1, px_light)
+    t = pa.table(
+        {
+            "media_id": pa.array([1, 2, 3], pa.int64()),
+            "kind": pa.array(["image"] * 3),
+            "payload": pa.array([payload, payload, bytes(mm.encode_image(8, 8, 1, px_light[::-1].copy()))]),
+        }
+    )
+    out = (
+        mm.image_ahash_dups(ray.data.from_arrow(t).repartition(2))
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    assert out["ahash"].tolist() == [0x00FF, 0x00FF, 0xFF00]
+    assert out["n_same"].tolist() == [2, 2, 1]
+
+
+def test_image_ahash_matches_reference(media_ds):
+    out = {
+        r["media_id"]: r["ahash"] for r in mm.image_ahash_dups(media_ds).take_all()
+    }
+    assert len(out) == 20
+    for mid, got in out.items():
+        img = mm.decode_image_payload(mm.synth_payload(mid)[1]).astype(np.int64)
+        h, w, c = img.shape
+        blocks = img.reshape(4, h // 4, 4, w // 4, c).sum(axis=(1, 3, 4))
+        expect = int(
+            ((blocks * 16 > blocks.sum()).reshape(-1) << np.arange(16)).sum()
+        )
+        assert got == expect, mid
