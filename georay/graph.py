@@ -338,10 +338,41 @@ def supplier_customer_edges(sf_dir: str) -> ray.data.Dataset:
     lineitem, via its order's customer), node ids namespaced as
     custkey*2 / suppkey*2+1. Undirected = both directed instances, so
     every node has out-degree >= 1 and PageRank has no dangling mass."""
-    from .relational import _read, bucket_hash_join
+    from .relational import (
+        _read,
+        bucket_hash_join,
+        broadcast_map_batches,
+        dim_side,
+    )
 
-    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     lineitem = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    mode, orders = dim_side(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    if mode == "broadcast":
+        # orders is the dimension side here (2 int columns): a sorted
+        # (orderkey -> custkey) array pair broadcast once beats the
+        # bucketed shuffle's ~5 s fixed all-to-all latency; dim_side
+        # gates on the 256 MB budget so an over-budget orders table
+        # still routes through the bucketed join below
+        ok = orders["o_orderkey"].to_numpy().astype(np.int64)
+        ck = orders["o_custkey"].to_numpy().astype(np.int64)
+        order_sort = np.argsort(ok)
+        lookup_ref = ray.put((ok[order_sort], ck[order_sort]))
+
+        def via_lookup(t: pa.Table, lookup) -> pa.Table:
+            keys, custs = lookup
+            lo = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(keys, lo)
+            c = custs[pos] * 2
+            s = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64) * 2 + 1
+            return pa.table(
+                {
+                    "src": pa.array(np.concatenate([c, s])),
+                    "dst": pa.array(np.concatenate([s, c])),
+                }
+            )
+
+        return broadcast_map_batches(lineitem, via_lookup, lookup_ref)
+
     joined = bucket_hash_join(orders, lineitem, on="o_orderkey", right_on="l_orderkey")
 
     def both_dirs(t: pa.Table) -> pa.Table:

@@ -172,3 +172,18 @@ def test_pagerank_empty(ray_session):
     out = pagerank(ray.data.from_arrow(t).repartition(1), n_iters=5)
     # Ray drops column metadata on empty to_pandas; zero rows is the contract
     assert out.count() == 0
+
+
+def test_supplier_customer_edges_budget_parity(ray_session, monkeypatch):
+    import pandas as pd
+
+    from georay.graph import pagerank, supplier_customer_edges
+
+    sf = "/root/testdata/sf0.001"
+    a = pagerank(supplier_customer_edges(sf), n_iters=3).to_pandas()
+    monkeypatch.setenv("GEORAY_BROADCAST_BUDGET", "1")  # force bucket path
+    b = pagerank(supplier_customer_edges(sf), n_iters=3).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("node").reset_index(drop=True),
+        b.sort_values("node").reset_index(drop=True),
+    )
