@@ -699,6 +699,14 @@ def _q_pq_encode(sf_dir):
     return pq_encode(_emb(sf_dir), n_codes=8, n_sub=2)
 
 
+def _q_kmeans_iter(sf_dir):
+    """Distributed Lloyd k-means training, 3 supersteps (georay/ann.py
+    kmeans_iter); output = final assignment vs the trained centroids."""
+    from georay.ann import kmeans_iter
+
+    return kmeans_iter(_emb(sf_dir), k=8, n_iters=3)
+
+
 def _q_semantic_dedup(sf_dir):
     """SemDeDup (cluster, then prune within-cluster cosine near-dups;
     georay/ann.py semantic_dedup). tau matches EMB_TAU so the synthetic
@@ -1368,6 +1376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_label_vote": _q_knn_label_vote,
         "embedding_near_dups": _q_emb_near_dups,
         "semantic_dedup": _q_semantic_dedup,
+        "kmeans_iter": _q_kmeans_iter,
         "graph_pagerank": _q_graph_pagerank,
         "image_ahash_dups": _q_image_ahash_dups,
         "cust_order_counts": _q_cust_order_counts,
@@ -1612,6 +1621,56 @@ def _pagerank_sql(n_iters: int = 5) -> str:
         r0t AS (SELECT node, r0 AS r FROM nodes, params),
         {joined}
         SELECT node, r AS rank_nano FROM {prev}
+    """
+
+
+def _kmeans_sql(k: int = 8, n_iters: int = 3) -> str:
+    """Unrolled Lloyd k-means replay: per round, micro-quantized cosine
+    argmax assignment (ties to lowest cid), then per-dim member means
+    quantized to 1e-4 — the same two quantization points
+    georay.ann.kmeans_iter applies, so both engines walk the identical
+    centroid trajectory. Empty clusters carry the previous centroid."""
+    rounds = []
+    prev = "c0"
+    for r in range(1, n_iters + 1):
+        rounds.append(
+            f"""a{r} AS (SELECT vec_id, cid AS cluster FROM (
+              SELECT e.vec_id, c.cid,
+                     row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                       CAST(FLOOR(list_cosine_similarity(
+                              CAST(e.embedding AS DOUBLE[]), c.ce)
+                            * 1000000 + 0.5) AS BIGINT) DESC, c.cid) AS rn
+              FROM embeddings e, {prev} c) WHERE rn = 1),
+            m{r} AS (SELECT a{r}.cluster AS cid, ed.dim,
+                            FLOOR(AVG(ed.v) * 10000 + 0.5) / 10000 AS mv
+                     FROM a{r} JOIN ed ON a{r}.vec_id = ed.vec_id
+                     GROUP BY a{r}.cluster, ed.dim),
+            c{r} AS (SELECT cid, list(mv ORDER BY dim) AS ce
+                     FROM m{r} GROUP BY cid
+                     UNION ALL
+                     SELECT p.cid, p.ce FROM {prev} p
+                     WHERE p.cid NOT IN (SELECT cid FROM m{r}))"""
+        )
+        prev = f"c{r}"
+    joined = ",\n            ".join(rounds)
+    return f"""
+        WITH ed AS (SELECT vec_id, d.i - 1 AS dim,
+                           list_extract(CAST(embedding AS DOUBLE[]), d.i) AS v
+                    FROM embeddings, generate_series(1, 4096) AS d(i)
+                    WHERE d.i <= len(embedding)),
+        c0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+               FROM embeddings WHERE vec_id < {k}),
+        {joined}
+        SELECT vec_id, CAST(cluster AS INTEGER) AS cluster, cos_micro FROM (
+          SELECT e.vec_id, c.cid AS cluster,
+                 CAST(FLOOR(list_cosine_similarity(
+                        CAST(e.embedding AS DOUBLE[]), c.ce)
+                      * 1000000 + 0.5) AS BIGINT) AS cos_micro,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   CAST(FLOOR(list_cosine_similarity(
+                          CAST(e.embedding AS DOUBLE[]), c.ce)
+                        * 1000000 + 0.5) AS BIGINT) DESC, c.cid) AS rn
+          FROM embeddings e, {prev} c) WHERE rn = 1
     """
 
 
@@ -3108,6 +3167,7 @@ def _oracle_sql_raw() -> dict[str, str]:
             FROM a LEFT JOIN pruned p ON a.vec_id = p.vec_id
         """,
         "graph_pagerank": _pagerank_sql(5),
+        "kmeans_iter": _kmeans_sql(8, 3),
         "image_ahash_dups": f"""
             WITH im AS (
               SELECT media_id, width, height, channels, hex(payload) AS hx

@@ -249,6 +249,106 @@ def cluster_assign_fixed(embeddings: ray.data.Dataset, k: int = 8):
     return embeddings.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 8))
 
 
+@ray.remote
+def _km_partial(C: np.ndarray, block: pa.Table):
+    """One block's Lloyd statistics under centroids C: micro-quantized
+    cosine argmax assignment (the cluster_assign_fixed rule), then
+    per-cluster [k x d] float64 sums + counts."""
+    k, d = C.shape
+    if block.num_rows == 0:
+        return np.zeros((k, d), dtype=np.float64), np.zeros(k, dtype=np.int64)
+    E = unpack_embeddings(block)
+    norms = np.maximum(np.linalg.norm(E, axis=1), 1e-300)
+    Cn = np.maximum(np.linalg.norm(C, axis=1), 1e-300)
+    micro = np.floor((E @ C.T) / np.outer(norms, Cn) * 1e6 + 0.5).astype(np.int64)
+    best = np.argmax(micro * 1024 - np.arange(k, dtype=np.int64), axis=1)
+    sums = np.zeros((k, d), dtype=np.float64)
+    np.add.at(sums, best, E)
+    counts = np.bincount(best, minlength=k).astype(np.int64)
+    return sums, counts
+
+
+@ray.remote
+def _km_merge(*parts):
+    sums = parts[0][0].copy()
+    counts = parts[0][1].copy()
+    for s, c in parts[1:]:
+        sums += s
+        counts += c
+    return sums, counts
+
+
+def kmeans_iter(embeddings: ray.data.Dataset, k: int = 8, n_iters: int = 3):
+    """Distributed Lloyd k-means TRAINING with a fixed superstep count —
+    the iterative-ML-fit operator (vs cluster_assign_fixed's one-shot
+    assignment and kmeans()'s driver-side sample fit).
+
+    Determinism contract (what makes an iterative float algorithm
+    oracle-replayable): seeds are the k vectors with ``vec_id < k``;
+    each round assigns by MICRO-quantized cosine (ties to the lowest
+    cid), and the new centroid is the member mean quantized to 1e-4 —
+    a step ~9 orders of magnitude above the worst float64
+    summation-order skew, so DuckDB's sequential AVG and the numpy
+    tree-reduced sums land on the same quantized value. A cluster that
+    loses all members keeps its previous centroid.
+
+    Scale shape: the embedding table is pinned once; each round is one
+    task-mode pass over its blocks emitting a [k x d] partial-sum +
+    count pair, merged by a remote fan-in tree — driver traffic is
+    O(k x d) per round, never O(rows). n_iters+1 total data passes
+    (standard Lloyd; at 100 TB you fit on a bounded sample — see
+    kmeans() above — and run ONE labeling pass).
+
+    Output: the final-round assignment (vec_id, cluster int32,
+    cos_micro int64 vs the trained centroids)."""
+    from georay.textops import _tree_reduce
+
+    emb = embeddings.materialize()
+    refs = emb.to_arrow_refs()
+    cent_rows = emb.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], k)),
+        batch_format="pyarrow",
+    ).take_all()
+    cent_rows.sort(key=lambda r: r["vec_id"])
+    C = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
+
+    for _ in range(n_iters):
+        c_ref = ray.put(C)
+        sums, counts = ray.get(
+            _tree_reduce([_km_partial.remote(c_ref, b) for b in refs], _km_merge)
+        )
+        newC = C.copy()
+        live = counts > 0
+        newC[live] = np.floor(sums[live] / counts[live, None] * 1e4 + 0.5) / 1e4
+        C = newC
+
+    c_final = ray.put((C, np.maximum(np.linalg.norm(C, axis=1), 1e-300)))
+
+    class FinalAssign:
+        def __init__(self):
+            self.C, self.Cn = ray.get(c_final)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            E = unpack_embeddings(batch)
+            norms = np.maximum(np.linalg.norm(E, axis=1), 1e-300)
+            micro = np.floor(
+                (E @ self.C.T) / np.outer(norms, self.Cn) * 1e6 + 0.5
+            ).astype(np.int64)
+            best = np.argmax(
+                micro * 1024 - np.arange(self.C.shape[0], dtype=np.int64), axis=1
+            )
+            rows = np.arange(len(best))
+            return pa.table(
+                {
+                    "vec_id": batch["vec_id"],
+                    "cluster": pa.array(best.astype(np.int32), pa.int32()),
+                    "cos_micro": pa.array(micro[rows, best], pa.int64()),
+                }
+            )
+
+    return emb.map_batches(FinalAssign, batch_format="pyarrow", concurrency=(1, 8))
+
+
 def semantic_dedup(
     embeddings: ray.data.Dataset, k: int = 8, thresh_micro: int = 920_000
 ):

@@ -386,3 +386,92 @@ def test_semantic_dedup(ray_session):
             best[j] == best[i] and pair[i, j] >= 990_000 for j in range(i)
         )
         assert keep[i] == expect, i
+
+
+def _kmeans_reference(E, k=8, n_iters=3):
+    """Driver-side replay of kmeans_iter's exact quantized trajectory."""
+    C = E[:k].astype(np.float64).copy()
+
+    def assign(C):
+        norms = np.maximum(np.linalg.norm(E, axis=1), 1e-300)
+        Cn = np.maximum(np.linalg.norm(C, axis=1), 1e-300)
+        micro = np.floor((E @ C.T) / np.outer(norms, Cn) * 1e6 + 0.5).astype(
+            np.int64
+        )
+        best = np.argmax(micro * 1024 - np.arange(k), axis=1)
+        return best, micro[np.arange(len(E)), best]
+
+    for _ in range(n_iters):
+        best, _ = assign(C)
+        newC = C.copy()
+        for c in range(k):
+            members = E[best == c]
+            if len(members):
+                newC[c] = np.floor(members.mean(axis=0) * 1e4 + 0.5) / 1e4
+        C = newC
+    return assign(C)
+
+
+def test_kmeans_iter_matches_reference_and_partitions(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from georay.ann import kmeans_iter
+
+    rng = np.random.default_rng(31)
+    E = rng.normal(size=(90, 12)).astype(np.float32).astype(np.float64)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(90), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in E]),
+        }
+    )
+    expect_c, expect_m = _kmeans_reference(E, k=8, n_iters=3)
+    for blocks in (1, 6):
+        out = (
+            kmeans_iter(ray.data.from_arrow(t).repartition(blocks), k=8, n_iters=3)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        assert (out["cluster"].to_numpy() == expect_c).all()
+        assert (out["cos_micro"].to_numpy() == expect_m).all()
+    # training must actually move centroids: round-3 assignment differs
+    # from the round-0 (seed) assignment for this data
+    seed_c, _ = _kmeans_reference(E, k=8, n_iters=0)
+    assert (expect_c != seed_c).any()
+
+
+def test_kmeans_iter_empty_cluster_keeps_centroid(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from georay.ann import kmeans_iter
+
+    # seeds 0 and 1 identical: round 1 assigns everything to cluster 0
+    # (lowest cid wins ties), so cluster 1 empties and must carry its
+    # centroid forward — which may then legitimately recapture members
+    # in later rounds. The contract is: no NaNs, no crash, and the
+    # trajectory matches the driver-side replay exactly.
+    rng = np.random.default_rng(7)
+    E = rng.normal(size=(20, 8))
+    E[1] = E[0]
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(20), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in E]),
+        }
+    )
+    out = (
+        kmeans_iter(ray.data.from_arrow(t).repartition(3), k=2, n_iters=3)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 20
+    assert out["cos_micro"].notna().all()
+    expect_c, expect_m = _kmeans_reference(E, k=2, n_iters=3)
+    assert (out["cluster"].to_numpy() == expect_c).all()
+    assert (out["cos_micro"].to_numpy() == expect_m).all()
