@@ -699,6 +699,14 @@ def _q_pq_encode(sf_dir):
     return pq_encode(_emb(sf_dir), n_codes=8, n_sub=2)
 
 
+def _q_oov_rate(sf_dir):
+    """Per-doc OOV fraction vs the top-25 corpus vocab (georay/textops.py
+    oov_rate) — tokenizer-coverage scoring."""
+    from georay.textops import oov_rate
+
+    return oov_rate(_docs(sf_dir), vocab_size=25)
+
+
 def _q_kmeans_iter(sf_dir):
     """Distributed Lloyd k-means training, 3 supersteps (georay/ann.py
     kmeans_iter); output = final assignment vs the trained centroids."""
@@ -1377,6 +1385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": _q_emb_near_dups,
         "semantic_dedup": _q_semantic_dedup,
         "kmeans_iter": _q_kmeans_iter,
+        "oov_rate": _q_oov_rate,
         "graph_pagerank": _q_graph_pagerank,
         "image_ahash_dups": _q_image_ahash_dups,
         "cust_order_counts": _q_cust_order_counts,
@@ -3168,6 +3177,37 @@ def _oracle_sql_raw() -> dict[str, str]:
         """,
         "graph_pagerank": _pagerank_sql(5),
         "kmeans_iter": _kmeans_sql(8, 3),
+        "oov_rate": """
+            WITH toks AS (
+              SELECT UNNEST(regexp_split_to_array(TRIM(text), '\\s+')) AS word
+              FROM documents WHERE TRIM(text) <> ''
+            ),
+            vocab AS (
+              SELECT word FROM (
+                SELECT word,
+                       ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, word ASC) - 1
+                         AS tid
+                FROM toks GROUP BY word)
+              WHERE tid < 25
+            ),
+            dt AS (
+              SELECT doc_id,
+                     UNNEST(regexp_split_to_array(TRIM(text), '\\s+')) AS word
+              FROM documents WHERE TRIM(text) <> ''
+            ),
+            agg AS (
+              SELECT doc_id, COUNT(*) AS n_tokens,
+                     COUNT(*) FILTER (
+                       WHERE word NOT IN (SELECT word FROM vocab)) AS n_oov
+              FROM dt GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(a.n_tokens, 0) AS n_tokens,
+                   COALESCE(a.n_oov, 0) AS n_oov,
+                   CASE WHEN COALESCE(a.n_tokens, 0) = 0 THEN 0
+                        ELSE (a.n_oov * 1000) // a.n_tokens END AS oov_permille
+            FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        """,
         "image_ahash_dups": f"""
             WITH im AS (
               SELECT media_id, width, height, channels, hex(payload) AS hx

@@ -998,6 +998,57 @@ def vocab_ids(docs: ray.data.Dataset, vocab_size: int = 64):
     )
 
 
+def oov_rate(docs: ray.data.Dataset, vocab_size: int = 25):
+    """Tokenizer-coverage scoring: per-doc out-of-vocabulary token
+    fraction against the top-``vocab_size`` corpus vocabulary — the
+    signal that decides whether a tokenizer/vocab is big enough for a
+    corpus slice (high OOV = the doc's domain is unseen).
+
+    Scale shape: the vocab is V rows (a constant) broadcast once; the
+    per-doc pass is one map_batches with Arrow kernels end-to-end
+    (regex split -> list_flatten -> is_in -> segmented reduceat) — no
+    Python token loop. Integer permille output keeps the oracle hash
+    float-free.
+
+    Output: doc_id, n_tokens, n_oov, oov_permille."""
+    vocab = vocab_ids(docs, vocab_size)["word"]
+    vocab_ref = ray.put(vocab)
+
+    def per_batch(t: pa.Table, vocab_arr) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(
+            pc.coalesce(t["text"], pa.scalar("", pa.string()))
+        )
+        empty = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        nlen = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        nlen[empty] = 0  # split("") emits [""], tokenize("") emits []
+        flat = pc.list_flatten(toks)
+        oov_flat = pc.invert(pc.is_in(flat, value_set=vocab_arr)).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        # zero the phantom token of empty docs before the segmented sum
+        raw_len = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(len(nlen), dtype=np.int64), raw_len)
+        oov_flat[empty[doc_of]] = 0
+        n_oov = np.zeros(len(nlen), dtype=np.int64)
+        np.add.at(n_oov, doc_of, oov_flat)
+        permille = np.zeros(len(nlen), dtype=np.int64)
+        nz = nlen > 0
+        permille[nz] = n_oov[nz] * 1000 // nlen[nz]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "n_tokens": pa.array(nlen, pa.int64()),
+                "n_oov": pa.array(n_oov, pa.int64()),
+                "oov_permille": pa.array(permille, pa.int64()),
+            }
+        )
+
+    from georay.relational import broadcast_map_batches
+
+    return broadcast_map_batches(docs, per_batch, vocab_ref)
+
+
 def token_counts(docs: ray.data.Dataset):
     def tc(batch: pa.Table) -> pa.Table:
         n = [len(tokenize(t or "")) for t in batch["text"].to_pylist()]

@@ -539,3 +539,44 @@ def test_dataset_split_deterministic_and_balanced(ray_session):
     assert 0.85 < frac.get("train", 0) < 0.95
     assert 0.03 < frac.get("val", 0) < 0.07
     assert 0.03 < frac.get("test", 0) < 0.07
+
+
+def test_oov_rate(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from georay.textops import oov_rate, tokenize, top_words
+
+    texts = {
+        0: "a a a b b c rare1",
+        1: "a b c",
+        2: "rare2 rare3",
+        3: "",
+        4: "   ",
+        5: "a a a a a a a a",
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(sorted(texts), pa.int64()),
+            "text": pa.array([texts[k] for k in sorted(texts)], pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    out = (
+        oov_rate(ds, vocab_size=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # vocab (count desc, word asc) = a, b, c
+    vocab = {r["word"] for r in top_words(ds, k=3).take_all()}
+    assert vocab == {"a", "b", "c"}
+    for i, row in out.iterrows():
+        toks = tokenize(texts[int(row["doc_id"])])
+        n_oov = sum(1 for w in toks if w not in vocab)
+        assert row["n_tokens"] == len(toks)
+        assert row["n_oov"] == n_oov
+        assert row["oov_permille"] == (
+            n_oov * 1000 // len(toks) if toks else 0
+        )
