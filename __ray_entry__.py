@@ -699,6 +699,14 @@ def _q_pq_encode(sf_dir):
     return pq_encode(_emb(sf_dir), n_codes=8, n_sub=2)
 
 
+def _q_embedding_pca(sf_dir):
+    """Top principal direction by 5-superstep power iteration + per-vec
+    projection (georay/ann.py power_pca)."""
+    from georay.ann import power_pca
+
+    return power_pca(_emb(sf_dir), n_iters=5)
+
+
 def _q_oov_rate(sf_dir):
     """Per-doc OOV fraction vs the top-25 corpus vocab (georay/textops.py
     oov_rate) — tokenizer-coverage scoring."""
@@ -1386,6 +1394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": _q_semantic_dedup,
         "kmeans_iter": _q_kmeans_iter,
         "oov_rate": _q_oov_rate,
+        "embedding_pca": _q_embedding_pca,
         "graph_pagerank": _q_graph_pagerank,
         "image_ahash_dups": _q_image_ahash_dups,
         "cust_order_counts": _q_cust_order_counts,
@@ -1680,6 +1689,45 @@ def _kmeans_sql(k: int = 8, n_iters: int = 3) -> str:
                           CAST(e.embedding AS DOUBLE[]), c.ce)
                         * 1000000 + 0.5) AS BIGINT) DESC, c.cid) AS rn
           FROM embeddings e, {prev} c) WHERE rn = 1
+    """
+
+
+def _pca_sql(n_iters: int = 5) -> str:
+    """Unrolled power-iteration replay of georay.ann.power_pca: mean
+    and per-round normalized direction quantized to 1e-6, v0 = the
+    all-ones direction — the same trajectory the Ray engine walks, in
+    plain SUM/AVG SQL."""
+    rounds = []
+    prev = "v0"
+    for r in range(1, n_iters + 1):
+        rounds.append(
+            f"""dot{r} AS (SELECT cd.vec_id, SUM(cd.c * w.w) AS t
+                      FROM cd JOIN {prev} w USING (dim) GROUP BY cd.vec_id),
+            p{r} AS (SELECT cd.dim, SUM(cd.c * dd.t) AS p
+                     FROM cd JOIN dot{r} dd USING (vec_id) GROUP BY cd.dim),
+            n{r} AS (SELECT sqrt(SUM(p * p)) AS nrm FROM p{r}),
+            v{r} AS (SELECT dim, FLOOR(p / nrm * 1000000 + 0.5) / 1000000 AS w
+                     FROM p{r}, n{r})"""
+        )
+        prev = f"v{r}"
+    joined = ",\n            ".join(rounds)
+    return f"""
+        WITH ed AS (SELECT vec_id, d.i - 1 AS dim,
+                           list_extract(CAST(embedding AS DOUBLE[]), d.i) AS v
+                    FROM embeddings, generate_series(1, 4096) AS d(i)
+                    WHERE d.i <= len(embedding)),
+        mu AS (SELECT dim, FLOOR(AVG(v) * 1000000 + 0.5) / 1000000 AS m
+               FROM ed GROUP BY dim),
+        cd AS (SELECT ed.vec_id, ed.dim, ed.v - mu.m AS c
+               FROM ed JOIN mu USING (dim)),
+        v0 AS (SELECT dim,
+                      FLOOR(1.0 / sqrt((SELECT COUNT(*) FROM mu)) * 1000000 + 0.5)
+                        / 1000000 AS w
+               FROM mu),
+        {joined}
+        SELECT cd.vec_id,
+               CAST(FLOOR(SUM(cd.c * w.w) * 1000000 + 0.5) AS BIGINT) AS proj_micro
+        FROM cd JOIN {prev} w USING (dim) GROUP BY cd.vec_id
     """
 
 
@@ -3177,6 +3225,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         """,
         "graph_pagerank": _pagerank_sql(5),
         "kmeans_iter": _kmeans_sql(8, 3),
+        "embedding_pca": _pca_sql(5),
         "oov_rate": """
             WITH toks AS (
               SELECT UNNEST(regexp_split_to_array(TRIM(text), '\\s+')) AS word

@@ -250,6 +250,106 @@ def cluster_assign_fixed(embeddings: ray.data.Dataset, k: int = 8):
 
 
 @ray.remote
+def _pca_sums(block: pa.Table):
+    if block.num_rows == 0:
+        return None
+    E = unpack_embeddings(block)
+    return E.sum(axis=0), np.int64(E.shape[0])
+
+
+@ray.remote
+def _pca_step(mu: np.ndarray, v: np.ndarray, block: pa.Table):
+    """One block's covariance action: sum_i (x_i - mu) ((x_i - mu) . v)."""
+    if block.num_rows == 0:
+        return None
+    C = unpack_embeddings(block) - mu
+    return C.T @ (C @ v)
+
+
+@ray.remote
+def _pca_merge(*parts):
+    live = [p for p in parts if p is not None]
+    if not live:
+        return None
+    if isinstance(live[0], tuple):
+        s = live[0][0].copy()
+        n = live[0][1]
+        for p in live[1:]:
+            s += p[0]
+            n += p[1]
+        return s, n
+    out = live[0].copy()
+    for p in live[1:]:
+        out += p
+    return out
+
+
+def power_pca(embeddings: ray.data.Dataset, n_iters: int = 5):
+    """Top principal direction by fixed-superstep POWER ITERATION over
+    the centered embedding matrix, then every vector's projection onto
+    it — the embedding-compression / whitening primitive (and the third
+    iterative-numeric BSP operator next to pagerank and kmeans_iter).
+
+    Determinism contract: the mean and each round's normalized
+    direction are quantized to 1e-6 (six orders above worst-case
+    float64 summation-order skew), v0 is the fixed all-ones direction,
+    and the covariance is PSD so the iteration never flips sign — the
+    whole float trajectory is engine-independent and a SQL engine
+    replays it with plain SUM/AVG.
+
+    Scale shape: the table is pinned once; each round is one task-mode
+    pass emitting a [d]-vector per block, merged by a remote fan-in
+    tree — driver traffic O(d) per round, n_iters+2 data passes.
+
+    Output: vec_id, proj_micro (int64 — (x - mu) . v in micro-units)."""
+    from georay.textops import _tree_reduce
+
+    emb = embeddings.materialize()
+    refs = emb.to_arrow_refs()
+    got = ray.get(_tree_reduce([_pca_sums.remote(b) for b in refs], _pca_merge))
+    if got is None:
+        return ray.data.from_arrow(
+            pa.table(
+                {"vec_id": pa.array([], pa.int64()), "proj_micro": pa.array([], pa.int64())}
+            )
+        )
+    sums, n = got
+    mu = np.floor(sums / n * 1e6 + 0.5) / 1e6
+    d = mu.shape[0]
+    v = np.full(d, 1.0 / np.sqrt(d))
+    v = np.floor(v * 1e6 + 0.5) / 1e6
+    mu_ref = ray.put(mu)
+    for _ in range(n_iters):
+        v_ref = ray.put(v)
+        p = ray.get(
+            _tree_reduce(
+                [_pca_step.remote(mu_ref, v_ref, b) for b in refs], _pca_merge
+            )
+        )
+        nrm = np.linalg.norm(p)
+        if nrm <= 0:
+            break  # degenerate (all points identical): keep v
+        v = np.floor(p / nrm * 1e6 + 0.5) / 1e6
+
+    vq_ref = ray.put((mu, v))
+
+    def project(batch: pa.Table) -> pa.Table:
+        m, vv = ray.get(vq_ref)
+        E = unpack_embeddings(batch)
+        proj = (E - m) @ vv
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"].cast(pa.int64()),
+                "proj_micro": pa.array(
+                    np.floor(proj * 1e6 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return emb.map_batches(project, batch_format="pyarrow")
+
+
+@ray.remote
 def _km_partial(C: np.ndarray, block: pa.Table):
     """One block's Lloyd statistics under centroids C: micro-quantized
     cosine argmax assignment (the cluster_assign_fixed rule), then

@@ -475,3 +475,59 @@ def test_kmeans_iter_empty_cluster_keeps_centroid(ray_session):
     expect_c, expect_m = _kmeans_reference(E, k=2, n_iters=3)
     assert (out["cluster"].to_numpy() == expect_c).all()
     assert (out["cos_micro"].to_numpy() == expect_m).all()
+
+
+def test_power_pca_matches_reference_and_dominant_direction(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from georay.ann import power_pca
+
+    rng = np.random.default_rng(41)
+    # strong planted direction: power iteration must align with it
+    u = rng.normal(size=10)
+    u /= np.linalg.norm(u)
+    E = rng.normal(size=(120, 10)) * 0.2 + np.outer(rng.normal(size=120) * 3.0, u)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(120), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in E]),
+        }
+    )
+
+    # driver-side replay of the exact quantized trajectory
+    mu = np.floor(E.mean(axis=0) * 1e6 + 0.5) / 1e6
+    d = 10
+    v = np.floor(np.full(d, 1.0 / np.sqrt(d)) * 1e6 + 0.5) / 1e6
+    C = E - mu
+    for _ in range(5):
+        p = C.T @ (C @ v)
+        v = np.floor(p / np.linalg.norm(p) * 1e6 + 0.5) / 1e6
+    expect = np.floor(C @ v * 1e6 + 0.5).astype(np.int64)
+
+    for blocks in (1, 5):
+        out = (
+            power_pca(ray.data.from_arrow(t).repartition(blocks), n_iters=5)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        assert (out["proj_micro"].to_numpy() == expect).all()
+    # the recovered direction is essentially the planted one
+    assert abs(np.dot(v / np.linalg.norm(v), u)) > 0.99
+
+
+def test_power_pca_empty(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from georay.ann import power_pca
+
+    t = pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "embedding": pa.array([], pa.list_(pa.float64())),
+        }
+    )
+    assert power_pca(ray.data.from_arrow(t), n_iters=3).count() == 0
