@@ -1211,7 +1211,9 @@ def _geo_dissolve(sf_dir):
 
     pages = ray.data.read_parquet(pages_dir_for(sf_dir), columns=["url", "html"])
     feats = decode_features(pages).materialize()  # two consumers below
-    same = polygon_adjacency(feats, same_prop="layer")
+    # dedupe=False: connected components is duplicate-edge-tolerant, so
+    # the adjacency op's global pair-dedup shuffle is pure overhead here
+    same = polygon_adjacency(feats, same_prop="layer", dedupe=False)
     attrs = polygon_attrs(feats)  # the present polygon universe
     cc = connected_components(same)  # (node, label)
 

@@ -284,6 +284,7 @@ def polygon_adjacency(
     features: ray.data.Dataset,
     id_prop: str = "polygon_id",
     same_prop: str | None = None,
+    dedupe: bool = True,
 ) -> ray.data.Dataset:
     """Shared-edge polygon adjacency derived from GEOMETRY (not ids):
     two polygons are adjacent iff they share at least one quantized
@@ -313,7 +314,11 @@ def polygon_adjacency(
     the attribute rides the segment rows, so the constraint costs zero
     extra joins (the dissolve path).
 
-    Output: a < b polygon_id pairs, one row each."""
+    Output: a < b polygon_id pairs, one row each. ``dedupe=False``
+    skips the final global pair-dedup groupby (one whole shuffle):
+    pairs sharing several boundary segments across buckets may then
+    repeat — fine for duplicate-edge-tolerant consumers like
+    connected_components (the dissolve path)."""
     Q = 1e9
 
     _EMPTY_SEGS = {
@@ -427,12 +432,16 @@ def polygon_adjacency(
         b = np.concatenate(out_b)
         return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
 
-    return (
+    pairs = (
         features.map_batches(segment_rows, batch_format="pyarrow")
         .map_batches(add_bucket, batch_format="pyarrow")
         .groupby("__b")
         .map_groups(bucket_pairs, batch_format="pyarrow")
-        .groupby(["a", "b"])
+    )
+    if not dedupe:
+        return pairs
+    return (
+        pairs.groupby(["a", "b"])
         .aggregate(Count(alias_name="n"))
         .drop_columns(["n"])
     )
