@@ -699,6 +699,14 @@ def _q_pq_encode(sf_dir):
     return pq_encode(_emb(sf_dir), n_codes=8, n_sub=2)
 
 
+def _q_dsir_weights(sf_dir):
+    """DSIR importance weights toward the lang='en' slice
+    (georay/textops.py dsir_weights)."""
+    from georay.textops import dsir_weights
+
+    return dsir_weights(_docs(sf_dir), target_lang="en")
+
+
 def _q_embedding_pca(sf_dir):
     """Top principal direction by 5-superstep power iteration + per-vec
     projection (georay/ann.py power_pca)."""
@@ -1397,6 +1405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_iter": _q_kmeans_iter,
         "oov_rate": _q_oov_rate,
         "embedding_pca": _q_embedding_pca,
+        "dsir_weights": _q_dsir_weights,
         "graph_pagerank": _q_graph_pagerank,
         "image_ahash_dups": _q_image_ahash_dups,
         "cust_order_counts": _q_cust_order_counts,
@@ -3228,6 +3237,30 @@ def _oracle_sql_raw() -> dict[str, str]:
         "graph_pagerank": _pagerank_sql(5),
         "kmeans_iter": _kmeans_sql(8, 3),
         "embedding_pca": _pca_sql(5),
+        "dsir_weights": """
+            WITH dt AS (
+              SELECT doc_id, lang,
+                     UNNEST(regexp_split_to_array(TRIM(text), '\\s+')) AS word
+              FROM documents WHERE TRIM(text) <> ''
+            ),
+            c AS (SELECT word, COUNT(*) AS nr,
+                         COUNT(*) FILTER (WHERE lang = 'en') AS nt
+                  FROM dt GROUP BY word),
+            tot AS (SELECT SUM(nr) AS sr, SUM(nt) AS st, COUNT(*) AS v FROM c),
+            lp AS (SELECT word,
+                          CAST(FLOOR(ln((nt + 1.0) / (st + v)) * 1000000 + 0.5)
+                               AS BIGINT)
+                          - CAST(FLOOR(ln((nr + 1.0) / (sr + v)) * 1000000 + 0.5)
+                                 AS BIGINT) AS diff
+                   FROM c, tot),
+            agg AS (SELECT dt.doc_id, COUNT(*) AS n_tokens,
+                           SUM(lp.diff) AS w
+                    FROM dt JOIN lp USING (word) GROUP BY dt.doc_id)
+            SELECT d.doc_id,
+                   COALESCE(a.n_tokens, 0) AS n_tokens,
+                   CAST(COALESCE(a.w, 0) AS BIGINT) AS w_unats
+            FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        """,
         "oov_rate": """
             WITH toks AS (
               SELECT UNNEST(regexp_split_to_array(TRIM(text), '\\s+')) AS word

@@ -998,6 +998,101 @@ def vocab_ids(docs: ray.data.Dataset, vocab_size: int = 64):
     )
 
 
+def dsir_weights(docs: ray.data.Dataset, target_lang: str = "en"):
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
+    score every document by how much more likely its unigrams are
+    under a TARGET distribution (here: the ``target_lang`` slice) than
+    under the raw corpus — the data-selection signal used to resample
+    a web crawl toward a target domain.
+
+    weight(doc) = sum over tokens of [ln p_tgt(w) - ln p_raw(w)], with
+    add-one smoothing over the shared raw-corpus vocabulary and each
+    token log-prob quantized to integer micro-nats, so the per-doc
+    weight is an exact int64 sum (order-free, SQL-replayable).
+
+    Scale shape: ONE (word, n_raw, n_tgt) count shuffle (vocab-bounded,
+    pre-aggregated per batch), both LMs broadcast once, one scoring
+    pass — the unigram_logprob shape with a second count column.
+
+    Output: doc_id, n_tokens, w_unats (int64; positive = target-like)."""
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        toks: list = []
+        tgt: list = []
+        langs = batch["lang"].to_pylist()
+        for t, lg in zip(batch["text"].to_pylist(), langs):
+            ws = tokenize(t or "")
+            toks.extend(ws)
+            if lg == target_lang:
+                tgt.extend(ws)
+        if not toks:
+            return pa.table(
+                {
+                    "word": pa.array([], pa.string()),
+                    "nr": pa.array([], pa.int64()),
+                    "nt": pa.array([], pa.int64()),
+                }
+            )
+        uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        nt = np.zeros(len(uniq), dtype=np.int64)
+        if tgt:
+            tu, tc = np.unique(np.asarray(tgt, dtype=object), return_counts=True)
+            nt[np.searchsorted(uniq, tu)] = tc
+        return pa.table(
+            {
+                "word": pa.array(uniq.tolist(), pa.string()),
+                "nr": pa.array(counts, pa.int64()),
+                "nt": pa.array(nt, pa.int64()),
+            }
+        )
+
+    counts = (
+        docs.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("nr", alias_name="nr"), Sum("nt", alias_name="nt"))
+        .to_pandas()
+    )
+    if len(counts) == 0:
+        words_sorted = np.empty(0, dtype=object)
+        diff_unats = np.empty(0, dtype=np.int64)
+    else:
+        v = len(counts)
+        n_raw = int(counts["nr"].sum())
+        n_tgt = int(counts["nt"].sum())
+        words = counts["word"].to_numpy()
+        order = np.argsort(words, kind="stable")
+        words_sorted = words[order]
+        nr = counts["nr"].to_numpy()[order].astype(np.float64)
+        nt = counts["nt"].to_numpy()[order].astype(np.float64)
+        lt = np.floor(np.log((nt + 1.0) / (n_tgt + v)) * 1e6 + 0.5).astype(np.int64)
+        lr = np.floor(np.log((nr + 1.0) / (n_raw + v)) * 1e6 + 0.5).astype(np.int64)
+        diff_unats = lt - lr
+    handle = ray.put((words_sorted, diff_unats))
+
+    def score(batch: pa.Table, lm) -> pa.Table:
+        words_s, diff = lm
+        out_n, out_w = [], []
+        for t in batch["text"].to_pylist():
+            ws = tokenize(t or "")
+            out_n.append(len(ws))
+            if ws:
+                pos = np.searchsorted(words_s, np.asarray(ws, dtype=object))
+                out_w.append(int(diff[pos].sum()))
+            else:
+                out_w.append(0)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "n_tokens": pa.array(out_n, pa.int64()),
+                "w_unats": pa.array(out_w, pa.int64()),
+            }
+        )
+
+    from georay.relational import broadcast_map_batches
+
+    return broadcast_map_batches(docs, score, handle)
+
+
 def oov_rate(docs: ray.data.Dataset, vocab_size: int = 25):
     """Tokenizer-coverage scoring: per-doc out-of-vocabulary token
     fraction against the top-``vocab_size`` corpus vocabulary — the

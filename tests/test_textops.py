@@ -580,3 +580,57 @@ def test_oov_rate(ray_session):
         assert row["oov_permille"] == (
             n_oov * 1000 // len(toks) if toks else 0
         )
+
+
+def test_dsir_weights(ray_session):
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from georay.textops import dsir_weights, tokenize
+
+    docs = [
+        (0, "en", "alpha alpha beta"),
+        (1, "en", "alpha gamma"),
+        (2, "fr", "delta delta delta"),
+        (3, "fr", "alpha delta"),
+        (4, "en", ""),
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "lang": pa.array([d[1] for d in docs], pa.string()),
+            "text": pa.array([d[2] for d in docs], pa.string()),
+        }
+    )
+    out = (
+        dsir_weights(ray.data.from_arrow(t).repartition(3), target_lang="en")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # driver-side replay
+    raw, tgt = {}, {}
+    for _, lg, tx in docs:
+        for w in tokenize(tx):
+            raw[w] = raw.get(w, 0) + 1
+            if lg == "en":
+                tgt[w] = tgt.get(w, 0) + 1
+    v = len(raw)
+    nr = sum(raw.values())
+    nt = sum(tgt.values())
+    diff = {
+        w: math.floor(math.log((tgt.get(w, 0) + 1.0) / (nt + v)) * 1e6 + 0.5)
+        - math.floor(math.log((raw[w] + 1.0) / (nr + v)) * 1e6 + 0.5)
+        for w in raw
+    }
+    for did, _, tx in docs:
+        row = out[out["doc_id"] == did].iloc[0]
+        toks = tokenize(tx)
+        assert row["n_tokens"] == len(toks)
+        assert row["w_unats"] == sum(diff[w] for w in toks)
+    # the English-only docs must score above the French-only one
+    w = dict(zip(out["doc_id"], out["w_unats"]))
+    assert w[0] > w[2] and w[1] > w[2]
