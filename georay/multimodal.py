@@ -522,6 +522,34 @@ def _ahash16_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+_AHASH_REMOTES: list = []
+
+
+def _ahash_remotes():
+    """Lazily-built remote kernels (this module stays importable without
+    ray for the plain decode utilities)."""
+    if not _AHASH_REMOTES:
+        import ray
+
+        @ray.remote
+        def count_partial(block: pa.Table) -> np.ndarray:
+            if block.num_rows == 0:
+                return np.zeros(1 << 16, dtype=np.int64)
+            return np.bincount(
+                block["ahash"].to_numpy(zero_copy_only=False), minlength=1 << 16
+            )
+
+        @ray.remote
+        def count_merge(*parts):
+            out = parts[0].copy()
+            for p in parts[1:]:
+                out += p
+            return out
+
+        _AHASH_REMOTES.extend([count_partial, count_merge])
+    return _AHASH_REMOTES
+
+
 def image_ahash_dups(media):
     """Perceptual-hash (aHash) near-duplicate detection over the image
     corpus — the multimodal counterpart of textops' text dedup tier:
@@ -537,16 +565,22 @@ def image_ahash_dups(media):
     """
     import ray
 
+    from georay.textops import _tree_reduce
+
     hashed = (
         _kind(media, "image")
         .map_batches(_ahash16_batch, batch_format="pyarrow", batch_size=MEDIA_BATCH_SIZE)
         .materialize()
     )
-    counts = np.zeros(1 << 16, dtype=np.int64)
-    for t in ray.get(hashed.to_arrow_refs()):
-        counts += np.bincount(
-            t["ahash"].to_numpy(zero_copy_only=False), minlength=1 << 16
+    # collision counts as a remote fan-in over dense 2^16 bincounts —
+    # the driver receives ONE bounded array, never the per-image rows
+    count_partial, count_merge = _ahash_remotes()
+    counts = ray.get(
+        _tree_reduce(
+            [count_partial.remote(b) for b in hashed.to_arrow_refs()],
+            count_merge,
         )
+    )
     cmap_ref = ray.put(counts)
 
     def add_count(t: pa.Table) -> pa.Table:
