@@ -749,6 +749,24 @@ def _q_graph_pagerank(sf_dir):
     return pagerank(supplier_customer_edges(sf_dir), n_iters=5)
 
 
+def _q_heavy_hitters(sf_dir):
+    """Misra-Gries frequency-threshold heavy hitters (count*30 > corpus
+    total; georay/textops.py heavy_hitters) — mergeable-summary fan-in,
+    driver sees O(k) rows."""
+    from georay.textops import heavy_hitters
+
+    return heavy_hitters(_docs(sf_dir), k=30)
+
+
+def _q_quality_logreg(sf_dir):
+    """Hash-derived linear quality-classifier inference (georay/
+    textops.py quality_logreg): order-free integer token-weight sums,
+    label = score > 0."""
+    from georay.textops import quality_logreg
+
+    return quality_logreg(_docs(sf_dir))
+
+
 def _q_image_ahash_dups(sf_dir):
     """Perceptual-hash (4x4 aHash) image near-dup groups — multimodal
     dedup (georay/multimodal.py image_ahash_dups)."""
@@ -1408,6 +1426,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": _q_dsir_weights,
         "graph_pagerank": _q_graph_pagerank,
         "image_ahash_dups": _q_image_ahash_dups,
+        "heavy_hitters": _q_heavy_hitters,
+        "quality_logreg": _q_quality_logreg,
         "cust_order_counts": _q_cust_order_counts,
         "mktsegment_stats": _q_mktsegment_stats,
         "priority_line_counts": _q_priority_line_counts,
@@ -3290,6 +3310,38 @@ def _oracle_sql_raw() -> dict[str, str]:
                    COALESCE(a.n_oov, 0) AS n_oov,
                    CASE WHEN COALESCE(a.n_tokens, 0) = 0 THEN 0
                         ELSE (a.n_oov * 1000) // a.n_tokens END AS oov_permille
+            FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        """,
+        "heavy_hitters": """
+            WITH toks AS (
+              SELECT UNNEST(regexp_split_to_array(TRIM(text), '\\s+')) AS word
+              FROM documents WHERE TRIM(text) <> ''
+            ),
+            c AS (SELECT word, COUNT(*) AS n FROM toks GROUP BY word),
+            tot AS (SELECT COUNT(*) AS t FROM toks)
+            SELECT word, CAST(n AS BIGINT) AS n
+            FROM c, tot WHERE n * 30 > t
+            ORDER BY n DESC, word ASC
+        """,
+        "quality_logreg": """
+            WITH dt AS (
+              SELECT doc_id,
+                     UNNEST(regexp_split_to_array(TRIM(text), '\\s+')) AS word
+              FROM documents WHERE TRIM(text) <> ''
+            ),
+            w AS (
+              SELECT doc_id,
+                     CAST(CAST(('0x' || substr(sha256(word), 1, 16)) AS UBIGINT)
+                          % 2001 AS BIGINT) - 1000 AS wt
+              FROM dt
+            ),
+            agg AS (SELECT doc_id, COUNT(*) AS n_tokens, SUM(wt) AS score
+                    FROM w GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(a.n_tokens, 0) AS n_tokens,
+                   CAST(COALESCE(a.score, 0) AS BIGINT) AS score,
+                   CAST(CASE WHEN COALESCE(a.score, 0) > 0
+                             THEN 1 ELSE 0 END AS BIGINT) AS label
             FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
         """,
         "image_ahash_dups": f"""

@@ -2567,3 +2567,170 @@ def pmi_collocations(docs: ray.data.Dataset, k: int = 20, min_count: int = 5):
 
     scored = bi_ds.map_batches(score, batch_format="pyarrow")
     return scored.sort(["pmi_unats", "bigram"], descending=[True, False]).limit(k)
+
+
+# ------------------------------------------------- heavy hitters (MG)
+
+
+def _word_count_partials(t: pa.Table) -> pa.Table:
+    """Exact (word, n) counts of one batch's token stream."""
+    trimmed = pc.utf8_trim_whitespace(t["text"])
+    t2 = t.filter(pc.not_equal(trimmed, ""))
+    if t2.num_rows == 0:
+        return pa.table(
+            {"word": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+    toks = pc.list_flatten(
+        pc.utf8_split_whitespace(pc.utf8_trim_whitespace(t2["text"]))
+    )
+    uniq, counts = np.unique(toks.to_numpy(zero_copy_only=False), return_counts=True)
+    return pa.table(
+        {
+            "word": pa.array(uniq.tolist(), pa.string()),
+            "n": pa.array(counts.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def _group_sum_words(t: pa.Table) -> pa.Table:
+    g = t.group_by("word").aggregate([("n", "sum")])
+    return pa.table({"word": g["word"], "n": g["n_sum"].cast(pa.int64())})
+
+
+@ray.remote
+def _hh_total(*tables):
+    """Fan-in token-total: leaves are (word, n) partials, folded nodes
+    are 1-row {tot} tables; summing either column is exact."""
+    tot = 0
+    for t in tables:
+        col = "tot" if "tot" in t.column_names else "n"
+        tot += int(pc.sum(t[col]).as_py() or 0)
+    return pa.table({"tot": pa.array([tot], pa.int64())})
+
+
+@ray.remote
+def _hh_mg_merge(k: int, *tables):
+    """Misra-Gries fan-in (Agarwal et al. 2012, mergeable summaries):
+    sum the counter maps, then restore the <= k bound by subtracting
+    the (k+1)-th largest counter from all and dropping non-positives.
+    Any token with true frequency > total/(k+1) keeps a positive
+    counter through every fold, so the final table is a guaranteed
+    candidate superset for the n*k > total threshold."""
+    g = _group_sum_words(pa.concat_tables(tables))
+    n = g["n"].to_numpy(zero_copy_only=False)
+    if len(n) > k:
+        dec = np.partition(n, -(k + 1))[-(k + 1)]
+        n2 = n - dec
+        keep = n2 > 0
+        return pa.table(
+            {
+                "word": g["word"].filter(pa.array(keep)),
+                "n": pa.array(n2[keep], pa.int64()),
+            }
+        )
+    return g
+
+
+@ray.remote
+def _hh_exact_counts(words: tuple, *tables):
+    """Fan-in exact recount restricted to the candidate set (filter is
+    idempotent, group-sum associative, so one fn serves every level)."""
+    cand = pa.array(list(words), pa.string())
+    parts = [t.filter(pc.is_in(t["word"], value_set=cand)) for t in tables]
+    return _group_sum_words(pa.concat_tables(parts))
+
+
+def heavy_hitters(docs: ray.data.Dataset, k: int = 20):
+    """Frequency-threshold heavy hitters: every token whose EXACT count
+    n satisfies n * k > total_tokens (the streaming phi-frequent-items
+    primitive; reference analogue: the summary pass's per-column
+    category profiling, es6-lib summary semantics).
+
+    Scale shape: one stateless map_batches collapses each batch to
+    exact (word, n) partials, materialized ONCE; three remote fan-in
+    trees over the SAME block refs then produce (a) the corpus token
+    total, (b) a Misra-Gries candidate summary compressed back to
+    <= k counters at every fold (see _hh_mg_merge for the superset
+    guarantee), and (c) exact counts of the <= k candidates. The
+    driver only ever sees O(k) rows and two scalars; there is no
+    sort-based groupby shuffle and the distinct-word stream never
+    leaves the object store — at 100 TB the MG summary stays k rows
+    per fold regardless of vocabulary size.
+
+    Output: word, n (exact), ordered n DESC, word ASC."""
+    empty = pa.table(
+        {"word": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+    )
+    partials = docs.map_batches(
+        _word_count_partials, batch_format="pyarrow"
+    ).materialize()
+    refs = partials.to_arrow_refs()
+    if not refs:
+        return ray.data.from_arrow(empty)
+    tot_ref = _tree_reduce(list(refs), _hh_total)
+    mg_ref = _tree_reduce(list(refs), _hh_mg_merge, args=(k,))
+    tot_t, mg_t = ray.get([tot_ref, mg_ref])
+    tot_col = "tot" if "tot" in tot_t.column_names else "n"
+    total = int(pc.sum(tot_t[tot_col]).as_py() or 0)
+    cands = tuple(sorted(mg_t["word"].to_pylist()))
+    if total == 0 or not cands:
+        return ray.data.from_arrow(empty)
+    exact = ray.get(_tree_reduce(list(refs), _hh_exact_counts, args=(cands,)))
+    n = exact["n"].to_numpy(zero_copy_only=False)
+    final = exact.filter(pa.array(n * k > total)).sort_by(
+        [("n", "descending"), ("word", "ascending")]
+    )
+    return ray.data.from_arrow(final)
+
+
+# ------------------------------------------- linear quality classifier
+
+
+def quality_logreg(docs: ray.data.Dataset, w_mod: int = 2001, bias: int = 0):
+    """Broadcast linear-model inference — the quality-classifier gate a
+    web-corpus pipeline runs over every document (CCNet / GPT-3-style
+    logistic filter): score(doc) = bias + sum over token OCCURRENCES of
+    w(token), label = score > 0.
+
+    The 'model' here is hash-derived so the op is self-contained and
+    SQL-replayable: w(token) = (sha256-prefix-64(token) mod w_mod) -
+    (w_mod - 1)/2, a deterministic integer in [-(w_mod-1)/2,
+    +(w_mod-1)/2]. A learned vocab->weight map would ride the exact
+    same shape with the weight table read from a ray.put broadcast in
+    an actor __init__ (the decontam bounded-set contract); scoring
+    stays a stateless vectorized map_batches either way, and the
+    integer per-token quantization makes the doc sum order-free.
+
+    Output: doc_id, n_tokens, score (int64), label (int64 0/1)."""
+    half = (w_mod - 1) // 2
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(t["text"])
+        nonempty = pc.not_equal(trimmed, "").to_numpy(zero_copy_only=False)
+        n_rows = t.num_rows
+        n_tok = np.zeros(n_rows, dtype=np.int64)
+        score = np.full(n_rows, bias, dtype=np.int64)
+        if nonempty.any():
+            toks = pc.utf8_split_whitespace(
+                pc.utf8_trim_whitespace(t.filter(pa.array(nonempty))["text"])
+            ).combine_chunks()
+            offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            dl = np.diff(offs)
+            flat = toks.flatten().to_pylist()
+            w = (_hash64_strings(flat) % np.uint64(w_mod)).astype(np.int64) - half
+            idx = np.nonzero(nonempty)[0]
+            n_tok[idx] = dl
+            doc_of = np.repeat(np.arange(len(dl)), dl)
+            score[idx] += np.bincount(doc_of, weights=w, minlength=len(dl)).astype(
+                np.int64
+            )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "score": pa.array(score, pa.int64()),
+                "label": pa.array((score > 0).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return docs.map_batches(score_batch, batch_format="pyarrow")

@@ -634,3 +634,67 @@ def test_dsir_weights(ray_session):
     # the English-only docs must score above the French-only one
     w = dict(zip(out["doc_id"], out["w_unats"]))
     assert w[0] > w[2] and w[1] > w[2]
+
+
+def test_heavy_hitters_exact_threshold(ray_session):
+    import ray.data
+
+    # 20 'a', 6 'b', 5 'c', 4 'd' (total 35). k=6: n*6 > 35 -> a (120),
+    # b (36); c (30) and d (24) miss.
+    t = pa.table(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["a " * 20, "b " * 6 + "c " * 5, "d " * 4],
+        }
+    )
+    rows = textops.heavy_hitters(ray.data.from_arrow(t), k=6).take_all()
+    assert [(r["word"], r["n"]) for r in rows] == [("a", 20), ("b", 6)]
+
+
+def test_heavy_hitters_mg_compression_superset(ray_session):
+    import ray.data
+    import numpy as np
+
+    # Vocabulary (60 distinct) far exceeds k=5, forcing the Misra-Gries
+    # decrement at every fan-in; the one true heavy hitter must survive.
+    rng = np.random.default_rng(7)
+    texts = []
+    for i in range(400):
+        tail = " ".join(f"w{rng.integers(0, 60)}" for _ in range(3))
+        texts.append(("alpha " * 10) + tail)
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(400), pa.int64()), "text": texts})
+    ).repartition(8)
+    rows = textops.heavy_hitters(ds, k=5).take_all()
+    # alpha: 4000 of 5200 tokens; every w*: ~20 <= 5200/5.
+    assert [(r["word"], r["n"]) for r in rows] == [("alpha", 4000)]
+
+
+def test_heavy_hitters_empty(ray_session):
+    import ray.data
+
+    t = pa.table({"doc_id": [0], "text": ["   "]})
+    assert textops.heavy_hitters(ray.data.from_arrow(t), k=3).take_all() == []
+
+
+def test_quality_logreg_matches_brute(ray_session):
+    import hashlib
+    import ray.data
+
+    texts = ["hash join vector", "scan scan scan filter", "", "   ", "solo"]
+    t = pa.table({"doc_id": pa.array(range(5), pa.int64()), "text": texts})
+    rows = {
+        r["doc_id"]: r
+        for r in textops.quality_logreg(ray.data.from_arrow(t)).take_all()
+    }
+
+    def w(tok):
+        h = int.from_bytes(hashlib.sha256(tok.encode()).digest()[:8], "big")
+        return (h % 2001) - 1000
+
+    for i, txt in enumerate(texts):
+        toks = txt.split()
+        score = sum(w(x) for x in toks)
+        assert rows[i]["n_tokens"] == len(toks)
+        assert rows[i]["score"] == score
+        assert rows[i]["label"] == (1 if score > 0 else 0)
