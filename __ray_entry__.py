@@ -437,6 +437,15 @@ def _q_user_event_deltas(sf_dir):
     return user_event_deltas(sf_dir)
 
 
+def _q_event_transitions(sf_dir):
+    """Markov transition counts over per-user event sequences
+    (georay/relational.py event_transitions): one bucket shuffle,
+    integer-packed pair collapse per worker, tiny_key_sum finish."""
+    from georay.relational import event_transitions
+
+    return event_transitions(sf_dir)
+
+
 def _q_user_event_zscores(sf_dir):
     from georay.relational import user_event_zscores
 
@@ -1398,6 +1407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_collocations": _q_pmi_collocations,
         "curriculum_pack": _q_curriculum_pack,
         "user_event_deltas": _q_user_event_deltas,
+        "event_transitions": _q_event_transitions,
         "user_event_zscores": _q_user_event_zscores,
         "part_pair_counts": _q_part_pair_counts,
         "funnel_users": _q_funnel_users,
@@ -2267,6 +2277,18 @@ def _oracle_sql_raw() -> dict[str, str]:
                          CAST(ROUND(value * 100) AS BIGINT) AS val_c
                   FROM events)
             WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        """,
+        "event_transitions": """
+            WITH o AS (
+              SELECT user_id, event_type,
+                     LAG(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev_type
+              FROM events
+            )
+            SELECT prev_type, event_type, COUNT(*) AS n
+            FROM o WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type
+            ORDER BY prev_type, event_type
         """,
         "doc_rank_ntile": """
             SELECT doc_id, n_chars,

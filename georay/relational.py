@@ -2088,3 +2088,78 @@ def customers_without_urgent_orders(sf_dir: str):
         return pa.table({"c_custkey": t["key"].cast(pa.int64())})
 
     return agged.map_batches(finish, batch_format="pyarrow")
+
+
+def event_transitions(sf_dir: str):
+    """Markov transition counts over per-user event sequences: order
+    each user's events by (ts, event_id), pair every event with that
+    user's previous one, and count (prev_type, event_type) pairs
+    globally — the session-path / behavioral-model fit primitive.
+
+    Shape: ONE bucket shuffle on hash(user_id) % (4 x cpus) (the
+    user_event_deltas shape); inside a partition every user's lag
+    computes in one numpy pass (lexsort, shifted compare, user-change
+    mask), and the pair stream is collapsed to (prev, next, n)
+    partials via integer-packed np.unique BEFORE leaving the worker,
+    so the final aggregate moves one row per (bucket, distinct pair).
+    The type-pair key space is tiny, so the finish is a tiny_key_sum
+    fan-in tree, not a sort-groupby shuffle."""
+    n_parts = _n_partitions()
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": pa.array(uid, pa.int64()),
+                "us": t["ts"].cast(pa.int64()),
+                "event_type": t["event_type"],
+                "__bucket": pa.array(_hash_bucket(uid, n_parts), pa.int64()),
+            }
+        )
+
+    def pairs_bucket(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        us = t["us"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, us, uid))
+        uid, et = uid[order], et[order]
+        empty = pa.table(
+            {
+                "prev_type": pa.array([], pa.string()),
+                "event_type": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if len(uid) < 2:
+            return empty
+        same = uid[1:] == uid[:-1]
+        if not same.any():
+            return empty
+        # integer-pack the (prev, next) string pairs via a per-bucket
+        # type dictionary so the count is one np.unique, not a string
+        # groupby
+        types, codes = np.unique(et, return_inverse=True)
+        packed = codes[:-1][same] * len(types) + codes[1:][same]
+        u, counts = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "prev_type": pa.array(types[u // len(types)], pa.string()),
+                "event_type": pa.array(types[u % len(types)], pa.string()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    partials = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(pairs_bucket, batch_format="pyarrow")
+    )
+    return tiny_key_sum(
+        partials,
+        group_cols=["prev_type", "event_type"],
+        sum_cols=["n"],
+        sort_cols=["prev_type", "event_type"],
+    )

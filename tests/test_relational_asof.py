@@ -370,3 +370,52 @@ def test_orders_cube_levels(ray_session):
         ).fetchall()
     )
     assert dict(zip(by_s.o_orderstatus, by_s.n_orders)) == want
+
+
+def test_event_transitions_vs_duckdb(ray_session):
+    sf_dir_small = "/root/testdata/sf0.001"
+    import duckdb
+    import pandas as pd
+
+    from georay.relational import event_transitions
+
+    got = event_transitions(sf_dir_small).to_pandas().reset_index(drop=True)
+    exp = duckdb.connect().execute(
+        f"""
+        WITH o AS (SELECT user_id, event_type,
+                          LAG(event_type) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id) AS prev_type
+                   FROM read_parquet('{sf_dir_small}/events.parquet'))
+        SELECT prev_type, event_type, COUNT(*) AS n FROM o
+        WHERE prev_type IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_event_transitions_single_and_empty_users(ray_session):
+    # a user with one event contributes no pair; ties on ts break by
+    # event_id
+    import pyarrow as pa
+    import ray.data
+
+    from georay.relational import event_transitions
+
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "user_id": pa.array([7, 7, 7, 9], pa.int64()),
+            "ts": pa.array([100, 100, 200, 50], pa.timestamp("us")),
+            "event_type": ["a", "b", "a", "z"],
+        }
+    )
+    import os, tempfile
+    import pyarrow.parquet as pq
+
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        rows = event_transitions(d).take_all()
+    assert [(r["prev_type"], r["event_type"], r["n"]) for r in rows] == [
+        ("a", "b", 1),
+        ("b", "a", 1),
+    ]
