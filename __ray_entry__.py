@@ -758,6 +758,15 @@ def _q_graph_pagerank(sf_dir):
     return pagerank(supplier_customer_edges(sf_dir), n_iters=5)
 
 
+def _q_rrf_fusion(sf_dir):
+    """Hybrid-retrieval reciprocal-rank fusion of the BM25 lexical
+    ranking and query-0's dense cosine ranking (georay/textops.py
+    rrf_fusion): integer 1e9/(60+rank) contributions, k=20 both."""
+    from georay.textops import rrf_fusion
+
+    return rrf_fusion(_docs(sf_dir), _emb(sf_dir), BM25_TERMS, query_id=0, k=20)
+
+
 def _q_heavy_hitters(sf_dir):
     """Misra-Gries frequency-threshold heavy hitters (count*30 > corpus
     total; georay/textops.py heavy_hitters) — mergeable-summary fan-in,
@@ -1438,6 +1447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_ahash_dups": _q_image_ahash_dups,
         "heavy_hitters": _q_heavy_hitters,
         "quality_logreg": _q_quality_logreg,
+        "rrf_fusion": _q_rrf_fusion,
         "cust_order_counts": _q_cust_order_counts,
         "mktsegment_stats": _q_mktsegment_stats,
         "priority_line_counts": _q_priority_line_counts,
@@ -1495,6 +1505,74 @@ def _oracle_sf_dir() -> str:
     import os
 
     return os.environ.get("GEORAY_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+def _bm25_topk_sql(k: int) -> str:
+    """BM25 top-k replay (terms hash/join/vector, k1=1.2, b=0.75,
+    per-term contributions quantized to integer micro-units before the
+    sum). Shared by the bm25_topk oracle and the rrf_fusion stitch."""
+    return f"""
+            WITH t AS (
+              SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS w
+              FROM documents WHERE TRIM(text) <> ''
+            ),
+            d AS (
+              SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+                     CAST(len(list_filter(w, x -> x = 'hash')) AS BIGINT) AS tf0,
+                     CAST(len(list_filter(w, x -> x = 'join')) AS BIGINT) AS tf1,
+                     CAST(len(list_filter(w, x -> x = 'vector')) AS BIGINT) AS tf2
+              FROM t
+            ),
+            s AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(dl) AS BIGINT) AS tot,
+                     CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+                     CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+                     CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+              FROM d
+            ),
+            sc AS (
+              SELECT doc_id,
+                (CASE WHEN tf0 = 0 THEN 0 ELSE CAST(FLOOR(
+                   ln((n - df0 + 0.5)/(df0 + 0.5) + 1.0)
+                   * ((tf0 * 2.2) / (tf0 + 1.2*(1.0 - 0.75 + 0.75*(dl/(CAST(tot AS DOUBLE)/n)))))
+                   * 1000000 + 0.5) AS BIGINT) END)
+                + (CASE WHEN tf1 = 0 THEN 0 ELSE CAST(FLOOR(
+                   ln((n - df1 + 0.5)/(df1 + 0.5) + 1.0)
+                   * ((tf1 * 2.2) / (tf1 + 1.2*(1.0 - 0.75 + 0.75*(dl/(CAST(tot AS DOUBLE)/n)))))
+                   * 1000000 + 0.5) AS BIGINT) END)
+                + (CASE WHEN tf2 = 0 THEN 0 ELSE CAST(FLOOR(
+                   ln((n - df2 + 0.5)/(df2 + 0.5) + 1.0)
+                   * ((tf2 * 2.2) / (tf2 + 1.2*(1.0 - 0.75 + 0.75*(dl/(CAST(tot AS DOUBLE)/n)))))
+                   * 1000000 + 0.5) AS BIGINT) END)
+                AS bm25_micro
+              FROM d, s
+            ),
+            r AS (
+              SELECT doc_id, bm25_micro,
+                     row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS rn
+              FROM sc
+            )
+            SELECT CAST(rn AS BIGINT) AS rnk, doc_id, bm25_micro
+            FROM r WHERE rn <= {k}
+    """
+
+
+def _ann_topk_sql(qids: str, k: int) -> str:
+    """Brute cosine top-k replay (self excluded, 0-based rank). Shared
+    by the ann_topk oracle and the rrf_fusion stitch."""
+    return f"""
+            WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings WHERE vec_id IN ({qids})),
+            s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS sim
+                  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+            r AS (SELECT query_id, neighbor_id,
+                         ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY sim DESC, neighbor_id ASC) - 1 AS rank
+                  FROM s)
+            SELECT query_id, rank, neighbor_id FROM r WHERE rank < {k}
+    """
+
 
 _UNIGRAM_LM_SQL = """
             WITH t AS (SELECT doc_id, TRIM(text) AS tt FROM documents),
@@ -2670,50 +2748,25 @@ def _oracle_sql_raw() -> dict[str, str]:
         # vector): each term contribution floor(x*1e6+0.5)-quantized
         # BEFORE the sum, so the total is an order-free integer; rank
         # over (score desc, doc_id) AFTER quantization on both sides
-        "bm25_topk": """
-            WITH t AS (
-              SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS w
-              FROM documents WHERE TRIM(text) <> ''
+        "bm25_topk": _bm25_topk_sql(20),
+        # hybrid retrieval: stitch the two ranker replays, fuse with
+        # integer floor(1e9/(60+rank)) contributions (both 1-based)
+        "rrf_fusion": f"""
+            WITH lex AS ({_bm25_topk_sql(20)}),
+            den AS ({_ann_topk_sql("0", 20)}),
+            u AS (
+              SELECT doc_id, CAST(1000000000 // (60 + rnk) AS BIGINT) AS s
+              FROM lex
+              UNION ALL
+              SELECT neighbor_id AS doc_id,
+                     CAST(1000000000 // (60 + rank + 1) AS BIGINT) AS s
+              FROM den
             ),
-            d AS (
-              SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
-                     CAST(len(list_filter(w, x -> x = 'hash')) AS BIGINT) AS tf0,
-                     CAST(len(list_filter(w, x -> x = 'join')) AS BIGINT) AS tf1,
-                     CAST(len(list_filter(w, x -> x = 'vector')) AS BIGINT) AS tf2
-              FROM t
-            ),
-            s AS (
-              SELECT CAST(COUNT(*) AS BIGINT) AS n,
-                     CAST(SUM(dl) AS BIGINT) AS tot,
-                     CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
-                     CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
-                     CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
-              FROM d
-            ),
-            sc AS (
-              SELECT doc_id,
-                (CASE WHEN tf0 = 0 THEN 0 ELSE CAST(FLOOR(
-                   ln((n - df0 + 0.5)/(df0 + 0.5) + 1.0)
-                   * ((tf0 * 2.2) / (tf0 + 1.2*(1.0 - 0.75 + 0.75*(dl/(CAST(tot AS DOUBLE)/n)))))
-                   * 1000000 + 0.5) AS BIGINT) END)
-                + (CASE WHEN tf1 = 0 THEN 0 ELSE CAST(FLOOR(
-                   ln((n - df1 + 0.5)/(df1 + 0.5) + 1.0)
-                   * ((tf1 * 2.2) / (tf1 + 1.2*(1.0 - 0.75 + 0.75*(dl/(CAST(tot AS DOUBLE)/n)))))
-                   * 1000000 + 0.5) AS BIGINT) END)
-                + (CASE WHEN tf2 = 0 THEN 0 ELSE CAST(FLOOR(
-                   ln((n - df2 + 0.5)/(df2 + 0.5) + 1.0)
-                   * ((tf2 * 2.2) / (tf2 + 1.2*(1.0 - 0.75 + 0.75*(dl/(CAST(tot AS DOUBLE)/n)))))
-                   * 1000000 + 0.5) AS BIGINT) END)
-                AS bm25_micro
-              FROM d, s
-            ),
-            r AS (
-              SELECT doc_id, bm25_micro,
-                     row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS rn
-              FROM sc
-            )
-            SELECT CAST(rn AS BIGINT) AS rnk, doc_id, bm25_micro
-            FROM r WHERE rn <= 20
+            f AS (SELECT doc_id, SUM(s) AS rrf_nano FROM u GROUP BY doc_id)
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf_nano DESC, doc_id ASC)
+                        AS BIGINT) AS rnk,
+                   doc_id, CAST(rrf_nano AS BIGINT) AS rrf_nano
+            FROM f
         """,
         # sliding window of 32 tokens advancing by 24 (overlap 8); the
         # last chunk may be short; zero-token docs emit no chunks
@@ -2875,18 +2928,7 @@ def _oracle_sql_raw() -> dict[str, str]:
             SELECT 'grid' AS name, CAST(0 AS BIGINT) AS count,
                    'longlat' AS projection
         """,
-        "ann_topk": f"""
-            WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
-                       FROM embeddings WHERE vec_id IN (0, 1, 2, 3)),
-            s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
-                         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS sim
-                  FROM embeddings e, q WHERE e.vec_id <> q.qid),
-            r AS (SELECT query_id, neighbor_id,
-                         ROW_NUMBER() OVER (PARTITION BY query_id
-                                            ORDER BY sim DESC, neighbor_id ASC) - 1 AS rank
-                  FROM s)
-            SELECT query_id, rank, neighbor_id FROM r WHERE rank < {ANN_K}
-        """,
+        "ann_topk": _ann_topk_sql("0, 1, 2, 3", ANN_K),
         # kNN classification: majority label of the k nearest (same
         # ordering as ann_topk), vote ties -> the smallest label
         "knn_label_vote": f"""

@@ -2734,3 +2734,52 @@ def quality_logreg(docs: ray.data.Dataset, w_mod: int = 2001, bias: int = 0):
         )
 
     return docs.map_batches(score_batch, batch_format="pyarrow")
+
+
+# --------------------------------------------- reciprocal-rank fusion
+
+
+def rrf_fusion(
+    docs: ray.data.Dataset,
+    embeddings: ray.data.Dataset,
+    terms: tuple,
+    query_id: int,
+    k: int = 20,
+    c: int = 60,
+):
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of one
+    query's lexical and dense rankings — the hybrid-retrieval merge a
+    RAG corpus pipeline runs after BM25 and ANN: RRF(d) =
+    sum over rankers r of 1/(c + rank_r(d)), over the union of both
+    top-k lists (a doc missing from one list contributes nothing for
+    it).
+
+    Each contribution is the INTEGER floor(1e9/(c + rank)) so the sum
+    is order-free and SQL-replayable; ranks are 1-based in both
+    rankers here (bm25_topk emits 1-based rnk, ann_topk 0-based rank).
+
+    Scale shape: all heavy lifting is inside the two underlying
+    operators (each already fan-in bounded); their outputs are k-row
+    tables BY CONTRACT, so the fuse itself is a driver-side O(k)
+    dictionary merge — the only driver materialization in the op.
+
+    Output: rnk (1-based, ties by doc_id), doc_id, rrf_nano."""
+    lex = bm25_topk(docs, terms, k=k).to_pylist()  # k-row pa.Table
+    den = ann_topk(embeddings, [int(query_id)], k=k).take_all()
+    scores: dict = {}
+    for r in lex:
+        d = int(r["doc_id"])
+        scores[d] = scores.get(d, 0) + 10**9 // (c + int(r["rnk"]))
+    for r in den:
+        d = int(r["neighbor_id"])
+        scores[d] = scores.get(d, 0) + 10**9 // (c + int(r["rank"]) + 1)
+    ids = sorted(scores, key=lambda d: (-scores[d], d))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "rnk": pa.array(np.arange(1, len(ids) + 1), pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "rrf_nano": pa.array([scores[d] for d in ids], pa.int64()),
+            }
+        )
+    )

@@ -698,3 +698,44 @@ def test_quality_logreg_matches_brute(ray_session):
         assert rows[i]["n_tokens"] == len(toks)
         assert rows[i]["score"] == score
         assert rows[i]["label"] == (1 if score > 0 else 0)
+
+
+def test_rrf_fusion_math(ray_session):
+    import ray.data
+
+    # doc 0 matches both rankers; construct a corpus where doc 0 is
+    # lexically best for 'hash' AND embedding-nearest to query vec 9.
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": ["hash hash hash", "hash join", "scan filter"],
+        }
+    )
+    emb = pa.table(
+        {
+            "vec_id": pa.array([0, 1, 2, 9], pa.int64()),
+            "embedding": pa.array(
+                [[1.0, 0.0], [0.0, 1.0], [0.7, 0.7], [0.99, 0.1]],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0, 0, 0, 0], pa.int64()),
+        }
+    )
+    rows = textops.rrf_fusion(
+        ray.data.from_arrow(docs),
+        ray.data.from_arrow(emb),
+        ("hash", "join", "vector"),
+        query_id=9,
+        k=2,
+        c=60,
+    ).take_all()
+    by_id = {r["doc_id"]: r for r in rows}
+    # lexical: doc1 rnk1 (matches the rarer 'join'), doc0 rnk2;
+    # dense (query 9): vec0 rank 1, vec2 rank 2 (1-based contributions)
+    b = 10**9
+    assert by_id[0]["rrf_nano"] == b // 62 + b // 61
+    assert by_id[1]["rrf_nano"] == b // 61
+    assert by_id[2]["rrf_nano"] == b // 62
+    # doc0 is the only doc on BOTH lists -> fused winner
+    assert rows[0]["doc_id"] == 0 and rows[0]["rnk"] == 1
+    assert [r["doc_id"] for r in rows[1:]] == [1, 2]
