@@ -437,6 +437,15 @@ def _q_user_event_deltas(sf_dir):
     return user_event_deltas(sf_dir)
 
 
+def _q_mad_outliers(sf_dir):
+    """Per-supplier robust price profile — exact integer 2x-median /
+    4x-MAD order statistics and the 1.5-MAD Tukey fence count
+    (georay/relational.py mad_outliers)."""
+    from georay.relational import mad_outliers
+
+    return mad_outliers(sf_dir)
+
+
 def _q_event_transitions(sf_dir):
     """Markov transition counts over per-user event sequences
     (georay/relational.py event_transitions): one bucket shuffle,
@@ -1417,6 +1426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curriculum_pack": _q_curriculum_pack,
         "user_event_deltas": _q_user_event_deltas,
         "event_transitions": _q_event_transitions,
+        "mad_outliers": _q_mad_outliers,
         "user_event_zscores": _q_user_event_zscores,
         "part_pair_counts": _q_part_pair_counts,
         "funnel_users": _q_funnel_users,
@@ -2355,6 +2365,31 @@ def _oracle_sql_raw() -> dict[str, str]:
                          CAST(ROUND(value * 100) AS BIGINT) AS val_c
                   FROM events)
             WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        """,
+        # robust per-supplier outlier profile: 2x-median and 4x-MAD are
+        # exact integer order-statistic sums; the fence is the integer
+        # test 4*|2c-med2| > 3*mad4 (= |x-med| > 1.5*MAD)
+        "mad_outliers": """
+            WITH li AS (
+              SELECT l_suppkey AS suppkey,
+                     CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c
+              FROM lineitem
+            ),
+            m AS (SELECT suppkey, COUNT(*) AS n,
+                         CAST(ROUND(2 * MEDIAN(c)) AS BIGINT) AS med2
+                  FROM li GROUP BY suppkey),
+            d AS (SELECT li.suppkey, ABS(2 * li.c - m.med2) AS dev
+                  FROM li JOIN m USING (suppkey)),
+            md AS (SELECT suppkey,
+                          CAST(ROUND(2 * MEDIAN(dev)) AS BIGINT) AS mad4
+                   FROM d GROUP BY suppkey),
+            o AS (SELECT d.suppkey,
+                         COUNT(*) FILTER (WHERE 4 * d.dev > 3 * md.mad4) AS n_outliers
+                  FROM d JOIN md USING (suppkey) GROUP BY d.suppkey)
+            SELECT m.suppkey, m.n, m.med2 AS med2_cents,
+                   md.mad4 AS mad4_cents, o.n_outliers
+            FROM m JOIN md USING (suppkey) JOIN o USING (suppkey)
+            ORDER BY m.suppkey
         """,
         "event_transitions": """
             WITH o AS (

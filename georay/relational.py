@@ -2163,3 +2163,77 @@ def event_transitions(sf_dir: str):
         sum_cols=["n"],
         sort_cols=["prev_type", "event_type"],
     )
+
+
+def mad_outliers(sf_dir: str):
+    """Robust per-supplier price-outlier profile: per l_suppkey, the
+    exact median and MAD (median absolute deviation) of
+    l_extendedprice, and how many of the supplier's line items fall
+    outside the Tukey-style robust fence |x - med| > 1.5*MAD — the
+    heavy-tail-safe anomaly screen (z-scores break on skewed prices;
+    the 1.5 multiplier is the IQR-fence convention, and unlike a
+    3-sigma rule it is non-degenerate on bounded distributions).
+
+    Exactness contract: prices quantize to integer cents; med2 = 2x
+    median (always an integer: the sum of the two middle order
+    statistics), mad4 = 4x MAD on the same trick, so both sides
+    compare integers and the fence test |x-med| > 1.5*MAD becomes
+    4*|2c - med2| > 3*mad4 with no float in sight.
+
+    Shape: ONE bucket shuffle on hash(suppkey) % (4 x cpus); inside a
+    bucket EVERY supplier's two order-statistic extractions run in the
+    same two numpy passes (lexsort by (supp, cents) -> middle indices
+    via group starts/counts; then lexsort the deviations within the
+    still-contiguous groups). Per-group state never leaves the worker;
+    the output is one row per supplier. Assumes a single supplier's
+    rows fit one worker (the same contract as every map_groups op
+    here); the 100-TB escape hatch for a pathological hot key is the
+    histogram_quantile sketch."""
+    n_parts = _n_partitions()
+    ds = _read(sf_dir, "lineitem", columns=["l_suppkey", "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        supp = t["l_suppkey"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "suppkey": pa.array(supp, pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+                "__bucket": pa.array(_hash_bucket(supp, n_parts), pa.int64()),
+            }
+        )
+
+    def mad_bucket(t: pa.Table) -> pa.Table:
+        supp = t["suppkey"].to_numpy(zero_copy_only=False)
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((c, supp))
+        supp, c = supp[order], c[order]
+        starts = np.r_[0, np.nonzero(np.diff(supp))[0] + 1]
+        counts = np.diff(np.r_[starts, len(supp)])
+        lo = starts + (counts - 1) // 2
+        hi = starts + counts // 2
+        med2 = c[lo] + c[hi]
+        dev = np.abs(2 * c - np.repeat(med2, counts))
+        # groups stay contiguous in the same order: in-group dev sort
+        dev_s = dev[np.lexsort((dev, supp))]
+        mad4 = dev_s[lo] + dev_s[hi]
+        out = 4 * dev > 3 * np.repeat(mad4, counts)
+        n_out = np.add.reduceat(out, starts) if len(supp) else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "suppkey": pa.array(supp[starts], pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+                "med2_cents": pa.array(med2, pa.int64()),
+                "mad4_cents": pa.array(mad4, pa.int64()),
+                "n_outliers": pa.array(n_out.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(mad_bucket, batch_format="pyarrow")
+        .sort("suppkey")
+    )

@@ -50,3 +50,57 @@ def test_dim_side_decision(sf_dir, monkeypatch):
     monkeypatch.setenv("GEORAY_BROADCAST_BUDGET", "1")
     mode, payload = rel.dim_side(sf_dir, "customer", columns=["c_custkey"])
     assert mode == "bucket" and hasattr(payload, "map_batches")
+
+
+def test_mad_outliers_order_statistics(ray_session):
+    # hand-computable group: supplier 1 prices [1, 2, 3, 4, 100] ->
+    # med=3 (med2=600 cents), devs |x-3| = [2,1,0,1,97] -> MAD=1
+    # (mad4=400), fence |x-3| > 1.5 -> {1, 100} = 2 outliers.
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from georay.relational import mad_outliers
+
+    t = pa.table(
+        {
+            "l_suppkey": pa.array([1, 1, 1, 1, 1, 2], pa.int64()),
+            "l_extendedprice": pa.array([1.0, 2.0, 3.0, 4.0, 100.0, 7.0]),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "lineitem.parquet"))
+        rows = mad_outliers(d).take_all()
+    assert [
+        (r["suppkey"], r["n"], r["med2_cents"], r["mad4_cents"], r["n_outliers"])
+        for r in rows
+    ] == [(1, 5, 600, 400, 2), (2, 1, 1400, 0, 0)]
+
+
+def test_mad_outliers_even_count_interpolation(ray_session):
+    # even group: [10, 20, 30, 40] -> med2 = 2000+3000 = 5000 (med 25),
+    # devs = [15,5,5,15] -> sorted dev2 = [1000,1000,3000,3000],
+    # mad4 = 1000+3000 = 4000 (MAD 10), fence |x-25| > 15 -> none.
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from georay.relational import mad_outliers
+
+    t = pa.table(
+        {
+            "l_suppkey": pa.array([5, 5, 5, 5], pa.int64()),
+            "l_extendedprice": pa.array([10.0, 20.0, 30.0, 40.0]),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "lineitem.parquet"))
+        rows = mad_outliers(d).take_all()
+    assert [
+        (r["suppkey"], r["n"], r["med2_cents"], r["mad4_cents"], r["n_outliers"])
+        for r in rows
+    ] == [(5, 4, 5000, 4000, 0)]
