@@ -767,6 +767,14 @@ def _q_graph_pagerank(sf_dir):
     return pagerank(supplier_customer_edges(sf_dir), n_iters=5)
 
 
+def _q_kwic_snippets(sf_dir):
+    """Keyword-in-context span extraction for 'vector' (+-20 chars),
+    vectorized buffer gather (georay/textops.py kwic_snippets)."""
+    from georay.textops import kwic_snippets
+
+    return kwic_snippets(_docs(sf_dir), term="vector", window=20)
+
+
 def _q_rrf_fusion(sf_dir):
     """Hybrid-retrieval reciprocal-rank fusion of the BM25 lexical
     ranking and query-0's dense cosine ranking (georay/textops.py
@@ -1458,6 +1466,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": _q_heavy_hitters,
         "quality_logreg": _q_quality_logreg,
         "rrf_fusion": _q_rrf_fusion,
+        "kwic_snippets": _q_kwic_snippets,
         "cust_order_counts": _q_cust_order_counts,
         "mktsegment_stats": _q_mktsegment_stats,
         "priority_line_counts": _q_priority_line_counts,
@@ -3410,6 +3419,16 @@ def _oracle_sql_raw() -> dict[str, str]:
                    CASE WHEN COALESCE(a.n_tokens, 0) = 0 THEN 0
                         ELSE (a.n_oov * 1000) // a.n_tokens END AS oov_permille
             FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        """,
+        # first-occurrence KWIC window: pos is 0-based, snippet is the
+        # clipped [pos-20, pos+len('vector')+20) span
+        "kwic_snippets": """
+            WITH p AS (SELECT doc_id, text, strpos(text, 'vector') AS sp
+                       FROM documents)
+            SELECT doc_id, CAST(sp - 1 AS BIGINT) AS pos,
+                   substr(text, GREATEST(sp - 20, 1),
+                          sp + 25 - GREATEST(sp - 21, 0)) AS snippet
+            FROM p WHERE sp > 0
         """,
         "heavy_hitters": """
             WITH toks AS (

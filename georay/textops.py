@@ -2783,3 +2783,73 @@ def rrf_fusion(
             }
         )
     )
+
+
+# --------------------------------------------- keyword-in-context
+
+
+def kwic_snippets(docs: ray.data.Dataset, term: str = "vector", window: int = 20):
+    """Keyword-in-context extraction: for every document containing
+    ``term``, the 0-based position of its FIRST occurrence and the
+    surrounding snippet text[max(0, pos-window) : pos+len(term)+window]
+    — the span-extraction primitive behind search previews, eval-leak
+    inspection and targeted context mining.
+
+    Fully vectorized span gather: pc.find_substring gives every match
+    position in one kernel; the snippets are materialized by a single
+    numpy fancy-index into the batch's EXISTING utf8 data buffer
+    (repeat + arange index construction), then rewrapped as an Arrow
+    string array via from_buffers — no per-row Python slicing anywhere.
+    Positions are codeunit (byte) offsets; on ASCII corpora (this
+    synthetic corpus is lowercase ASCII) they coincide with the
+    character positions DuckDB's strpos/substr replay uses.
+
+    Output: doc_id, pos (int64), snippet — docs without the term emit
+    no row."""
+    tl = len(term)
+
+    def snip_batch(t: pa.Table) -> pa.Table:
+        arr = t["text"].combine_chunks()
+        pos_all = pc.find_substring(arr, pattern=term)
+        keep = pc.greater_equal(pos_all, 0)
+        n_keep = int(pc.sum(pc.cast(keep, pa.int64())).as_py() or 0)
+        if n_keep == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                    "snippet": pa.array([], pa.string()),
+                }
+            )
+        ids = t["doc_id"].filter(keep)
+        arr2 = arr.filter(keep)
+        pos = pos_all.filter(keep).to_numpy(zero_copy_only=False).astype(np.int64)
+        off0 = arr2.offset
+        raw_offs = np.frombuffer(arr2.buffers()[1], dtype=np.int32)
+        offsets = raw_offs[off0 : off0 + len(arr2) + 1].astype(np.int64)
+        buf_np = np.frombuffer(arr2.buffers()[2], dtype=np.uint8)
+        lens = np.diff(offsets)
+        s_loc = np.maximum(pos - window, 0)
+        e_loc = np.minimum(lens, pos + tl + window)
+        L = e_loc - s_loc
+        new_offs = np.zeros(len(L) + 1, dtype=np.int64)
+        np.cumsum(L, out=new_offs[1:])
+        base = np.repeat(offsets[:-1] + s_loc, L)
+        intra = np.arange(int(new_offs[-1]), dtype=np.int64) - np.repeat(
+            new_offs[:-1], L
+        )
+        vals = buf_np[base + intra]
+        snippet = pa.StringArray.from_buffers(
+            len(L),
+            pa.py_buffer(new_offs.astype(np.int32).tobytes()),
+            pa.py_buffer(vals.tobytes()),
+        )
+        return pa.table(
+            {
+                "doc_id": ids.cast(pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+                "snippet": snippet,
+            }
+        )
+
+    return docs.map_batches(snip_batch, batch_format="pyarrow")

@@ -739,3 +739,31 @@ def test_rrf_fusion_math(ray_session):
     # doc0 is the only doc on BOTH lists -> fused winner
     assert rows[0]["doc_id"] == 0 and rows[0]["rnk"] == 1
     assert [r["doc_id"] for r in rows[1:]] == [1, 2]
+
+
+def test_kwic_snippets_edges(ray_session):
+    import ray.data
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "text": [
+                "vector at the very start of this line padded out",
+                "a match of vector in the middle here padded padded",
+                "this one ends exactly with the word vector",
+                "no match in this document at all",
+                "vector vector twice but only the first one counts",
+            ],
+        }
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in textops.kwic_snippets(
+            ray.data.from_arrow(t), term="vector", window=5
+        ).take_all()
+    }
+    assert 3 not in rows
+    assert rows[0]["pos"] == 0 and rows[0]["snippet"] == "vector at t"
+    assert rows[1]["pos"] == 11 and rows[1]["snippet"] == "h of vector in th"
+    assert rows[2]["pos"] == 36 and rows[2]["snippet"] == " word vector"
+    assert rows[4]["pos"] == 0 and rows[4]["snippet"] == "vector vect"
