@@ -764,6 +764,6 @@ def test_kwic_snippets_edges(ray_session):
     }
     assert 3 not in rows
     assert rows[0]["pos"] == 0 and rows[0]["snippet"] == "vector at t"
-    assert rows[1]["pos"] == 11 and rows[1]["snippet"] == "h of vector in th"
-    assert rows[2]["pos"] == 36 and rows[2]["snippet"] == " word vector"
+    assert rows[1]["pos"] == 11 and rows[1]["snippet"] == "h of vector in t"
+    assert rows[2]["pos"] == 36 and rows[2]["snippet"] == "word vector"
     assert rows[4]["pos"] == 0 and rows[4]["snippet"] == "vector vect"
