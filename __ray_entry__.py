@@ -767,6 +767,15 @@ def _q_graph_pagerank(sf_dir):
     return pagerank(supplier_customer_edges(sf_dir), n_iters=5)
 
 
+def _q_temperature_mix(sf_dir):
+    """alpha=1/2 temperature-scaled per-source sampling weights
+    (georay/textops.py temperature_mix) — integer-quantized sqrt
+    numerators, integer-division ppm weights."""
+    from georay.textops import temperature_mix
+
+    return temperature_mix(_docs(sf_dir), alpha_num=1, alpha_den=2)
+
+
 def _q_kwic_snippets(sf_dir):
     """Keyword-in-context span extraction for 'vector' (+-20 chars),
     vectorized buffer gather (georay/textops.py kwic_snippets)."""
@@ -1467,6 +1476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_logreg": _q_quality_logreg,
         "rrf_fusion": _q_rrf_fusion,
         "kwic_snippets": _q_kwic_snippets,
+        "temperature_mix": _q_temperature_mix,
         "cust_order_counts": _q_cust_order_counts,
         "mktsegment_stats": _q_mktsegment_stats,
         "priority_line_counts": _q_priority_line_counts,
@@ -3419,6 +3429,20 @@ def _oracle_sql_raw() -> dict[str, str]:
                    CASE WHEN COALESCE(a.n_tokens, 0) = 0 THEN 0
                         ELSE (a.n_oov * 1000) // a.n_tokens END AS oov_permille
             FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        """,
+        # alpha=1/2 temperature weights: sqrt numerators quantized to
+        # integer micro-units, weights by integer division (exact)
+        "temperature_mix": """
+            WITH c AS (SELECT source, COUNT(*) AS n_docs
+                       FROM documents GROUP BY source),
+            q AS (SELECT source, n_docs,
+                         CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE)) * 1000000 + 0.5)
+                              AS BIGINT) AS num_micro
+                  FROM c),
+            s AS (SELECT CAST(SUM(num_micro) AS BIGINT) AS den FROM q)
+            SELECT source, n_docs, num_micro,
+                   CAST(num_micro * 1000000 // den AS BIGINT) AS weight_ppm
+            FROM q, s ORDER BY source
         """,
         # first-occurrence KWIC window: pos is 0-based, snippet is the
         # clipped [pos-20, pos+len('vector')+20) span

@@ -2853,3 +2853,66 @@ def kwic_snippets(docs: ray.data.Dataset, term: str = "vector", window: int = 20
         )
 
     return docs.map_batches(snip_batch, batch_format="pyarrow")
+
+
+# --------------------------------------------- temperature mixing
+
+
+def temperature_mix(docs: ray.data.Dataset, alpha_num: int = 1, alpha_den: int = 2):
+    """Temperature-scaled domain sampling weights (the multilingual /
+    multi-domain rebalancing rule of mBERT/XLM-R and Gopher's data
+    mixing): w_i proportional to c_i^alpha with alpha = alpha_num /
+    alpha_den (default 1/2), flattening the head domains and boosting
+    the tail.
+
+    Determinism: c_i^alpha is quantized to integer micro-units FIRST
+    (num_micro = floor(c^alpha * 1e6 + 0.5) — exact for perfect powers,
+    irrational otherwise so the .5 boundary is unreachable), and the
+    normalized weight is the INTEGER division num_micro * 1e6 //
+    sum(num_micro), so both engines divide the same two integers.
+
+    Scale shape: per-batch (source, n) partials then a tiny_key_sum
+    fan-in (domain cardinality is tiny by contract); the driver-side
+    normalization is O(domains).
+
+    Output: source, n_docs, num_micro, weight_ppm — source ASC."""
+    from georay.relational import tiny_key_sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        src, counts = np.unique(
+            t["source"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {
+                "source": pa.array(src.tolist(), pa.string()),
+                "n_docs": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    counted = tiny_key_sum(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        group_cols=["source"],
+        sum_cols=["n_docs"],
+        sort_cols=["source"],
+    )
+    t = pa.concat_tables(ray.get(counted.materialize().to_arrow_refs()))
+    n = t["n_docs"].to_numpy(zero_copy_only=False).astype(np.float64)
+    if (alpha_num, alpha_den) == (1, 2):
+        # IEEE sqrt is correctly rounded on BOTH engines (pow(x, 0.5)
+        # is not guaranteed to be): bit-identical to SQL's SQRT
+        powed = np.sqrt(n)
+    else:
+        powed = np.power(n, alpha_num / alpha_den)
+    num = np.floor(powed * 1e6 + 0.5).astype(np.int64)
+    den = int(num.sum())
+    wppm = (num * 1_000_000) // den if den else num
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "source": t["source"],
+                "n_docs": t["n_docs"],
+                "num_micro": pa.array(num, pa.int64()),
+                "weight_ppm": pa.array(wppm, pa.int64()),
+            }
+        )
+    )

@@ -767,3 +767,21 @@ def test_kwic_snippets_edges(ray_session):
     assert rows[1]["pos"] == 11 and rows[1]["snippet"] == "h of vector in t"
     assert rows[2]["pos"] == 36 and rows[2]["snippet"] == "word vector"
     assert rows[4]["pos"] == 0 and rows[4]["snippet"] == "vector vect"
+
+
+def test_temperature_mix_sqrt_weights(ray_session):
+    import ray.data
+
+    # counts 16, 4, 4 -> sqrt 4, 2, 2 -> weights 1/2, 1/4, 1/4
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(24), pa.int64()),
+            "source": ["a"] * 16 + ["b"] * 4 + ["c"] * 4,
+        }
+    )
+    rows = textops.temperature_mix(ray.data.from_arrow(t)).take_all()
+    assert [(r["source"], r["n_docs"], r["num_micro"], r["weight_ppm"]) for r in rows] == [
+        ("a", 16, 4_000_000, 500_000),
+        ("b", 4, 2_000_000, 250_000),
+        ("c", 4, 2_000_000, 250_000),
+    ]
