@@ -767,6 +767,14 @@ def _q_graph_pagerank(sf_dir):
     return pagerank(supplier_customer_edges(sf_dir), n_iters=5)
 
 
+def _q_hash_features(sf_dir):
+    """Signed 16-dim feature-hashing vectors per doc, sparse explosion
+    (georay/textops.py hash_features)."""
+    from georay.textops import hash_features
+
+    return hash_features(_docs(sf_dir), n_dims=16)
+
+
 def _q_temperature_mix(sf_dir):
     """alpha=1/2 temperature-scaled per-source sampling weights
     (georay/textops.py temperature_mix) — integer-quantized sqrt
@@ -1477,6 +1485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_fusion": _q_rrf_fusion,
         "kwic_snippets": _q_kwic_snippets,
         "temperature_mix": _q_temperature_mix,
+        "hash_features": _q_hash_features,
         "cust_order_counts": _q_cust_order_counts,
         "mktsegment_stats": _q_mktsegment_stats,
         "priority_line_counts": _q_priority_line_counts,
@@ -3429,6 +3438,24 @@ def _oracle_sql_raw() -> dict[str, str]:
                    CASE WHEN COALESCE(a.n_tokens, 0) = 0 THEN 0
                         ELSE (a.n_oov * 1000) // a.n_tokens END AS oov_permille
             FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        """,
+        # signed hashing trick: bucket = sha-prefix-64 % 16, sign from
+        # hash bit 32; nonzero cells only
+        "hash_features": """
+            WITH dt AS (
+              SELECT doc_id,
+                     UNNEST(regexp_split_to_array(TRIM(text), '\\s+')) AS word
+              FROM documents WHERE TRIM(text) <> ''
+            ),
+            h AS (SELECT doc_id,
+                         CAST(('0x' || substr(sha256(word), 1, 16)) AS UBIGINT) AS hv
+                  FROM dt),
+            f AS (SELECT doc_id, CAST(hv % 16 AS BIGINT) AS dim,
+                         CASE WHEN (hv >> 32) & 1 = 1 THEN 1 ELSE -1 END AS s
+                  FROM h),
+            agg AS (SELECT doc_id, dim, CAST(SUM(s) AS BIGINT) AS val
+                    FROM f GROUP BY doc_id, dim)
+            SELECT doc_id, dim, val FROM agg WHERE val <> 0
         """,
         # alpha=1/2 temperature weights: sqrt numerators quantized to
         # integer micro-units, weights by integer division (exact)

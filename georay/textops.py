@@ -2916,3 +2916,63 @@ def temperature_mix(docs: ray.data.Dataset, alpha_num: int = 1, alpha_den: int =
             }
         )
     )
+
+
+# --------------------------------------------- feature hashing
+
+
+def hash_features(docs: ray.data.Dataset, n_dims: int = 16):
+    """Signed feature hashing (the Weinberger et al. 2009 hashing
+    trick): each token occurrence lands in bucket h % n_dims with sign
+    +-1 taken from an independent hash bit (bit 32), giving every
+    document a fixed-width integer feature vector with unbiased inner
+    products — the classical way to featurize an unbounded vocabulary
+    for a linear model without building a vocab table first.
+
+    Stateless vectorized map_batches (sha256-prefix token hashes are
+    memoized per worker); the per-doc accumulation is ONE np.bincount
+    over doc_local * n_dims + bucket packed keys. Output is the sparse
+    explosion (doc_id, dim, val) of the nonzero cells, so downstream
+    ops join on (doc_id, dim) without materializing zeros.
+
+    Output: doc_id, dim (0..n_dims-1), val (int64) — nonzero only."""
+
+    def feat_batch(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "dim": pa.array([], pa.int64()),
+                "val": pa.array([], pa.int64()),
+            }
+        )
+        trimmed = pc.utf8_trim_whitespace(t["text"])
+        keep = pc.not_equal(trimmed, "")
+        t2 = t.filter(keep)
+        if t2.num_rows == 0:
+            return empty
+        toks = pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(t2["text"])
+        ).combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        dl = np.diff(offs)
+        h = _hash64_strings(toks.flatten().to_pylist())
+        bucket = (h % np.uint64(n_dims)).astype(np.int64)
+        sign = (((h >> np.uint64(32)) & np.uint64(1)).astype(np.int64) * 2) - 1
+        doc_of = np.repeat(np.arange(len(dl)), dl)
+        packed = doc_of * n_dims + bucket
+        acc = np.bincount(
+            packed, weights=sign, minlength=len(dl) * n_dims
+        ).astype(np.int64)
+        nz = np.nonzero(acc)[0]
+        if not len(nz):
+            return empty
+        ids = t2["doc_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[nz // n_dims], pa.int64()),
+                "dim": pa.array(nz % n_dims, pa.int64()),
+                "val": pa.array(acc[nz], pa.int64()),
+            }
+        )
+
+    return docs.map_batches(feat_batch, batch_format="pyarrow")

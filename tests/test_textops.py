@@ -785,3 +785,26 @@ def test_temperature_mix_sqrt_weights(ray_session):
         ("b", 4, 2_000_000, 250_000),
         ("c", 4, 2_000_000, 250_000),
     ]
+
+
+def test_hash_features_signed_counts(ray_session):
+    import hashlib
+
+    import numpy as np
+    import ray.data
+
+    texts = ["hash join join", "", "vector"]
+    t = pa.table({"doc_id": pa.array(range(3), pa.int64()), "text": texts})
+    rows = textops.hash_features(ray.data.from_arrow(t), n_dims=8).take_all()
+
+    def cell(tok):
+        h = int.from_bytes(hashlib.sha256(tok.encode()).digest()[:8], "big")
+        return h % 8, 1 if (h >> 32) & 1 else -1
+
+    exp = {}
+    for d, tok in [(0, "hash"), (0, "join"), (0, "join"), (2, "vector")]:
+        dim, s = cell(tok)
+        exp[(d, dim)] = exp.get((d, dim), 0) + s
+    exp = {k: v for k, v in exp.items() if v != 0}
+    got = {(r["doc_id"], r["dim"]): r["val"] for r in rows}
+    assert got == exp
