@@ -300,6 +300,12 @@ def _q_simhash(sf_dir):
     return simhash_table(_docs(sf_dir))
 
 
+def _q_simhash_near_dups(sf_dir):
+    from georay.textops import simhash_near_dups
+
+    return simhash_near_dups(_docs(sf_dir), radius=3)
+
+
 def _q_langid(sf_dir):
     from georay.textops import langid_table
 
@@ -1425,6 +1431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_dups": _q_ngram_jaccard,
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash": _q_simhash,
+        "simhash_near_dups": _q_simhash_near_dups,
         "langid": _q_langid,
         "quality_scores": _q_quality_scores,
         "fingerprints": _q_fingerprints,
@@ -1713,6 +1720,39 @@ _GEO_JOIN_CTE = f"""
                  AND lon > x0 + 0.25 * (x1 - x0) AND lon < x1 - 0.25 * (x1 - x0)
                  AND lat > y0 + 0.25 * (y1 - y0) AND lat < y1 - 0.25 * (y1 - y0))
     )
+"""
+
+
+_SIMHASH_SQL = """
+    WITH t AS (SELECT doc_id, TRIM(text) AS tt,
+              regexp_split_to_array(TRIM(text), '\\s+') AS w FROM documents),
+    words AS (SELECT doc_id, w[i+1] AS tok FROM t, UNNEST(range(len(w))) AS u(i)
+              WHERE tt <> ''),
+    h AS (SELECT doc_id, CAST(('0x' || substr(sha256(tok), 1, 16)) AS UBIGINT) AS hv
+          FROM words),
+    bits AS (SELECT doc_id, CAST(u.j AS INTEGER) AS j,
+            SUM(CASE WHEN (hv >> CAST(u.j AS INTEGER)) & 1 = 1
+             THEN 1 ELSE -1 END) AS votes
+             FROM h, UNNEST(range(64)) AS u(j) GROUP BY 1, 2),
+    sh AS (SELECT doc_id,
+          CAST(SUM(CASE WHEN votes > 0 AND j < 63
+                THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT)
+          + CAST(SUM(CASE WHEN votes > 0 AND j = 63
+                  THEN -9223372036854775808 ELSE 0 END) AS BIGINT)
+            AS simhash
+           FROM bits GROUP BY 1)
+    SELECT d.doc_id, CAST(COALESCE(sh.simhash, 0) AS BIGINT) AS simhash
+    FROM documents d LEFT JOIN sh USING (doc_id)
+"""
+
+
+_SIMHASH_DUPS_SQL = f"""
+    WITH sh2 AS ({_SIMHASH_SQL})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ORDER BY doc_a, doc_b
 """
 
 
@@ -2872,27 +2912,8 @@ def _oracle_sql_raw() -> dict[str, str]:
               FROM orders)
             ORDER BY prio LIMIT 100
         """,
-        "simhash": """
-            WITH t AS (SELECT doc_id, TRIM(text) AS tt,
-                              regexp_split_to_array(TRIM(text), '\\s+') AS w FROM documents),
-            words AS (SELECT doc_id, w[i+1] AS tok FROM t, UNNEST(range(len(w))) AS u(i)
-                      WHERE tt <> ''),
-            h AS (SELECT doc_id, CAST(('0x' || substr(sha256(tok), 1, 16)) AS UBIGINT) AS hv
-                  FROM words),
-            bits AS (SELECT doc_id, CAST(u.j AS INTEGER) AS j,
-                            SUM(CASE WHEN (hv >> CAST(u.j AS INTEGER)) & 1 = 1
-                                     THEN 1 ELSE -1 END) AS votes
-                     FROM h, UNNEST(range(64)) AS u(j) GROUP BY 1, 2),
-            sh AS (SELECT doc_id,
-                          CAST(SUM(CASE WHEN votes > 0 AND j < 63
-                                        THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT)
-                          + CAST(SUM(CASE WHEN votes > 0 AND j = 63
-                                          THEN -9223372036854775808 ELSE 0 END) AS BIGINT)
-                            AS simhash
-                   FROM bits GROUP BY 1)
-            SELECT d.doc_id, CAST(COALESCE(sh.simhash, 0) AS BIGINT) AS simhash
-            FROM documents d LEFT JOIN sh USING (doc_id)
-        """,
+        "simhash": _SIMHASH_SQL,
+        "simhash_near_dups": _SIMHASH_DUPS_SQL,
         "fingerprints": """
             WITH t AS (SELECT doc_id, TRIM(text) AS tt,
                               regexp_split_to_array(TRIM(text), '\\s+') AS w FROM documents),

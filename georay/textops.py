@@ -2976,3 +2976,143 @@ def hash_features(docs: ray.data.Dataset, n_dims: int = 16):
         )
 
     return docs.map_batches(feat_batch, batch_format="pyarrow")
+
+
+# ------------------------------------------- simhash near-dup pairs
+
+# 16-bit popcount lookup: popcount64 = four table gathers, vectorized
+_POP16 = np.unpackbits(
+    np.arange(65536, dtype=">u2").view(np.uint8).reshape(-1, 2), axis=1
+).sum(axis=1).astype(np.int64)
+
+MAX_SIMHASH_BUCKET = 256
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.uint64)
+    out = _POP16[(x & np.uint64(0xFFFF)).astype(np.int64)]
+    for s in (16, 32, 48):
+        out = out + _POP16[((x >> np.uint64(s)) & np.uint64(0xFFFF)).astype(np.int64)]
+    return out
+
+
+def simhash_near_dups(docs: ray.data.Dataset, radius: int = 3):
+    """SimHash near-duplicate PAIRS: all (doc_a < doc_b) whose 64-bit
+    simhash signatures differ in <= ``radius`` bits — Charikar/Manku's
+    web-dedup screen. With radius r, the signature splits into r+1
+    bands (4 x 16 bits for the default r=3); the pigeonhole principle
+    guarantees any qualifying pair agrees EXACTLY on at least one band,
+    so band-equality buckets give exact recall with no all-pairs scan.
+
+    Distribution: each doc emits r+1 (band_key, simhash) rows, hashed
+    into ~4xCPU buckets; inside a bucket, equal-band runs generate
+    candidate pairs, the hamming check runs as four 16-bit-table
+    gathers, and a pair is emitted ONLY in its first agreeing band
+    (checkable locally from the two full signatures) — globally unique
+    output without a pair-dedup shuffle. The per-run pair loop is
+    proportional to band COLLISIONS, not corpus size; runs beyond
+    MAX_SIMHASH_BUCKET fall back to a min-anchor star (cluster
+    membership preserved, direct non-anchor pairs dropped — same
+    contract as minhash_near_dups' hot-bucket cap; unreachable on the
+    synthetic corpus).
+
+    Output: doc_a, doc_b, hamming — (doc_a, doc_b) ASC."""
+    from georay.relational import tiny_key_sum
+
+    n_parts = _n_partitions()
+    n_bands = radius + 1
+    assert n_bands == 4, "64-bit signature splits as 4 x 16-bit bands"
+    sig = simhash_table(docs)
+
+    def explode(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        sh = t["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        n = len(did)
+        doc = np.repeat(did, n_bands)
+        shr = np.repeat(sh, n_bands)
+        band = np.tile(np.arange(n_bands, dtype=np.uint64), n)
+        bits16 = (shr >> (band * np.uint64(16))) & np.uint64(0xFFFF)
+        band_key = (band << np.uint64(16)) | bits16
+        mixed = band_key * np.uint64(0x9E3779B97F4A7C15)
+        return pa.table(
+            {
+                "band_key": pa.array(band_key.astype(np.int64), pa.int64()),
+                "doc_id": pa.array(doc, pa.int64()),
+                "simhash": pa.array(shr.view(np.int64), pa.int64()),
+                "__bucket": pa.array(
+                    (mixed % np.uint64(n_parts)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def pairs_bucket(t: pa.Table) -> pa.Table:
+        bk = t["band_key"].to_numpy(zero_copy_only=False)
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        sh = t["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        order = np.lexsort((did, bk))
+        bk, did, sh = bk[order], did[order], sh[order]
+        change = np.nonzero(np.diff(bk))[0] + 1
+        starts = np.concatenate([[0], change]).astype(np.int64)
+        ends = np.concatenate([change, [len(bk)]]).astype(np.int64)
+        a_l, b_l, sa_l, sb_l, band_l = [], [], [], [], []
+        for ri in np.nonzero(ends - starts >= 2)[0]:
+            s, e = int(starts[ri]), int(ends[ri])
+            ids_r, sh_r = did[s:e], sh[s:e]
+            band = int(bk[s] >> 16)
+            m = e - s
+            if m > MAX_SIMHASH_BUCKET:
+                anchor = int(np.argmin(ids_r))
+                ii = np.full(m - 1, anchor, dtype=np.int64)
+                jj = np.delete(np.arange(m, dtype=np.int64), anchor)
+            else:
+                ii, jj = np.triu_indices(m, 1)
+            a_l.append(ids_r[ii])
+            b_l.append(ids_r[jj])
+            sa_l.append(sh_r[ii])
+            sb_l.append(sh_r[jj])
+            band_l.append(np.full(len(ii), band, dtype=np.int64))
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int64()),
+            }
+        )
+        if not a_l:
+            return empty
+        a = np.concatenate(a_l)
+        b = np.concatenate(b_l)
+        sa = np.concatenate(sa_l)
+        sb = np.concatenate(sb_l)
+        band = np.concatenate(band_l)
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        x = sa ^ sb
+        ham = _popcount64(x)
+        keep = (ham <= radius) & (lo != hi)
+        # first-agreeing-band rule: drop unless every band BELOW this
+        # one differs (the pair is emitted by exactly one bucket)
+        for j in range(n_bands - 1):
+            agree_j = ((x >> np.uint64(16 * j)) & np.uint64(0xFFFF)) == 0
+            keep &= ~(agree_j & (band > j))
+        if not keep.any():
+            return empty
+        return pa.table(
+            {
+                "doc_a": pa.array(lo[keep], pa.int64()),
+                "doc_b": pa.array(hi[keep], pa.int64()),
+                "hamming": pa.array(ham[keep], pa.int64()),
+            }
+        )
+
+    partials = (
+        sig.map_batches(explode, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(pairs_bucket, batch_format="pyarrow")
+    )
+    return tiny_key_sum(
+        partials,
+        group_cols=["doc_a", "doc_b"],
+        sum_cols=["hamming"],
+        sort_cols=["doc_a", "doc_b"],
+    )

@@ -808,3 +808,37 @@ def test_hash_features_signed_counts(ray_session):
     exp = {k: v for k, v in exp.items() if v != 0}
     got = {(r["doc_id"], r["dim"]): r["val"] for r in rows}
     assert got == exp
+
+
+def test_simhash_near_dups_matches_bruteforce(ray_session):
+    import numpy as np
+    import ray.data
+
+    # identical docs (hamming 0), a one-word tweak (small hamming),
+    # and unrelated texts; brute-force over simhash_table is the oracle
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "completely different subject matter entirely here",
+        "numbers one two three four five six seven eight",
+        "the quick brown fox jumps over the lazy dog",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts})
+    ds = ray.data.from_arrow(t)
+
+    sig = {r["doc_id"]: r["simhash"] for r in textops.simhash_table(ds).take_all()}
+    ids = sorted(sig)
+    radius = 3
+    expect = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            h = bin((sig[ids[i]] ^ sig[ids[j]]) & (2**64 - 1)).count("1")
+            if h <= radius:
+                expect[(ids[i], ids[j])] = h
+    assert (0, 1) in expect and (0, 5) in expect and (1, 5) in expect
+
+    rows = textops.simhash_near_dups(ds, radius=radius).take_all()
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in rows}
+    assert got == expect
+    assert len(rows) == len(got)  # each pair emitted exactly once
