@@ -654,6 +654,20 @@ def _q_dedup_clusters(sf_dir):
     return dedup_clusters(_docs(sf_dir))
 
 
+def _q_cluster_representatives(sf_dir):
+    """Keep-one-per-cluster: longest member (max n_chars, tie min
+    doc_id) of every near-dup cluster, with member counts — bucketed
+    length join + one hash-bucketed argmax groupby (georay/graph.py)."""
+    import ray.data
+
+    from georay.graph import cluster_representatives
+
+    lens = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return cluster_representatives(_docs(sf_dir), lens)
+
+
 def _q_tfidf_top_terms(sf_dir):
     """Per-doc top-3 keywords by TF-IDF (vocab-bounded broadcast df
     table + per-batch scoring; georay/textops.py)."""
@@ -1450,6 +1464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_mix": _q_domain_mix,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "dedup_clusters": _q_dedup_clusters,
+        "cluster_representatives": _q_cluster_representatives,
         "unigram_logprob": _q_unigram_logprob,
         "bigram_logprob": _q_bigram_logprob,
         "dup_substring_spans": _q_dup_substring_spans,
@@ -2567,6 +2582,28 @@ def _oracle_sql_raw() -> dict[str, str]:
             )
             SELECT node AS doc_id, MIN(reach) AS cluster_id
             FROM walk GROUP BY node
+        """,
+        "cluster_representatives": f"""
+            WITH RECURSIVE
+            pairs AS (SELECT a, b FROM ({_EXACT_JACCARD_SQL})),
+            e AS (SELECT a AS u, b AS v FROM pairs
+                  UNION ALL SELECT b, a FROM pairs),
+            walk (node, reach) AS (
+              SELECT u, u FROM e
+              UNION
+              SELECT w.node, e.v FROM walk w JOIN e ON e.u = w.reach
+            ),
+            clusters AS (
+              SELECT node AS doc_id, MIN(reach) AS cluster_id
+              FROM walk GROUP BY node)
+            SELECT cluster_id, rep_doc_id, rep_n_chars, n_members FROM (
+              SELECT c.cluster_id, d.doc_id AS rep_doc_id,
+                     CAST(d.n_chars AS BIGINT) AS rep_n_chars,
+                     COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members,
+                     ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                        ORDER BY d.n_chars DESC, d.doc_id) AS rn
+              FROM clusters c JOIN documents d USING (doc_id))
+            WHERE rn = 1
         """,
         # sequence packing: the window prefix sum IS the distributed
         # scan's contract (SUM over BIGINT goes HUGEINT in DuckDB ->

@@ -402,3 +402,61 @@ def dedup_clusters(docs: ray.data.Dataset, threshold: float = 0.8):
         return pa.table({"doc_id": t["node"], "cluster_id": t["label"]})
 
     return cc.map_batches(rename, batch_format="pyarrow")
+
+
+def cluster_representatives(
+    docs: ray.data.Dataset, lens: ray.data.Dataset, threshold: float = 0.8
+):
+    """Keep-one-per-cluster selection — the step AFTER dedup_clusters
+    in a real curation pipeline: for every near-dup cluster pick the
+    LONGEST member (max n_chars, ties -> min doc_id) as the survivor.
+
+    ``lens`` is a (doc_id, n_chars) dataset (read with column pruning —
+    the length join must not re-ship text). Cluster membership is a
+    small fraction of the corpus but unbounded in absolute size, so the
+    length attach is a bucketed hash join (no broadcast) and the
+    per-cluster argmax is ONE hash-bucketed groupby: inside a bucket a
+    single lexsort finds each cluster's first row by (-n_chars, doc_id)
+    and run lengths give member counts. No driver materialization.
+
+    Output: cluster_id, rep_doc_id, rep_n_chars, n_members."""
+    from .relational import _n_partitions, bucket_hash_join
+
+    clusters = dedup_clusters(docs, threshold=threshold)
+    joined = bucket_hash_join(clusters, lens, on="doc_id")
+    n_parts = _n_partitions()
+
+    def rebucket(t: pa.Table) -> pa.Table:
+        cid = t["cluster_id"].to_numpy(zero_copy_only=False)
+        b = (cid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(n_parts)
+        return pa.table(
+            {
+                "cluster_id": t["cluster_id"],
+                "doc_id": t["doc_id"],
+                "n_chars": t["n_chars"],
+                "__b": pa.array(b.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def argmax_bucket(t: pa.Table) -> pa.Table:
+        cid = t["cluster_id"].to_numpy(zero_copy_only=False)
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        ln = t["n_chars"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, -ln, cid))
+        cid, did, ln = cid[order], did[order], ln[order]
+        starts = np.concatenate([[0], np.nonzero(np.diff(cid))[0] + 1]).astype(np.int64)
+        counts = np.diff(np.concatenate([starts, [len(cid)]]))
+        return pa.table(
+            {
+                "cluster_id": pa.array(cid[starts], pa.int64()),
+                "rep_doc_id": pa.array(did[starts], pa.int64()),
+                "rep_n_chars": pa.array(ln[starts], pa.int64()),
+                "n_members": pa.array(counts, pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(rebucket, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(argmax_bucket, batch_format="pyarrow")
+    )

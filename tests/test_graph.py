@@ -187,3 +187,41 @@ def test_supplier_customer_edges_budget_parity(ray_session, monkeypatch):
         a.sort_values("node").reset_index(drop=True),
         b.sort_values("node").reset_index(drop=True),
     )
+
+def test_cluster_representatives_longest_wins(ray_session):
+    import ray.data
+
+    from georay.graph import cluster_representatives
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely different content about ray data pipelines at scale"
+    texts = {
+        0: base,
+        1: base + " extra",           # longest in cluster 0
+        2: base + " more",
+        3: other,
+        4: other + " extra",          # longest in cluster 3
+        5: "an unrelated singleton document with no duplicate partner here",
+    }
+    ids = sorted(texts)
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([texts[k] for k in ids], pa.string()),
+        }
+    )
+    lens = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_chars": pa.array([len(texts[k]) for k in ids], pa.int64()),
+        }
+    )
+    res = cluster_representatives(
+        ray.data.from_arrow(t), ray.data.from_arrow(lens), threshold=0.6
+    ).to_pandas()
+    rows = {r.cluster_id: (r.rep_doc_id, r.rep_n_chars, r.n_members)
+            for r in res.itertuples()}
+    assert rows == {
+        0: (1, len(texts[1]), 3),
+        3: (4, len(texts[4]), 2),
+    }
