@@ -787,6 +787,17 @@ def _q_graph_pagerank(sf_dir):
     return pagerank(supplier_customer_edges(sf_dir), n_iters=5)
 
 
+def _q_triangle_counts(sf_dir):
+    """Per-node triangle counts over the part co-order graph
+    (part_pair_counts edges, min_orders=2) via degree-ordered wedge
+    generation + edge-key co-partition (georay/graph.py
+    triangle_counts)."""
+    from georay.graph import triangle_counts
+    from georay.relational import part_pair_counts
+
+    return triangle_counts(part_pair_counts(sf_dir, min_orders=2))
+
+
 def _q_hash_features(sf_dir):
     """Signed 16-dim feature-hashing vectors per doc, sparse explosion
     (georay/textops.py hash_features)."""
@@ -1501,6 +1512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pca": _q_embedding_pca,
         "dsir_weights": _q_dsir_weights,
         "graph_pagerank": _q_graph_pagerank,
+        "triangle_counts": _q_triangle_counts,
         "image_ahash_dups": _q_image_ahash_dups,
         "heavy_hitters": _q_heavy_hitters,
         "quality_logreg": _q_quality_logreg,
@@ -3440,6 +3452,28 @@ def _oracle_sql_raw() -> dict[str, str]:
             FROM a LEFT JOIN pruned p ON a.vec_id = p.vec_id
         """,
         "graph_pagerank": _pagerank_sql(5),
+        "triangle_counts": """
+            WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            e AS (
+                SELECT a.l_partkey AS pa, b.l_partkey AS pb
+                FROM lp a JOIN lp b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            ),
+            tri AS (
+                SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
+                FROM e e1
+                JOIN e e2 ON e1.pb = e2.pa
+                JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+            ),
+            nodes AS (
+                SELECT x AS node FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+            )
+            SELECT node AS part_key, COUNT(*)::BIGINT AS n_triangles
+            FROM nodes GROUP BY 1
+        """,
         "kmeans_iter": _kmeans_sql(8, 3),
         "embedding_pca": _pca_sql(5),
         "dsir_weights": """
