@@ -27,6 +27,7 @@ from typing import Any
 ANN_QUERY_IDS = [0, 1, 2, 3]
 ANN_K = 5
 NGRAM_TAU = 0.8
+PREFIX_TAU = 0.6
 EMB_TAU = 0.3
 
 
@@ -292,6 +293,15 @@ def _q_minhash_near_dups(sf_dir):
     from georay.textops import minhash_near_dups
 
     return minhash_near_dups(_docs(sf_dir), threshold=NGRAM_TAU)
+
+
+def _q_jaccard_prefix_join(sf_dir):
+    """Exact AllPairs prefix-filtered Jaccard self-join at tau=0.6
+    with exact intersection/union counts (georay/textops.py
+    jaccard_prefix_join)."""
+    from georay.textops import jaccard_prefix_join
+
+    return jaccard_prefix_join(_docs(sf_dir), threshold=PREFIX_TAU)
 
 
 def _q_simhash(sf_dir):
@@ -1454,6 +1464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_urgent": _q_customers_without_urgent,
         "quality_counts": _q_quality_counts,
         "ngram_jaccard_dups": _q_ngram_jaccard,
+        "jaccard_prefix_join": _q_jaccard_prefix_join,
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash": _q_simhash,
         "simhash_near_dups": _q_simhash_near_dups,
@@ -2946,6 +2957,19 @@ def _oracle_sql_raw() -> dict[str, str]:
             FROM documents
         """,
         "ngram_jaccard_dups": _EXACT_JACCARD_SQL,
+        "jaccard_prefix_join": f"""
+            WITH t AS (SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') w FROM documents),
+            words AS (SELECT doc_id, i, w[i+1] AS tok FROM t, UNNEST(range(len(w))) AS u(i)),
+            bigrams AS (SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok AS bg
+                        FROM words a JOIN words b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+            cnt AS (SELECT doc_id, COUNT(*) n FROM bigrams GROUP BY 1),
+            inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) i
+                      FROM bigrams x JOIN bigrams y ON x.bg = y.bg AND x.doc_id < y.doc_id
+                      GROUP BY 1, 2)
+            SELECT a, b, i::BIGINT AS n_inter, (ca.n + cb.n - i)::BIGINT AS n_union
+            FROM inter JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
+            WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= {PREFIX_TAU}
+        """,
         # LSH with 32x4 bands catches J >= 0.8 pairs with prob
         # 1-(1-tau^4)^32 (> 1-5e-8 at tau=0.8, ~1-1e-15 at the synthetic
         # corpus's J~0.9 dup pairs) and the verify stage drops every

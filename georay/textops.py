@@ -311,6 +311,23 @@ def minhash_near_dups(
     # shingles come from the SAME materialized per-doc pass — no second
     # tokenize/hash sweep over the corpus
     shingled = perdoc.select_columns(["doc_id", "shingles"])
+    return _exact_verify_pairs(pairs_ds, shingled, threshold)
+
+
+def _exact_verify_pairs(
+    pairs_ds: ray.data.Dataset,
+    shingled: ray.data.Dataset,
+    threshold: float,
+    with_counts: bool = False,
+):
+    """Exact-Jaccard verification of candidate {a, b} pairs against a
+    {doc_id, shingles} corpus — the co-partitioned semi-join extracted
+    from minhash_near_dups so every candidate generator (LSH bands,
+    AllPairs prefix filter) shares it. Duplicate candidate rows
+    collapse inside verify_bucket, so callers never need a standalone
+    pair-dedup shuffle. With with_counts=True the output carries the
+    exact intersection/union sizes {a, b, n_inter, n_union}."""
+    n_parts = _n_partitions()
     list_ty = pa.list_(pa.int64())
 
     def _key_bucket(keys: np.ndarray) -> np.ndarray:
@@ -411,7 +428,7 @@ def minhash_near_dups(
         starts = np.concatenate([[0], change]).astype(np.int64)
         ends = np.concatenate([change, [len(a)]]).astype(np.int64)
         sh = g["shingles"].take(pa.array(order))
-        out_a, out_b = [], []
+        out_a, out_b, out_i, out_u = [], [], [], []
         for s, e in zip(starts, ends):
             krun = keys[s:e]
             ra = np.nonzero(krun == a[s])[0]
@@ -425,14 +442,176 @@ def minhash_near_dups(
             if union > 0 and float(inter) / float(union) >= threshold:
                 out_a.append(int(a[s]))
                 out_b.append(int(b[s]))
-        return pa.table(
-            {"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64())}
-        )
+                if with_counts:
+                    out_i.append(inter)
+                    out_u.append(union)
+        cols = {"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64())}
+        if with_counts:
+            cols["n_inter"] = pa.array(out_i, pa.int64())
+            cols["n_union"] = pa.array(out_u, pa.int64())
+        return pa.table(cols)
 
     return (
         keyed.map_batches(pair_bucket, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(verify_bucket, batch_format="pyarrow")
+    )
+
+
+def jaccard_prefix_join(
+    docs: ray.data.Dataset,
+    threshold: float = 0.6,
+    shingle_n: int = 2,
+):
+    """Exact set-similarity SELF-JOIN via AllPairs/PPJoin prefix
+    filtering (Bayardo-Ma-Srikant WWW'07 "Scaling Up All Pairs
+    Similarity Search"; the prefix principle of Chaudhuri et al.'s
+    SSJoin): all doc pairs whose word-shingle Jaccard >= threshold,
+    with the exact intersection/union sizes {a, b, n_inter, n_union}.
+
+    Exact and sub-quadratic, unlike the two existing paths:
+    ngram_jaccard_pairs is all-pairs-by-contract (matmul constants)
+    and minhash_near_dups trades recall for LSH bucketing. Under a
+    global (df asc, shingle asc) token order, any pair meeting the
+    threshold must share a token inside BOTH docs' prefixes (the
+    first |d| - ceil(t*|d|) + 1 ordered tokens): take w = the first
+    common token in the global order; if w were outside d's prefix,
+    d would carry >= prefix-length tokens not in the other doc and
+    the Jaccard would fall below t. So only prefix postings generate
+    candidates — rare tokens, by construction, which is exactly what
+    keeps hot-token groups (the skew killer of naive token-join) out
+    of the candidate stage.
+
+    Dataflow — bucketed shuffles only, no driver state, no broadcast:
+    1. postings exploded, hash-bucketed by shingle: a shingle's df is
+       its co-located run length (no separate count+join);
+    2. regroup by doc: sort each doc's postings by (df, shingle),
+       keep the prefix (ceil is epsilon-guarded DOWN so float noise
+       can only lengthen a prefix, never drop recall);
+    3. group prefix postings by shingle: vectorized (repeat/cumsum)
+       pair generation with the |small| >= t*|large| size filter;
+    4. _exact_verify_pairs co-partitioned semi-join — duplicate
+       candidates collapse there, survivors carry exact counts.
+    """
+    n_parts = _n_partitions()
+    shingled = (
+        _shingle_rows(docs, shingle_n)
+        .repartition(max(8, n_parts // 16))
+        .materialize()
+    )
+
+    def _bucket64(keys: np.ndarray) -> np.ndarray:
+        mixed = keys.astype(np.int64).view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return (mixed % np.uint64(n_parts)).astype(np.int64)
+
+    def explode(t: pa.Table) -> pa.Table:
+        sizes = t["set_size"].to_numpy(zero_copy_only=False)
+        sh = pc.list_flatten(t["shingles"]).to_numpy(zero_copy_only=False)
+        doc = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), sizes)
+        size = np.repeat(sizes, sizes)
+        return pa.table(
+            {
+                "sh": pa.array(sh, pa.int64()),
+                "doc_id": pa.array(doc, pa.int64()),
+                "set_size": pa.array(size, pa.int64()),
+                "__bucket": pa.array(_bucket64(sh), pa.int64()),
+            }
+        )
+
+    def attach_df(g: pa.Table) -> pa.Table:
+        # every posting of a shingle lands in this one partition, so a
+        # run length IS the global document frequency (shingle lists
+        # are per-doc distinct by construction)
+        sh = g["sh"].to_numpy(zero_copy_only=False)
+        doc = g["doc_id"].to_numpy(zero_copy_only=False)
+        size = g["set_size"].to_numpy(zero_copy_only=False)
+        order = np.argsort(sh, kind="stable")
+        sh, doc, size = sh[order], doc[order], size[order]
+        starts = np.r_[0, np.flatnonzero(sh[1:] != sh[:-1]) + 1]
+        runlen = np.diff(np.r_[starts, len(sh)])
+        df = np.repeat(runlen, runlen).astype(np.int64)
+        return pa.table(
+            {
+                "sh": pa.array(sh, pa.int64()),
+                "doc_id": pa.array(doc, pa.int64()),
+                "set_size": pa.array(size, pa.int64()),
+                "df": pa.array(df, pa.int64()),
+                "__b2": pa.array(_bucket64(doc), pa.int64()),
+            }
+        )
+
+    def prefix_rows(g: pa.Table) -> pa.Table:
+        sh = g["sh"].to_numpy(zero_copy_only=False)
+        doc = g["doc_id"].to_numpy(zero_copy_only=False)
+        size = g["set_size"].to_numpy(zero_copy_only=False)
+        df = g["df"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((sh, df, doc))
+        sh, doc, size, df = sh[order], doc[order], size[order], df[order]
+        starts = np.r_[0, np.flatnonzero(doc[1:] != doc[:-1]) + 1]
+        runlen = np.diff(np.r_[starts, len(doc)])
+        rank = np.arange(len(doc), dtype=np.int64) - np.repeat(
+            starts.astype(np.int64), runlen
+        )
+        # prefix length |d| - ceil(t|d|) + 1; the epsilon keeps float
+        # noise from rounding ceil UP (which would shorten the prefix
+        # and silently drop recall — a longer prefix only costs work)
+        need = np.ceil(threshold * size - 1e-9).astype(np.int64)
+        keep = rank < (size - need + 1)
+        return pa.table(
+            {
+                "sh": pa.array(sh[keep], pa.int64()),
+                "doc_id": pa.array(doc[keep], pa.int64()),
+                "set_size": pa.array(size[keep], pa.int64()),
+                "__b3": pa.array(_bucket64(sh[keep]), pa.int64()),
+            }
+        )
+
+    def cand_pairs(g: pa.Table) -> pa.Table:
+        sh = g["sh"].to_numpy(zero_copy_only=False)
+        doc = g["doc_id"].to_numpy(zero_copy_only=False)
+        size = g["set_size"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, sh))
+        sh, doc, size = sh[order], doc[order], size[order]
+        n = len(sh)
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+        )
+        if n < 2:
+            return empty
+        starts = np.r_[0, np.flatnonzero(sh[1:] != sh[:-1]) + 1]
+        ends = np.r_[starts[1:], n]
+        ends_of = np.repeat(ends, ends - starts)
+        pos = np.arange(n, dtype=np.int64)
+        reps = ends_of - pos - 1
+        total = int(reps.sum())
+        if total == 0:
+            return empty
+        i_idx = np.repeat(pos, reps)
+        run0 = np.r_[0, np.cumsum(reps)[:-1]]
+        j_idx = np.arange(total, dtype=np.int64) - np.repeat(run0, reps) + i_idx + 1
+        da, db = doc[i_idx], doc[j_idx]
+        sa, sb = size[i_idx], size[j_idx]
+        lo_sz = np.minimum(sa, sb).astype(np.float64)
+        hi_sz = np.maximum(sa, sb).astype(np.float64)
+        ok = lo_sz + 1e-9 >= threshold * hi_sz  # J >= t needs |small| >= t|large|
+        a = np.minimum(da, db)[ok]
+        b = np.maximum(da, db)[ok]
+        return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+
+    cands = (
+        shingled.map_batches(explode, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(attach_df, batch_format="pyarrow")
+        .groupby("__b2")
+        .map_groups(prefix_rows, batch_format="pyarrow")
+        .groupby("__b3")
+        .map_groups(cand_pairs, batch_format="pyarrow")
+    )
+    return _exact_verify_pairs(
+        cands,
+        shingled.select_columns(["doc_id", "shingles"]),
+        threshold,
+        with_counts=True,
     )
 
 

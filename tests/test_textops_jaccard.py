@@ -111,3 +111,58 @@ def test_minhash_hot_bucket_star_cap(ray_session):
     )
     pairs = textops._bucket_pairs(g)
     assert pairs.to_pydict() == {"a": [1], "b": [3]}
+
+
+def _ref_pairs_counts(texts: dict, threshold: float):
+    sets = {i: set(int(x) for x in word_shingles(t)) for i, t in texts.items()}
+    out = {}
+    for a in sets:
+        for b in sets:
+            if a >= b or not sets[a] or not sets[b]:
+                continue
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter / union >= threshold:
+                out[(a, b)] = (inter, union)
+    return out
+
+
+def _run_prefix(ds, threshold):
+    from georay.textops import jaccard_prefix_join
+
+    return {
+        (r["a"], r["b"]): (r["n_inter"], r["n_union"])
+        for r in jaccard_prefix_join(ds, threshold).take_all()
+    }
+
+
+def test_prefix_join_matches_reference(docs):
+    """AllPairs prefix filtering is EXACT: every thresholded pair of the
+    brute-force reference must survive, with exact inter/union counts."""
+    texts, ds = docs
+    for tau in (0.5, 0.6, 0.8):
+        assert _run_prefix(ds, tau) == _ref_pairs_counts(texts, tau)
+
+
+def test_prefix_join_random_corpus_no_recall_loss(ray_session):
+    """Randomized small-vocab corpus: prefix candidate generation must
+    not lose a single pair vs brute force at any tested threshold."""
+    import pyarrow as pa
+
+    import ray.data
+
+    rng = np.random.default_rng(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    texts = {
+        i: " ".join(rng.choice(vocab, size=int(rng.integers(4, 12))))
+        for i in range(40)
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(texts), pa.int64()),
+            "text": pa.array(list(texts.values()), pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(5)
+    for tau in (0.4, 0.6):
+        assert _run_prefix(ds, tau) == _ref_pairs_counts(texts, tau)
