@@ -808,6 +808,16 @@ def _q_triangle_counts(sf_dir):
     return triangle_counts(part_pair_counts(sf_dir, min_orders=2))
 
 
+def _q_kcore(sf_dir):
+    """3-core of the part co-order graph via distributed iterative
+    peeling (georay/graph.py kcore); oracle unrolls 16 peel rounds
+    (fixpoint at sf0.01 is 10 rounds; extra rounds are idempotent)."""
+    from georay.graph import kcore
+    from georay.relational import part_pair_counts
+
+    return kcore(part_pair_counts(sf_dir, min_orders=2), k=3)
+
+
 def _q_hash_features(sf_dir):
     """Signed 16-dim feature-hashing vectors per doc, sparse explosion
     (georay/textops.py hash_features)."""
@@ -1524,6 +1534,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": _q_dsir_weights,
         "graph_pagerank": _q_graph_pagerank,
         "triangle_counts": _q_triangle_counts,
+        "kcore": _q_kcore,
         "image_ahash_dups": _q_image_ahash_dups,
         "heavy_hitters": _q_heavy_hitters,
         "quality_logreg": _q_quality_logreg,
@@ -1874,6 +1885,45 @@ def _pagerank_sql(n_iters: int = 5) -> str:
         r0t AS (SELECT node, r0 AS r FROM nodes, params),
         {joined}
         SELECT node, r AS rank_nano FROM {prev}
+    """
+
+
+def _kcore_sql(k: int = 3, rounds: int = 16) -> str:
+    """Unrolled k-core peeling over the part co-order graph
+    (part_pair_counts edges, min_orders=2): each round recomputes
+    degrees and keeps edges whose BOTH endpoints have degree >= k.
+    Peeling is idempotent past the fixpoint, so any unroll count >=
+    the true round count (10 at sf0.01) reproduces georay.graph.kcore
+    exactly."""
+    parts = [
+        "lp AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        """e0 AS MATERIALIZED (
+          SELECT a.l_partkey AS pa, b.l_partkey AS pb
+          FROM lp a JOIN lp b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2)""",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""d{i} AS MATERIALIZED (
+              SELECT node, COUNT(*) AS deg FROM (
+                SELECT pa AS node FROM e{i - 1}
+                UNION ALL SELECT pb FROM e{i - 1})
+              GROUP BY 1)"""
+        )
+        parts.append(
+            f"""e{i} AS MATERIALIZED (
+              SELECT e.pa, e.pb FROM e{i - 1} e
+              JOIN d{i} da ON da.node = e.pa AND da.deg >= {k}
+              JOIN d{i} db ON db.node = e.pb AND db.deg >= {k})"""
+        )
+    joined = ",\n        ".join(parts)
+    return f"""
+        WITH {joined}
+        SELECT node AS part_key, COUNT(*)::BIGINT AS degree FROM (
+          SELECT pa AS node FROM e{rounds}
+          UNION ALL SELECT pb FROM e{rounds})
+        GROUP BY 1
     """
 
 
@@ -3498,6 +3548,7 @@ def _oracle_sql_raw() -> dict[str, str]:
             SELECT node AS part_key, COUNT(*)::BIGINT AS n_triangles
             FROM nodes GROUP BY 1
         """,
+        "kcore": _kcore_sql(3, 16),
         "kmeans_iter": _kmeans_sql(8, 3),
         "embedding_pca": _pca_sql(5),
         "dsir_weights": """

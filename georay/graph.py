@@ -670,3 +670,176 @@ def triangle_counts(
             }
         )
     return out
+
+
+@ray.remote
+def _peel_local(k: int, a_col: str, b_col: str, *blocks):
+    """Finish the peel on one worker once the surviving edge set fits
+    its heap: the entire remaining fixpoint runs as vectorized numpy
+    rounds with zero shuffle barriers. Returns the final {part_key,
+    degree} table."""
+    empty = pa.table(
+        {"part_key": pa.array([], pa.int64()), "degree": pa.array([], pa.int64())}
+    )
+    live = [t for t in blocks if t.num_rows]
+    if not live:
+        return empty
+    t = pa.concat_tables(live)
+    a = t[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = t[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    while len(a):
+        nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+        deg = np.bincount(inv)
+        ia, ib = inv[: len(a)], inv[len(a) :]
+        keep = (deg[ia] >= k) & (deg[ib] >= k)
+        if keep.all():
+            return pa.table(
+                {
+                    "part_key": pa.array(nodes, pa.int64()),
+                    "degree": pa.array(deg.astype(np.int64), pa.int64()),
+                }
+            )
+        a, b = a[keep], b[keep]
+    return empty
+
+
+def kcore(
+    edges: ray.data.Dataset,
+    k: int = 3,
+    a_col: str = "part_a",
+    b_col: str = "part_b",
+    max_rounds: int = 64,
+    local_cutoff: int = 2_000_000,
+):
+    """k-core decomposition by distributed iterative peeling (the BSP
+    form of Matula-Beck; cf. Montresor et al., "Distributed k-Core
+    Decomposition"): repeatedly delete every node whose degree in the
+    surviving subgraph is < k until a fixpoint. Output: {part_key,
+    degree} — each surviving node with its induced-subgraph degree
+    (>= k by definition).
+
+    Per round, all bucketed (no driver state beyond two scalars):
+    degree table via endpoint fan-out + hash-bucketed run count, then
+    TWO bucket_hash_joins attach deg_a/deg_b to every edge and a
+    vectorized filter keeps edges with both endpoints >= k. The edge
+    set shrinks monotonically, so each round's shuffle is over a
+    smaller graph; convergence is detected from the materialized edge
+    count (no separate 'bad node' pass). Rounds are inherent to
+    peeling (same superstep argument as connected_components); real
+    graphs converge in tens of rounds — and once the surviving edge
+    set drops under `local_cutoff`, the remaining rounds (the long
+    low-volume tail where BSP barriers dominate) finish in ONE
+    vectorized task over the materialized blocks.
+    """
+    from .relational import _hash_bucket, _n_partitions, bucket_hash_join
+
+    n_parts = _n_partitions()
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        a = t[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        node = np.concatenate([a, b])
+        return pa.table(
+            {
+                "node": pa.array(node, pa.int64()),
+                "__bucket": pa.array(_hash_bucket(node, n_parts), pa.int64()),
+            }
+        )
+
+    def count_deg(t: pa.Table) -> pa.Table:
+        node, cnt = np.unique(
+            t["node"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {
+                "node": pa.array(node, pa.int64()),
+                "deg": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def degree_of(es: ray.data.Dataset) -> ray.data.Dataset:
+        return (
+            es.map_batches(endpoints, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(count_deg, batch_format="pyarrow")
+        )
+
+    def rn(old, new):
+        def f(t: pa.Table) -> pa.Table:
+            return t.rename_columns([new if c == old else c for c in t.column_names])
+
+        return f
+
+    def keep_core_edges(t: pa.Table) -> pa.Table:
+        da = t["deg_a"].to_numpy(zero_copy_only=False)
+        db = t["deg_b"].to_numpy(zero_copy_only=False)
+        sel = pa.array(np.flatnonzero((da >= k) & (db >= k)), pa.int64())
+        return pa.table(
+            {a_col: t[a_col].take(sel), b_col: t[b_col].take(sel)}
+        )
+
+    es = edges.select_columns([a_col, b_col]).materialize()
+    n_prev = es.count()
+    for _ in range(max_rounds):
+        if n_prev == 0:
+            break
+        if n_prev <= local_cutoff:
+            # the surviving graph fits one worker: the remaining rounds
+            # are pure barrier overhead distributed (each costs ~3 fixed
+            # shuffle latencies regardless of size) — finish the
+            # fixpoint in ONE task over the materialized block refs.
+            out = ray.get(_peel_local.remote(k, a_col, b_col, *es.to_arrow_refs()))
+            if out.num_rows == 0:
+                return out
+            return ray.data.from_arrow(out)
+        degs = degree_of(es).materialize()
+        with_da = bucket_hash_join(
+            es,
+            degs.map_batches(rn("deg", "deg_a"), batch_format="pyarrow"),
+            on=a_col,
+            right_on="node",
+        )
+        with_db = bucket_hash_join(
+            with_da.drop_columns(["node"]),
+            degs.map_batches(rn("deg", "deg_b"), batch_format="pyarrow"),
+            on=b_col,
+            right_on="node",
+        )
+        # coalesce before the barrier: each round's joins/groupbys fan
+        # the (shrinking) edge set out to ~join-bucket-count blocks, and
+        # every subsequent round pays fixed latency PER BLOCK — without
+        # this a 10-round peel compounds to thousands of near-empty
+        # blocks (same rule as connected_components' label coalesce).
+        # ~1M edges per block keeps blocks worker-heap-sized at scale.
+        nblk = max(2, -(-n_prev // 1_000_000))
+        es = (
+            with_db.map_batches(keep_core_edges, batch_format="pyarrow")
+            .repartition(nblk)
+            .materialize()
+        )
+        n = es.count()
+        if n == n_prev:  # no edge died -> every surviving degree >= k
+            break
+        n_prev = n
+
+    def to_out(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            ["part_key" if c == "node" else "degree" for c in t.column_names]
+        )
+
+    out = (
+        degree_of(es)
+        .map_batches(to_out, batch_format="pyarrow")
+        .select_columns(["part_key", "degree"])
+        .materialize()
+    )
+    if out.count() == 0:
+        # same all-empty schema-loss hazard as triangle_counts: the
+        # groupby emits zero-column blocks for empty partitions
+        return pa.table(
+            {
+                "part_key": pa.array([], pa.int64()),
+                "degree": pa.array([], pa.int64()),
+            }
+        )
+    return out

@@ -294,3 +294,85 @@ def test_triangle_counts_partition_invariant(ray_session):
             seen.add((x, y))
     edges = sorted(seen)
     assert _run_tri(edges, blocks=2) == _run_tri(edges, blocks=13)
+
+
+def _brute_kcore(edges, k):
+    es = set(edges)
+    while True:
+        deg = {}
+        for a, b in es:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        bad = {n for n, d in deg.items() if d < k}
+        if not bad:
+            return deg
+        es = {(a, b) for a, b in es if a not in bad and b not in bad}
+
+
+def _run_kcore(edges, k, blocks=4):
+    import ray.data
+
+    from georay.graph import kcore
+
+    a = pa.array([e[0] for e in edges], pa.int64())
+    b = pa.array([e[1] for e in edges], pa.int64())
+    ds = ray.data.from_arrow(pa.table({"part_a": a, "part_b": b})).repartition(blocks)
+    got = kcore(ds, k=k).to_pandas()
+    return dict(zip(got["part_key"], got["degree"]))
+
+
+def test_kcore_random_matches_brute(ray_session):
+    rng = np.random.default_rng(5)
+    seen = set()
+    for _ in range(260):
+        x, y = sorted(map(int, rng.integers(0, 50, 2)))
+        if x != y:
+            seen.add((x, y))
+    edges = sorted(seen)
+    for k in (2, 3, 4):
+        assert _run_kcore(edges, k) == _brute_kcore(edges, k)
+
+
+def test_kcore_chain_peels_to_empty(ray_session):
+    # a path graph has no 2-core: peeling eats it from both ends,
+    # one layer per round (exercises the multi-round loop)
+    edges = [(i, i + 1) for i in range(20)]
+    assert _run_kcore(edges, 2, blocks=3) == {}
+    # closing the cycle makes every node degree-2: the whole ring IS
+    # the 2-core and the first round is already the fixpoint
+    ring = edges + [(0, 20)]
+    assert _run_kcore(ring, 2, blocks=3) == {n: 2 for n in range(21)}
+
+
+def test_kcore_partition_invariant(ray_session):
+    rng = np.random.default_rng(17)
+    seen = set()
+    for _ in range(150):
+        x, y = sorted(map(int, rng.integers(0, 30, 2)))
+        if x != y:
+            seen.add((x, y))
+    edges = sorted(seen)
+    assert _run_kcore(edges, 3, blocks=2) == _run_kcore(edges, 3, blocks=11)
+
+
+def test_kcore_distributed_rounds_match_local(ray_session):
+    # local_cutoff=0 forces the full BSP peel; it must agree with the
+    # single-task local-tail path and with brute force
+    import ray.data
+
+    from georay.graph import kcore
+
+    rng = np.random.default_rng(23)
+    seen = set()
+    for _ in range(200):
+        x, y = sorted(map(int, rng.integers(0, 40, 2)))
+        if x != y:
+            seen.add((x, y))
+    edges = sorted(seen)
+    a = pa.array([e[0] for e in edges], pa.int64())
+    b = pa.array([e[1] for e in edges], pa.int64())
+    ds = ray.data.from_arrow(pa.table({"part_a": a, "part_b": b})).repartition(4)
+    dist = kcore(ds, k=4, local_cutoff=0).to_pandas()
+    got = dict(zip(dist["part_key"], dist["degree"]))
+    assert got == _brute_kcore(edges, 4)
+    assert got == _run_kcore(edges, 4)
