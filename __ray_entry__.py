@@ -808,6 +808,15 @@ def _q_triangle_counts(sf_dir):
     return triangle_counts(part_pair_counts(sf_dir, min_orders=2))
 
 
+def _q_part_skyline(sf_dir):
+    """Pareto frontier of parts on (price low, size high): local
+    vectorized skyline sweep per block + remote skyline-merge fan-in
+    tree (georay/relational.py part_skyline)."""
+    from georay.relational import part_skyline
+
+    return part_skyline(sf_dir)
+
+
 def _q_kcore(sf_dir):
     """3-core of the part co-order graph via distributed iterative
     peeling (georay/graph.py kcore); oracle unrolls 16 peel rounds
@@ -1535,6 +1544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_pagerank": _q_graph_pagerank,
         "triangle_counts": _q_triangle_counts,
         "kcore": _q_kcore,
+        "part_skyline": _q_part_skyline,
         "image_ahash_dups": _q_image_ahash_dups,
         "heavy_hitters": _q_heavy_hitters,
         "quality_logreg": _q_quality_logreg,
@@ -3549,6 +3559,13 @@ def _oracle_sql_raw() -> dict[str, str]:
             FROM nodes GROUP BY 1
         """,
         "kcore": _kcore_sql(3, 16),
+        "part_skyline": """
+            SELECT p_partkey, p_size, p_retailprice FROM part p
+            WHERE NOT EXISTS (
+              SELECT 1 FROM part q
+              WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+                AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+        """,
         "kmeans_iter": _kmeans_sql(8, 3),
         "embedding_pca": _pca_sql(5),
         "dsir_weights": """

@@ -2246,3 +2246,63 @@ def mad_outliers(sf_dir: str):
         sum_cols=["n", "med2_cents", "mad4_cents", "n_outliers"],
         sort_cols=["suppkey"],
     )
+
+
+def _skyline_take(t: pa.Table) -> pa.Table:
+    """2D Pareto frontier (minimize p_retailprice, maximize p_size) of
+    one Arrow table, exact, fully vectorized: sort by (price asc, size
+    desc); within a price group only the max-size rows survive (ties
+    kept — equal points do not dominate each other); across groups a
+    running max of group sizes kills any point some strictly-cheaper
+    point matches or beats. Column types pass through untouched (the
+    survivors are .take()n from the input)."""
+    if t.num_rows == 0:
+        return t
+    price = t["p_retailprice"].to_numpy(zero_copy_only=False)
+    size = t["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((-size, price))
+    p2, s2 = price[order], size[order]
+    new_g = np.r_[True, p2[1:] != p2[:-1]]
+    gidx = np.cumsum(new_g) - 1
+    gmax = s2[new_g]  # first row of each price group = its max size
+    premax = np.r_[np.iinfo(np.int64).min, np.maximum.accumulate(gmax)[:-1]]
+    keep = (s2 == gmax[gidx]) & (s2 > premax[gidx])
+    return t.take(pa.array(order[keep], pa.int64()))
+
+
+@ray.remote
+def _skyline_merge(*tables):
+    """Fan-in: skyline of a union of skylines (dominance is transitive,
+    so local pruning never drops a global frontier point)."""
+    live = [t for t in tables if t.num_rows]
+    if not live:
+        return tables[0]
+    return _skyline_take(pa.concat_tables(live).combine_chunks())
+
+
+def part_skyline(sf_dir: str):
+    """Pareto-frontier (skyline) query over parts: all parts not
+    dominated on (price low, size high) — q dominates p iff
+    q.price <= p.price AND q.size >= p.size with at least one strict.
+
+    The skyline operator is not an aggregate, but it IS distributive:
+    every block computes its local frontier (vectorized sweep — the
+    2D case needs one sort + running max, no pair loop), and a remote
+    fan-in tree merges frontiers with the same kernel. The driver
+    never sees a non-frontier row; expected frontier size on random
+    data is O(log^(d-1) n), so the fan-in payloads are tiny even when
+    the input is not."""
+    from georay.textops import _tree_reduce
+
+    ds = _read(sf_dir, "part", columns=["p_partkey", "p_size", "p_retailprice"])
+    local = ds.map_batches(_skyline_take, batch_format="pyarrow").materialize()
+    refs = local.to_arrow_refs()
+    if not refs:
+        return pa.table(
+            {
+                "p_partkey": pa.array([], pa.int64()),
+                "p_size": pa.array([], pa.int32()),
+                "p_retailprice": pa.array([], pa.float64()),
+            }
+        )
+    return ray.get(_tree_reduce(refs, _skyline_merge))
