@@ -808,6 +808,16 @@ def _q_triangle_counts(sf_dir):
     return triangle_counts(part_pair_counts(sf_dir, min_orders=2))
 
 
+def _q_bloom_semi_join(sf_dir):
+    """Bloom-filter join pruning: broadcast 128 KiB bitmap prunes the
+    lineitem scan before one co-partitioned confirm+aggregate shuffle
+    (georay/relational.py bloom_semi_join). Result is the exact
+    semi-join aggregate — the filter only prunes."""
+    from georay.relational import bloom_semi_join
+
+    return bloom_semi_join(sf_dir, min_size=48)
+
+
 def _q_part_skyline(sf_dir):
     """Pareto frontier of parts on (price low, size high): local
     vectorized skyline sweep per block + remote skyline-merge fan-in
@@ -1545,6 +1555,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_counts": _q_triangle_counts,
         "kcore": _q_kcore,
         "part_skyline": _q_part_skyline,
+        "bloom_semi_join": _q_bloom_semi_join,
         "image_ahash_dups": _q_image_ahash_dups,
         "heavy_hitters": _q_heavy_hitters,
         "quality_logreg": _q_quality_logreg,
@@ -3559,6 +3570,14 @@ def _oracle_sql_raw() -> dict[str, str]:
             FROM nodes GROUP BY 1
         """,
         "kcore": _kcore_sql(3, 16),
+        "bloom_semi_join": """
+            SELECT l_partkey AS part_key,
+                   COUNT(*)::BIGINT AS n_items,
+                   CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_size >= 48
+            GROUP BY 1
+        """,
         "part_skyline": """
             SELECT p_partkey, p_size, p_retailprice FROM part p
             WHERE NOT EXISTS (

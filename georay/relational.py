@@ -2306,3 +2306,153 @@ def part_skyline(sf_dir: str):
             }
         )
     return ray.get(_tree_reduce(refs, _skyline_merge))
+
+
+# ------------------------------------------------- bloom-filtered semi-join
+# The join-filter pushdown pattern for huge-fact x selective-dim at
+# 100 TB: the dim key set may be too big to broadcast exactly, but a
+# Bloom filter of it is FIXED-size (128 KiB here regardless of key
+# count) and broadcastable, so the fact table is pruned to candidates
+# BEFORE the only shuffle; false positives die in the co-partitioned
+# confirm, which is also where the aggregation happens (one shuffle
+# total, sized by true-match + FP rows, not the fact table).
+
+BLOOM_M_LOG2 = 20  # 2^20 bits = 128 KiB broadcast payload
+BLOOM_K = 5
+
+
+def _bloom_positions(keys: np.ndarray, i: int) -> np.ndarray:
+    """i-th double-hashing probe position for each key (Kirsch-
+    Mitzenmacher: pos_i = h1 + i*h2 mod m), both halves from the
+    splitmix64 finalizer."""
+    from georay.sketch import hash64
+
+    h = hash64(keys.astype(np.int64))
+    h1 = h & np.uint64((1 << 32) - 1)
+    h2 = (h >> np.uint64(32)) | np.uint64(1)  # odd -> full-period probe
+    return ((h1 + np.uint64(i) * h2) % np.uint64(1 << BLOOM_M_LOG2)).astype(np.int64)
+
+
+@ray.remote
+def _bloom_partial(t: pa.Table, key_col: str) -> np.ndarray:
+    bits = np.zeros(1 << (BLOOM_M_LOG2 - 3), dtype=np.uint8)
+    keys = t[key_col].to_numpy(zero_copy_only=False)
+    if len(keys):
+        for i in range(BLOOM_K):
+            pos = _bloom_positions(keys, i)
+            np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+    return bits
+
+
+@ray.remote
+def _bloom_or(*parts: np.ndarray) -> np.ndarray:
+    out = parts[0].copy()
+    for p in parts[1:]:
+        np.bitwise_or(out, p, out=out)
+    return out
+
+
+def bloom_semi_join(sf_dir: str, min_size: int = 48):
+    """Lineitem rows whose part is in the selective build set
+    (p_size >= min_size), aggregated per part: {part_key, n_items,
+    sum_qty}. Exact result — the Bloom filter only prunes.
+
+    Dataflow: build-side blocks each fill a 128 KiB Bloom bitmap
+    (remote partials), a fan-in tree ORs them into ONE object-store
+    ref, and the fact scan tests membership per batch via the
+    per-worker broadcast cache (task mode, no actor-pool ramp).
+    Survivors (true matches + ~0.1% FPs at 2^20 bits / 5 probes)
+    union the build keys into one hash-bucketed groupby where a
+    searchsorted membership check kills the FPs and reduceat folds
+    the per-part counts/sums — the single shuffle moves only
+    candidate rows."""
+    from georay.textops import _tree_reduce
+
+    n_parts = _n_partitions()
+    build = (
+        _read(sf_dir, "part", columns=["p_partkey", "p_size"])
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t["p_size"], min_size)).select(
+                ["p_partkey"]
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    refs = build.to_arrow_refs()
+    bits_ref = _tree_reduce(
+        [_bloom_partial.remote(r, "p_partkey") for r in refs], _bloom_or
+    )
+
+    def prune(t: pa.Table, bits: np.ndarray) -> pa.Table:
+        keys = t["l_partkey"].to_numpy(zero_copy_only=False)
+        ok = np.ones(len(keys), dtype=bool)
+        for i in range(BLOOM_K):
+            pos = _bloom_positions(keys, i)
+            ok &= (bits[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
+        sel = np.flatnonzero(ok)
+        qty = np.rint(
+            t["l_quantity"].to_numpy(zero_copy_only=False)[sel]
+        ).astype(np.int64)
+        k = keys[sel].astype(np.int64)
+        return pa.table(
+            {
+                "part_key": pa.array(k, pa.int64()),
+                "qty": pa.array(qty, pa.int64()),
+                "side": pa.array(np.zeros(len(k), np.int8), pa.int8()),
+                "__bucket": pa.array(_hash_bucket(k, n_parts), pa.int64()),
+            }
+        )
+
+    fact = _read(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"])
+    cands = broadcast_map_batches(fact, prune, bits_ref)
+
+    def key_rows(t: pa.Table) -> pa.Table:
+        k = t["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "part_key": pa.array(k, pa.int64()),
+                "qty": pa.array(np.zeros(len(k), np.int64), pa.int64()),
+                "side": pa.array(np.ones(len(k), np.int8), pa.int8()),
+                "__bucket": pa.array(_hash_bucket(k, n_parts), pa.int64()),
+            }
+        )
+
+    def confirm_agg(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        key = g["part_key"].to_numpy(zero_copy_only=False)
+        qty = g["qty"].to_numpy(zero_copy_only=False)
+        bk = np.sort(key[side == 1])
+        fk, fq = key[side == 0], qty[side == 0]
+        empty = pa.table(
+            {
+                "part_key": pa.array([], pa.int64()),
+                "n_items": pa.array([], pa.int64()),
+                "sum_qty": pa.array([], pa.int64()),
+            }
+        )
+        if len(bk) == 0 or len(fk) == 0:
+            return empty
+        pos = np.minimum(np.searchsorted(bk, fk), len(bk) - 1)
+        hit = bk[pos] == fk  # exact membership: Bloom FPs die here
+        fk, fq = fk[hit], fq[hit]
+        if len(fk) == 0:
+            return empty
+        order = np.argsort(fk)
+        fk, fq = fk[order], fq[order]
+        starts = np.r_[0, np.flatnonzero(fk[1:] != fk[:-1]) + 1]
+        return pa.table(
+            {
+                "part_key": pa.array(fk[starts], pa.int64()),
+                "n_items": pa.array(
+                    np.diff(np.r_[starts, len(fk)]).astype(np.int64), pa.int64()
+                ),
+                "sum_qty": pa.array(np.add.reduceat(fq, starts), pa.int64()),
+            }
+        )
+
+    return (
+        cands.union(build.map_batches(key_rows, batch_format="pyarrow"))
+        .groupby("__bucket")
+        .map_groups(confirm_agg, batch_format="pyarrow")
+    )
