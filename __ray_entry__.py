@@ -827,6 +827,16 @@ def _q_part_skyline(sf_dir):
     return part_skyline(sf_dir)
 
 
+def _q_common_neighbors(sf_dir):
+    """Top-20 predicted links (non-edge pairs by common-neighbor
+    count) over the part co-order graph (georay/graph.py
+    common_neighbors_topk)."""
+    from georay.graph import common_neighbors_topk
+    from georay.relational import part_pair_counts
+
+    return common_neighbors_topk(part_pair_counts(sf_dir, min_orders=2), k=20)
+
+
 def _q_kcore(sf_dir):
     """3-core of the part co-order graph via distributed iterative
     peeling (georay/graph.py kcore); oracle unrolls 16 peel rounds
@@ -1554,6 +1564,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_pagerank": _q_graph_pagerank,
         "triangle_counts": _q_triangle_counts,
         "kcore": _q_kcore,
+        "common_neighbors": _q_common_neighbors,
         "part_skyline": _q_part_skyline,
         "bloom_semi_join": _q_bloom_semi_join,
         "image_ahash_dups": _q_image_ahash_dups,
@@ -3570,6 +3581,22 @@ def _oracle_sql_raw() -> dict[str, str]:
             FROM nodes GROUP BY 1
         """,
         "kcore": _kcore_sql(3, 16),
+        "common_neighbors": """
+            WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            e AS MATERIALIZED (
+                SELECT a.l_partkey AS pa, b.l_partkey AS pb
+                FROM lp a JOIN lp b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+            bidir AS (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
+            wedge AS (SELECT a.v AS x, b.v AS y, COUNT(*) AS cn
+                      FROM bidir a JOIN bidir b ON a.u = b.u AND a.v < b.v
+                      GROUP BY 1, 2),
+            nonedge AS (SELECT x, y, cn FROM wedge w
+                        WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.pa = w.x AND e.pb = w.y))
+            SELECT x AS part_a, y AS part_b, cn::BIGINT AS n_common
+            FROM nonedge ORDER BY cn DESC, x, y LIMIT 20
+        """,
         "bloom_semi_join": """
             SELECT l_partkey AS part_key,
                    COUNT(*)::BIGINT AS n_items,

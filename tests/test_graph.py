@@ -376,3 +376,45 @@ def test_kcore_distributed_rounds_match_local(ray_session):
     got = dict(zip(dist["part_key"], dist["degree"]))
     assert got == _brute_kcore(edges, 4)
     assert got == _run_kcore(edges, 4)
+
+
+def test_common_neighbors_topk_matches_brute(ray_session):
+    import ray.data
+
+    from georay.graph import common_neighbors_topk
+
+    rng = np.random.default_rng(29)
+    seen = set()
+    for _ in range(300):
+        x, y = sorted(map(int, rng.integers(0, 45, 2)))
+        if x != y:
+            seen.add((x, y))
+    edges = sorted(seen)
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = sorted(adj)
+    brute = []
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1 :]:
+            if (a, b) in seen:
+                continue
+            cn = len(adj[a] & adj[b])
+            if cn:
+                brute.append((-cn, a, b))
+    brute.sort()
+    want = [(a, b, -nc) for nc, a, b in brute[:15]]
+
+    ea = pa.array([e[0] for e in edges], pa.int64())
+    eb = pa.array([e[1] for e in edges], pa.int64())
+    ds = ray.data.from_arrow(pa.table({"part_a": ea, "part_b": eb})).repartition(4)
+    got_t = common_neighbors_topk(ds, k=15)
+    got = list(
+        zip(
+            got_t["part_a"].to_pylist(),
+            got_t["part_b"].to_pylist(),
+            got_t["n_common"].to_pylist(),
+        )
+    )
+    assert got == want
