@@ -827,6 +827,15 @@ def _q_part_skyline(sf_dir):
     return part_skyline(sf_dir)
 
 
+def _q_kcenter_sample(sf_dir):
+    """Greedy farthest-point diversity sample of 8 embedding vectors
+    (georay/ann.py kcenter_sample); oracle unrolls the 7 selection
+    rounds with the same 1e-4 distance quantization."""
+    from georay.ann import kcenter_sample
+
+    return kcenter_sample(_emb(sf_dir), k=8)
+
+
 def _q_common_neighbors(sf_dir):
     """Top-20 predicted links (non-edge pairs by common-neighbor
     count) over the part co-order graph (georay/graph.py
@@ -1565,6 +1574,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_counts": _q_triangle_counts,
         "kcore": _q_kcore,
         "common_neighbors": _q_common_neighbors,
+        "kcenter_sample": _q_kcenter_sample,
         "part_skyline": _q_part_skyline,
         "bloom_semi_join": _q_bloom_semi_join,
         "image_ahash_dups": _q_image_ahash_dups,
@@ -1956,6 +1966,49 @@ def _kcore_sql(k: int = 3, rounds: int = 16) -> str:
           SELECT pa AS node FROM e{rounds}
           UNION ALL SELECT pb FROM e{rounds})
         GROUP BY 1
+    """
+
+
+def _kcenter_sql(k: int = 8) -> str:
+    """Unrolled greedy farthest-point replay: seed = lowest vec_id;
+    each round picks (max 1e-4-quantized min squared distance to the
+    selected set, then lowest vec_id). Same quantization point as
+    pq_encode (list_distance^2 at 1e4 is DuckDB/numpy-stable); every
+    CTE is MATERIALIZED so the chain doesn't inline exponentially."""
+    parts = [
+        "e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings)",
+        """c0 AS MATERIALIZED (
+          SELECT 0::BIGINT AS sel_rank, vec_id, 0::BIGINT AS dist_q
+          FROM e WHERE vec_id = (SELECT MIN(vec_id) FROM e))""",
+        "sel1 AS MATERIALIZED (SELECT vec_id FROM c0)",
+    ]
+    for r in range(1, k):
+        parts.append(
+            f"""m{r} AS MATERIALIZED (
+              SELECT e.vec_id,
+                     MIN(CAST(FLOOR(POW(list_distance(e.embedding, ce.embedding), 2)
+                                    * 10000 + 0.5) AS BIGINT)) AS q
+              FROM e, e ce
+              WHERE ce.vec_id IN (SELECT vec_id FROM sel{r})
+              GROUP BY e.vec_id)"""
+        )
+        parts.append(
+            f"""c{r} AS MATERIALIZED (
+              SELECT {r}::BIGINT AS sel_rank, vec_id, q AS dist_q
+              FROM m{r} ORDER BY q DESC, vec_id LIMIT 1)"""
+        )
+        if r + 1 < k:
+            parts.append(
+                f"""sel{r + 1} AS MATERIALIZED (
+                  SELECT vec_id FROM sel{r} UNION ALL SELECT vec_id FROM c{r})"""
+            )
+    union = "\n          UNION ALL ".join(
+        f"SELECT sel_rank, vec_id, dist_q FROM c{r}" for r in range(k)
+    )
+    joined = ",\n        ".join(parts)
+    return f"""
+        WITH {joined}
+        {union}
     """
 
 
@@ -3613,6 +3666,7 @@ def _oracle_sql_raw() -> dict[str, str]:
                 AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
         """,
         "kmeans_iter": _kmeans_sql(8, 3),
+        "kcenter_sample": _kcenter_sql(8),
         "embedding_pca": _pca_sql(5),
         "dsir_weights": """
             WITH dt AS (

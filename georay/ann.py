@@ -893,3 +893,80 @@ def ann_topk_ivf(
     refs = partials.materialize().to_arrow_refs()
     merged = ray.get(_tree_reduce(refs, _merge_ann_partials, args=(k,)))
     return _ann_rank_output(merged)
+
+
+@ray.remote
+def _kc_partial(C: np.ndarray, block: pa.Table):
+    """One block's farthest-point candidate under selected centers C:
+    min squared euclidean distance per vector, quantized to 1e-4 (the
+    pq_encode-proven scale where DuckDB's list_distance^2 and numpy's
+    direct sum-of-squares agree), winner = (max q, then lowest
+    vec_id). Returns (q, vec_id, vector) or None for an empty block."""
+    if block.num_rows == 0:
+        return None
+    E = unpack_embeddings(block)
+    ids = block["vec_id"].to_numpy(zero_copy_only=False)
+    d2 = ((E[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    q = np.floor(d2 * 1e4 + 0.5).astype(np.int64).min(axis=1)
+    order = np.lexsort((ids, -q))
+    w = order[0]
+    return int(q[w]), int(ids[w]), E[w]
+
+
+@ray.remote
+def _kc_merge(*parts):
+    live = [p for p in parts if p is not None]
+    if not live:
+        return None
+    live.sort(key=lambda p: (-p[0], p[1]))
+    return live[0]
+
+
+def kcenter_sample(embeddings: ray.data.Dataset, k: int = 8):
+    """Greedy farthest-point (k-center / Gonzalez 1985) DIVERSITY
+    sampling over the embedding table — the coreset-selection
+    primitive for training-data curation: pick k points such that
+    every point is near some pick (2-approximation of the k-center
+    optimum), where random/stratified sampling would oversample dense
+    regions.
+
+    Determinism contract (oracle-replayable like kmeans_iter): seed =
+    the lowest vec_id; each round scores every vector by its 1e-4
+    quantized min squared distance to the selected set and picks
+    (max q, then lowest vec_id). Selected points score 0 against
+    themselves, so picks never repeat while k <= n.
+
+    Scale shape: the table is pinned once; each of the k-1 rounds is
+    one task-mode pass over its blocks (per-block top-1 partial, remote
+    fan-in merge) against the ray.put [r x d] selected matrix — driver
+    traffic is ONE (q, id, vector) triple per round, never O(rows).
+
+    Output: {sel_rank, vec_id, dist_q} — selection order and the
+    quantized distance at selection time (seed: 0)."""
+    emb = embeddings.select_columns(["vec_id", "embedding"]).materialize()
+    refs = emb.to_arrow_refs()
+    seed_id = emb.min("vec_id")
+    seed_row = emb.map_batches(
+        lambda t: t.filter(pc.equal(t["vec_id"], seed_id)), batch_format="pyarrow"
+    ).take(1)[0]
+    C = np.asarray(seed_row["embedding"], dtype=np.float64)[None, :]
+    ranks, ids, qs = [0], [int(seed_id)], [0]
+    for r in range(1, k):
+        c_ref = ray.put(C)
+        win = ray.get(
+            _tree_reduce([_kc_partial.remote(c_ref, b) for b in refs], _kc_merge)
+        )
+        if win is None:
+            break
+        q, vid, vec = win
+        ranks.append(r)
+        ids.append(vid)
+        qs.append(q)
+        C = np.vstack([C, vec[None, :]])
+    return pa.table(
+        {
+            "sel_rank": pa.array(ranks, pa.int64()),
+            "vec_id": pa.array(ids, pa.int64()),
+            "dist_q": pa.array(qs, pa.int64()),
+        }
+    )

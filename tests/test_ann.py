@@ -531,3 +531,44 @@ def test_power_pca_empty(ray_session):
         }
     )
     assert power_pca(ray.data.from_arrow(t), n_iters=3).count() == 0
+
+
+def test_kcenter_sample_matches_reference(ray_session):
+    """The distributed per-block top-1 + fan-in merge must replay the
+    sequential greedy farthest-point trajectory exactly (quantized
+    distances, ties to lowest vec_id)."""
+    import pyarrow as pa
+
+    import ray.data
+    from georay.ann import kcenter_sample
+
+    rng = np.random.default_rng(31)
+    n, d, k = 80, 6, 6
+    E = rng.normal(size=(n, d)).astype(np.float32)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n), pa.int64()),
+                "embedding": pa.array(
+                    [row.tolist() for row in E], pa.list_(pa.float32())
+                ),
+            }
+        )
+    ).repartition(5)
+
+    # sequential reference
+    Ef = E.astype(np.float64)
+    sel = [0]
+    qs = [0]
+    for _ in range(k - 1):
+        d2 = ((Ef[:, None, :] - Ef[sel][None, :, :]) ** 2).sum(axis=2)
+        q = np.floor(d2 * 1e4 + 0.5).astype(np.int64).min(axis=1)
+        order = np.lexsort((np.arange(n), -q))
+        w = int(order[0])
+        sel.append(w)
+        qs.append(int(q[w]))
+
+    got = kcenter_sample(ds, k=k)
+    assert got["vec_id"].to_pylist() == sel
+    assert got["dist_q"].to_pylist() == qs
+    assert got["sel_rank"].to_pylist() == list(range(k))
