@@ -827,6 +827,15 @@ def _q_part_skyline(sf_dir):
     return part_skyline(sf_dir)
 
 
+def _q_linreg_train(sf_dir):
+    """Distributed exact-integer full-batch GD linear regression, 5
+    rounds (georay/textops.py linreg_train); output = per-doc
+    prediction + residual in nano-units under the trained weights."""
+    from georay.textops import linreg_train
+
+    return linreg_train(_docs(sf_dir), n_rounds=5)
+
+
 def _q_kcenter_sample(sf_dir):
     """Greedy farthest-point diversity sample of 8 embedding vectors
     (georay/ann.py kcenter_sample); oracle unrolls the 7 selection
@@ -1575,6 +1584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore": _q_kcore,
         "common_neighbors": _q_common_neighbors,
         "kcenter_sample": _q_kcenter_sample,
+        "linreg_train": _q_linreg_train,
         "part_skyline": _q_part_skyline,
         "bloom_semi_join": _q_bloom_semi_join,
         "image_ahash_dups": _q_image_ahash_dups,
@@ -1966,6 +1976,58 @@ def _kcore_sql(k: int = 3, rounds: int = 16) -> str:
           SELECT pa AS node FROM e{rounds}
           UNION ALL SELECT pb FROM e{rounds})
         GROUP BY 1
+    """
+
+
+def _linreg_sql(n_rounds: int = 5, lr_shift: int = 16) -> str:
+    """Unrolled exact-integer gradient-descent replay of
+    georay.textops.linreg_train: every quantity is BIGINT nano-units,
+    every update uses DuckDB's truncating `//` (the numpy side
+    matches with sign*(abs//d)), so the trajectory is bit-exact with
+    no float anywhere."""
+    div = 1 << lr_shift
+    parts = [
+        r"""d AS MATERIALIZED (
+          SELECT doc_id,
+                 CASE WHEN TRIM(text) = '' THEN 0
+                      ELSE LEN(regexp_split_to_array(TRIM(text), '\s+'))
+                 END AS ntok,
+                 LENGTH(text) AS nch
+          FROM documents)""",
+        r"""dist AS MATERIALIZED (
+          SELECT d.doc_id, COALESCE(u.cnt, 0) AS ndist FROM d LEFT JOIN (
+            SELECT doc_id, COUNT(DISTINCT tok) AS cnt FROM (
+              SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS tok
+              FROM documents WHERE TRIM(text) <> '') GROUP BY 1) u
+          ON d.doc_id = u.doc_id)""",
+        """f AS MATERIALIZED (
+          SELECT d.doc_id, CAST(ntok // 8 AS BIGINT) AS x1,
+                 CAST(nch // 64 AS BIGINT) AS x2,
+                 CAST(ndist * 1000000000 AS BIGINT) AS y_nano
+          FROM d JOIN dist ON d.doc_id = dist.doc_id)""",
+        "w0 AS (SELECT 0::BIGINT AS a, 0::BIGINT AS b, 0::BIGINT AS c)",
+    ]
+    for r in range(1, n_rounds + 1):
+        parts.append(
+            f"""g{r} AS MATERIALIZED (
+              SELECT CAST(SUM(w.a + w.b * x1 + w.c * x2 - y_nano) AS BIGINT) AS g0,
+                     CAST(SUM((w.a + w.b * x1 + w.c * x2 - y_nano) * x1) AS BIGINT) AS g1,
+                     CAST(SUM((w.a + w.b * x1 + w.c * x2 - y_nano) * x2) AS BIGINT) AS g2
+              FROM f, w{r - 1} w)"""
+        )
+        parts.append(
+            f"""w{r} AS (SELECT w.a - g.g0 // {div} AS a,
+                            w.b - g.g1 // {div} AS b,
+                            w.c - g.g2 // {div} AS c
+                     FROM w{r - 1} w, g{r} g)"""
+        )
+    joined = ",\n        ".join(parts)
+    return f"""
+        WITH {joined}
+        SELECT f.doc_id,
+               CAST(w.a + w.b * x1 + w.c * x2 AS BIGINT) AS pred_nano,
+               CAST(w.a + w.b * x1 + w.c * x2 - y_nano AS BIGINT) AS resid_nano
+        FROM f, w{n_rounds} w
     """
 
 
@@ -3667,6 +3729,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         """,
         "kmeans_iter": _kmeans_sql(8, 3),
         "kcenter_sample": _kcenter_sql(8),
+        "linreg_train": _linreg_sql(5, 16),
         "embedding_pca": _pca_sql(5),
         "dsir_weights": """
             WITH dt AS (

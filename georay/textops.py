@@ -3295,3 +3295,85 @@ def simhash_near_dups(docs: ray.data.Dataset, radius: int = 3):
         sum_cols=["hamming"],
         sort_cols=["doc_a", "doc_b"],
     )
+
+
+@ray.remote
+def _linreg_grad_partial(w, t: pa.Table):
+    """One block's exact-integer gradient: sum of resid_nano * x_j over
+    rows, all int64 (feature scaling bounds every product far below
+    2^63)."""
+    if t.num_rows == 0:
+        return np.zeros(3, dtype=np.int64)
+    x1 = t["x1"].to_numpy(zero_copy_only=False)
+    x2 = t["x2"].to_numpy(zero_copy_only=False)
+    y = t["y_nano"].to_numpy(zero_copy_only=False)
+    z = w[0] + w[1] * x1 + w[2] * x2
+    r = z - y
+    return np.array([r.sum(), (r * x1).sum(), (r * x2).sum()], dtype=np.int64)
+
+
+@ray.remote
+def _linreg_grad_merge(*parts):
+    return np.sum(np.stack(parts), axis=0)
+
+
+def linreg_train(docs: ray.data.Dataset, n_rounds: int = 5, lr_shift: int = 16):
+    """Distributed full-batch gradient-descent TRAINING of a linear
+    model — in EXACT int64 nano-unit arithmetic, so the whole
+    trajectory (not just the result) is engine-independent: no float
+    appears anywhere, hence no summation-order or libm skew to
+    quantize away (contrast kmeans_iter/kcenter_sample, which must
+    quantize float scores).
+
+    Model: y_hat = w0 + w1*(n_tokens//8) + w2*(n_chars//64), target
+    y = distinct-token count; w in nano-units, update
+    w -= trunc(g >> lr_shift) with TRUNCATED division (DuckDB's `//`
+    truncates toward zero while numpy floors — the one semantic trap
+    of integer GD across engines).
+
+    Scale shape: features are extracted once and pinned; each round is
+    one task-mode pass over the blocks emitting a 3-int partial
+    gradient, merged by a remote fan-in tree — driver traffic is 3
+    ints per round. Output: per-doc {doc_id, pred_nano, resid_nano}
+    under the trained weights."""
+
+    def feats(batch: pa.Table) -> pa.Table:
+        texts = [t or "" for t in batch["text"].to_pylist()]
+        toks = [tokenize(t) for t in texts]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "x1": pa.array([len(tk) // 8 for tk in toks], pa.int64()),
+                "x2": pa.array([len(t) // 64 for t in texts], pa.int64()),
+                "y_nano": pa.array(
+                    [len(set(tk)) * 1_000_000_000 for tk in toks], pa.int64()
+                ),
+            }
+        )
+
+    f = docs.map_batches(feats, batch_format="pyarrow").materialize()
+    refs = f.to_arrow_refs()
+    w = np.zeros(3, dtype=np.int64)
+    div = np.int64(1) << np.int64(lr_shift)
+    for _ in range(n_rounds):
+        g = ray.get(
+            _tree_reduce([_linreg_grad_partial.remote(w, b) for b in refs], _linreg_grad_merge)
+        )
+        w = w - np.sign(g) * (np.abs(g) // div)  # truncated division
+
+    w_f = (int(w[0]), int(w[1]), int(w[2]))
+
+    def predict(t: pa.Table) -> pa.Table:
+        x1 = t["x1"].to_numpy(zero_copy_only=False)
+        x2 = t["x2"].to_numpy(zero_copy_only=False)
+        y = t["y_nano"].to_numpy(zero_copy_only=False)
+        z = w_f[0] + w_f[1] * x1 + w_f[2] * x2
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "pred_nano": pa.array(z, pa.int64()),
+                "resid_nano": pa.array(z - y, pa.int64()),
+            }
+        )
+
+    return f.map_batches(predict, batch_format="pyarrow")
