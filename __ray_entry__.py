@@ -827,6 +827,14 @@ def _q_part_skyline(sf_dir):
     return part_skyline(sf_dir)
 
 
+def _q_greedy_coverage(sf_dir):
+    """Greedy max-coverage selection of 5 docs by marginal distinct-
+    bigram gain (georay/textops.py greedy_coverage)."""
+    from georay.textops import greedy_coverage
+
+    return greedy_coverage(_docs(sf_dir), k=5)
+
+
 def _q_linreg_train(sf_dir):
     """Distributed exact-integer full-batch GD linear regression, 5
     rounds (georay/textops.py linreg_train); output = per-doc
@@ -1585,6 +1593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "common_neighbors": _q_common_neighbors,
         "kcenter_sample": _q_kcenter_sample,
         "linreg_train": _q_linreg_train,
+        "greedy_coverage": _q_greedy_coverage,
         "part_skyline": _q_part_skyline,
         "bloom_semi_join": _q_bloom_semi_join,
         "image_ahash_dups": _q_image_ahash_dups,
@@ -1976,6 +1985,59 @@ def _kcore_sql(k: int = 3, rounds: int = 16) -> str:
           SELECT pa AS node FROM e{rounds}
           UNION ALL SELECT pb FROM e{rounds})
         GROUP BY 1
+    """
+
+
+def _greedy_coverage_sql(k: int = 5) -> str:
+    """Unrolled greedy max-coverage replay: round r picks the doc with
+    the most not-yet-covered distinct bigrams (ties to lowest doc_id),
+    excluding already-selected docs; candidates are docs with >= 1
+    bigram — the same candidate set as georay.textops.greedy_coverage's
+    shingle table."""
+    parts = [
+        r"""t AS MATERIALIZED (
+          SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS w FROM documents)""",
+        """words AS MATERIALIZED (
+          SELECT doc_id, i, w[i+1] AS tok FROM t, UNNEST(range(len(w))) AS u(i))""",
+        """b AS MATERIALIZED (
+          SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok AS bg
+          FROM words a JOIN words b ON a.doc_id = b.doc_id AND b.i = a.i + 1)""",
+        "g1 AS MATERIALIZED (SELECT doc_id, COUNT(*)::BIGINT AS gain FROM b GROUP BY 1)",
+        """s1 AS MATERIALIZED (
+          SELECT 0::BIGINT AS sel_rank, doc_id, gain FROM g1
+          ORDER BY gain DESC, doc_id LIMIT 1)""",
+        "cov1 AS MATERIALIZED (SELECT DISTINCT bg FROM b JOIN s1 USING (doc_id))",
+        "sel1 AS MATERIALIZED (SELECT doc_id FROM s1)",
+    ]
+    for r in range(2, k + 1):
+        parts.append(
+            f"""g{r} AS MATERIALIZED (
+              SELECT b.doc_id, CAST(COUNT(*) - COUNT(cv.bg) AS BIGINT) AS gain
+              FROM b LEFT JOIN cov{r - 1} cv ON b.bg = cv.bg
+              WHERE b.doc_id NOT IN (SELECT doc_id FROM sel{r - 1})
+              GROUP BY 1)"""
+        )
+        parts.append(
+            f"""s{r} AS MATERIALIZED (
+              SELECT {r - 1}::BIGINT AS sel_rank, doc_id, gain FROM g{r}
+              ORDER BY gain DESC, doc_id LIMIT 1)"""
+        )
+        parts.append(
+            f"""cov{r} AS MATERIALIZED (
+              SELECT bg FROM cov{r - 1}
+              UNION SELECT bg FROM b JOIN s{r} USING (doc_id))"""
+        )
+        parts.append(
+            f"""sel{r} AS MATERIALIZED (
+              SELECT doc_id FROM sel{r - 1} UNION ALL SELECT doc_id FROM s{r})"""
+        )
+    union = "\n        UNION ALL ".join(
+        f"SELECT sel_rank, doc_id, gain FROM s{r}" for r in range(1, k + 1)
+    )
+    joined = ",\n        ".join(parts)
+    return f"""
+        WITH {joined}
+        {union}
     """
 
 
@@ -3730,6 +3792,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "kmeans_iter": _kmeans_sql(8, 3),
         "kcenter_sample": _kcenter_sql(8),
         "linreg_train": _linreg_sql(5, 16),
+        "greedy_coverage": _greedy_coverage_sql(5),
         "embedding_pca": _pca_sql(5),
         "dsir_weights": """
             WITH dt AS (

@@ -3377,3 +3377,88 @@ def linreg_train(docs: ray.data.Dataset, n_rounds: int = 5, lr_shift: int = 16):
         )
 
     return f.map_batches(predict, batch_format="pyarrow")
+
+
+@ray.remote
+def _cov_partial(covered: np.ndarray, sel_ids, t: pa.Table):
+    """One block's best marginal-gain candidate: per doc, how many of
+    its (distinct) shingles are NOT in the covered set — computed flat
+    with ONE searchsorted over the block's concatenated shingles and a
+    reduceat per doc. Returns (gain, doc_id, shingle_array) or None."""
+    if t.num_rows == 0:
+        return None
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    sizes = t["set_size"].to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(t["shingles"]).to_numpy(zero_copy_only=False)
+    if len(covered):
+        pos = np.minimum(np.searchsorted(covered, flat), len(covered) - 1)
+        new = (covered[pos] != flat).astype(np.int64)
+    else:
+        new = np.ones(len(flat), dtype=np.int64)
+    starts = np.r_[0, np.cumsum(sizes)[:-1]].astype(np.int64)
+    gain = np.add.reduceat(new, starts) if len(flat) else np.zeros(0, np.int64)
+    if sel_ids:
+        gain = np.where(np.isin(ids, np.asarray(sel_ids, np.int64)), -1, gain)
+    order = np.lexsort((ids, -gain))
+    w = int(order[0])
+    if gain[w] < 0:
+        return None
+    sh = flat[starts[w] : starts[w] + sizes[w]]
+    return int(gain[w]), int(ids[w]), sh
+
+
+@ray.remote
+def _cov_merge(*parts):
+    live = [p for p in parts if p is not None]
+    if not live:
+        return None
+    live.sort(key=lambda p: (-p[0], p[1]))
+    return live[0]
+
+
+def greedy_coverage(docs: ray.data.Dataset, k: int = 5, shingle_n: int = 2):
+    """Greedy maximum-coverage selection of k documents — the
+    submodular data-curation primitive (Nemhauser et al.: greedy is a
+    (1-1/e)-approximation): each round picks the doc adding the most
+    not-yet-covered distinct shingles, ties to the lowest doc_id;
+    already-selected docs are excluded.
+
+    Scale shape: shingles are extracted once and pinned; each round is
+    one task-mode pass (per-block top-1 marginal gain against the
+    ray.put sorted covered-set, remote fan-in merge) — driver traffic
+    per round is one (gain, id, shingles) triple, and the covered set
+    is bounded by k * max-doc-shingles, not the corpus vocabulary.
+
+    Output: {sel_rank, doc_id, gain} — selection order and marginal
+    coverage gained. Candidates are docs with >= 1 shingle (matching
+    the SQL bigram table); a fully-covered doc has gain 0 and is still
+    pickable (lowest id wins), which keeps the two engines' tiebreak
+    paths identical."""
+    shingled = _shingle_rows(docs, shingle_n).materialize()
+    refs = shingled.to_arrow_refs()
+    covered = np.empty(0, dtype=np.int64)
+    sel_ids: list[int] = []
+    ranks, ids, gains = [], [], []
+    for r in range(k):
+        cov_ref = ray.put(covered)
+        win = ray.get(
+            _tree_reduce(
+                [_cov_partial.remote(cov_ref, tuple(sel_ids), b) for b in refs],
+                _cov_merge,
+            )
+        )
+        if win is None:  # fewer candidate docs than k
+            break
+        gain, doc_id, sh = win
+        ranks.append(r)
+        ids.append(doc_id)
+        gains.append(gain)
+        sel_ids.append(doc_id)
+        covered = np.union1d(covered, sh)
+    return pa.table(
+        {
+            "sel_rank": pa.array(ranks, pa.int64()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "gain": pa.array(gains, pa.int64()),
+        }
+    )

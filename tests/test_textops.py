@@ -879,3 +879,57 @@ def test_linreg_train_partition_invariant_and_learns(ray_session):
     # require a clear (>20%) SSE cut; exactness is the oracle's job
     y = np.array([r[1] for r in r3], dtype=np.float64) - resid
     assert (resid**2).sum() < 0.8 * (y**2).sum()
+
+
+def test_greedy_coverage_matches_sequential(ray_session):
+    """Distributed per-block top-1 + fan-in must replay the sequential
+    greedy max-coverage trajectory (marginal distinct-shingle gain,
+    ties to lowest doc_id, selected docs excluded)."""
+    import pyarrow as pa
+
+    import ray.data
+    from georay.textops import greedy_coverage, word_shingles
+
+    texts = {
+        0: "a b c d e f",          # 5 bigrams
+        1: "a b c d e f g h",      # superset of 0: 7 bigrams
+        2: "x y z w",              # disjoint: 3 bigrams
+        3: "a b c x y",            # overlaps both
+        4: "",                     # no shingles: never a candidate
+        5: "x y z w",              # duplicate of 2
+    }
+    sets = {
+        i: set(int(x) for x in word_shingles(t))
+        for i, t in texts.items()
+        if len(word_shingles(t))
+    }
+    covered, sel, want = set(), set(), []
+    for r in range(4):
+        cands = [
+            (-len(s - covered), i) for i, s in sets.items() if i not in sel
+        ]
+        cands.sort()
+        g, i = cands[0]
+        want.append((r, i, -g))
+        sel.add(i)
+        covered |= sets[i]
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(texts), pa.int64()),
+            "text": pa.array(list(texts.values()), pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    got_t = greedy_coverage(ds, k=4)
+    got = list(
+        zip(
+            got_t["sel_rank"].to_pylist(),
+            got_t["doc_id"].to_pylist(),
+            got_t["gain"].to_pylist(),
+        )
+    )
+    assert got == want
+    # sanity on the known corpus: doc 1 first (7 bigrams), then the
+    # disjoint doc 2 (3 new), and duplicates/subsets add nothing
+    assert got[0][1] == 1 and got[1][1] == 2
