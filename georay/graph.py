@@ -463,7 +463,10 @@ def cluster_representatives(
 
 
 def triangle_counts(
-    edges: ray.data.Dataset, a_col: str = "part_a", b_col: str = "part_b"
+    edges: ray.data.Dataset,
+    a_col: str = "part_a",
+    b_col: str = "part_b",
+    local_cutoff: int = 200_000,
 ):
     """Per-node triangle counts over an undirected simple graph —
     the degree-ordered node-iterator algorithm (Schank/Wagner; the
@@ -511,6 +514,13 @@ def triangle_counts(
         )
 
     edges = edges.select_columns([a_col, b_col]).materialize()
+    if edges.count() <= local_cutoff:
+        # degree-ordered wedges bound work at O(m^1.5); below the
+        # cutoff that fits ONE worker, and the distributed path would
+        # pay ~6 fixed shuffle latencies for microseconds of compute
+        # (the kcore local-tail rule)
+        out = ray.get(_tri_local.remote(a_col, b_col, *edges.to_arrow_refs()))
+        return out if out.num_rows == 0 else ray.data.from_arrow(out)
     degs = (
         edges.map_batches(endpoints, batch_format="pyarrow")
         .groupby("__bucket")
@@ -865,6 +875,7 @@ def common_neighbors_topk(
     k: int = 20,
     a_col: str = "part_a",
     b_col: str = "part_b",
+    local_cutoff: int = 200_000,
 ):
     """Link prediction by common-neighbor counting: the top-k node
     pairs that are NOT edges, ranked by how many shared neighbors they
@@ -887,6 +898,12 @@ def common_neighbors_topk(
 
     n_parts = _n_partitions()
     edges = edges.select_columns([a_col, b_col]).materialize()
+    if edges.count() <= local_cutoff:
+        # one-task tail: below the cutoff the four shuffles of the
+        # distributed path are pure latency (compact-id order is
+        # isomorphic to original ids, so the (count desc, a, b) cut
+        # is identical)
+        return ray.get(_cn_local.remote(k, a_col, b_col, *edges.to_arrow_refs()))
 
     def bidir(t: pa.Table) -> pa.Table:
         a = t[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1014,3 +1031,123 @@ def common_neighbors_topk(
     from georay.textops import _tree_reduce
 
     return ray.get(_tree_reduce(refs, _merge_cn_topk, args=(k,)))
+
+
+@ray.remote
+def _tri_local(a_col: str, b_col: str, *blocks):
+    """Single-task triangle counting for edge sets that fit one worker
+    (same degree-ordered wedge algorithm as the distributed path, on
+    compact ids): below the cutoff the distributed path is ~6 fixed
+    shuffle latencies for microseconds of compute."""
+    empty = pa.table(
+        {"part_key": pa.array([], pa.int64()), "n_triangles": pa.array([], pa.int64())}
+    )
+    live = [t for t in blocks if t.num_rows]
+    if not live:
+        return empty
+    t = pa.concat_tables(live)
+    a = t[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = t[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    deg = np.bincount(inv)
+    ia, ib = inv[: len(a)], inv[len(a) :]
+    a_first = (deg[ia] < deg[ib]) | ((deg[ia] == deg[ib]) & (ia < ib))
+    src = np.where(a_first, ia, ib)
+    dst = np.where(a_first, ib, ia)
+    order = np.lexsort((dst, src))
+    src, dst = src[order], dst[order]
+    n = len(src)
+    starts = np.r_[0, np.flatnonzero(src[1:] != src[:-1]) + 1]
+    ends = np.r_[starts[1:], n]
+    ends_of = np.repeat(ends, ends - starts)
+    pos = np.arange(n, dtype=np.int64)
+    reps = ends_of - pos - 1
+    total = int(reps.sum())
+    if total == 0:
+        return empty
+    i_idx = np.repeat(pos, reps)
+    run0 = np.r_[0, np.cumsum(reps)[:-1]]
+    j_idx = np.arange(total, dtype=np.int64) - np.repeat(run0, reps) + i_idx + 1
+    v, w = dst[i_idx], dst[j_idx]
+    lo, hi = np.minimum(v, w), np.maximum(v, w)
+    wkey = (lo << np.int64(32)) | hi
+    apex = src[i_idx]
+    ekeys = np.sort(
+        (np.minimum(ia, ib).astype(np.int64) << np.int64(32))
+        | np.maximum(ia, ib).astype(np.int64)
+    )
+    p = np.minimum(np.searchsorted(ekeys, wkey), len(ekeys) - 1)
+    closed = ekeys[p] == wkey
+    if not closed.any():
+        return empty
+    members = np.concatenate(
+        [apex[closed], lo[closed], hi[closed]]
+    )
+    cnt = np.bincount(members, minlength=len(nodes))
+    hit = np.flatnonzero(cnt)
+    return pa.table(
+        {
+            "part_key": pa.array(nodes[hit], pa.int64()),
+            "n_triangles": pa.array(cnt[hit].astype(np.int64), pa.int64()),
+        }
+    )
+
+
+@ray.remote
+def _cn_local(k: int, a_col: str, b_col: str, *blocks):
+    """Single-task common-neighbors top-k for small edge sets (compact
+    ids, full wedge counting, edge anti-join, (count desc, a, b) cut)."""
+    empty = pa.table(
+        {
+            "part_a": pa.array([], pa.int64()),
+            "part_b": pa.array([], pa.int64()),
+            "n_common": pa.array([], pa.int64()),
+        }
+    )
+    live = [t for t in blocks if t.num_rows]
+    if not live:
+        return empty
+    t = pa.concat_tables(live)
+    a = t[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = t[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ia, ib = inv[: len(a)], inv[len(a) :]
+    apex = np.concatenate([ia, ib])
+    nb = np.concatenate([ib, ia])
+    order = np.lexsort((nb, apex))
+    apex, nb = apex[order], nb[order]
+    n = len(apex)
+    starts = np.r_[0, np.flatnonzero(apex[1:] != apex[:-1]) + 1]
+    ends = np.r_[starts[1:], n]
+    ends_of = np.repeat(ends, ends - starts)
+    pos = np.arange(n, dtype=np.int64)
+    reps = ends_of - pos - 1
+    total = int(reps.sum())
+    if total == 0:
+        return empty
+    i_idx = np.repeat(pos, reps)
+    run0 = np.r_[0, np.cumsum(reps)[:-1]]
+    j_idx = np.arange(total, dtype=np.int64) - np.repeat(run0, reps) + i_idx + 1
+    v, w = nb[i_idx], nb[j_idx]
+    key = (np.minimum(v, w) << np.int64(32)) | np.maximum(v, w)
+    uk, uc = np.unique(key, return_counts=True)
+    ekeys = np.sort(
+        (np.minimum(ia, ib).astype(np.int64) << np.int64(32))
+        | np.maximum(ia, ib).astype(np.int64)
+    )
+    p = np.minimum(np.searchsorted(ekeys, uk), len(ekeys) - 1)
+    keep = ekeys[p] != uk
+    uk, uc = uk[keep], uc[keep]
+    if len(uk) == 0:
+        return empty
+    sel = np.lexsort((uk, -uc))[:k]
+    uk, uc = uk[sel], uc[sel]
+    pa_ids = nodes[(uk >> np.int64(32)).astype(np.int64)]
+    pb_ids = nodes[(uk & np.int64(0xFFFFFFFF)).astype(np.int64)]
+    return pa.table(
+        {
+            "part_a": pa.array(pa_ids, pa.int64()),
+            "part_b": pa.array(pb_ids, pa.int64()),
+            "n_common": pa.array(uc.astype(np.int64), pa.int64()),
+        }
+    )

@@ -415,40 +415,61 @@ def _exact_verify_pairs(
         )
 
     def verify_bucket(g: pa.Table) -> pa.Table:
-        """One partition of candidate pairs: rows sorted by (a, b);
-        cross-band duplicate rows collapse here (first row per
-        endpoint); a pair with both endpoints present gets the exact
-        float64-divide Jaccard (same form as the SQL oracle)."""
+        """One partition of candidate pairs, fully vectorized (the old
+        per-pair Python intersect1d loop was the 60 s wall of the
+        prefix join at 4M candidates): rows sort by (a, b, key) so
+        duplicate rows (cross-band repeats, shared-prefix repeats)
+        collapse to the first row per (pair, endpoint); token
+        intersections come from ONE flat lexsort over (pair_id, token)
+        — a token appears at most once per side, so adjacent equals
+        ARE the intersection; the final gate is the same float64
+        divide as the SQL oracle."""
+        empty_cols = {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+        if with_counts:
+            empty_cols["n_inter"] = pa.array([], pa.int64())
+            empty_cols["n_union"] = pa.array([], pa.int64())
+        if g.num_rows == 0:
+            return pa.table(empty_cols)
         a = g["a"].to_numpy(zero_copy_only=False)
         b = g["b"].to_numpy(zero_copy_only=False)
         keys = g["key"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((b, a))
+        order = np.lexsort((keys, b, a))
         a, b, keys = a[order], b[order], keys[order]
-        change = np.nonzero((np.diff(a) != 0) | (np.diff(b) != 0))[0] + 1
-        starts = np.concatenate([[0], change]).astype(np.int64)
-        ends = np.concatenate([change, [len(a)]]).astype(np.int64)
-        sh = g["shingles"].take(pa.array(order))
-        out_a, out_b, out_i, out_u = [], [], [], []
-        for s, e in zip(starts, ends):
-            krun = keys[s:e]
-            ra = np.nonzero(krun == a[s])[0]
-            rb = np.nonzero(krun == b[s])[0]
-            if len(ra) == 0 or len(rb) == 0:  # an endpoint had no shingles
-                continue
-            s1 = np.asarray(sh[int(s + ra[0])].as_py(), dtype=np.int64)
-            s2 = np.asarray(sh[int(s + rb[0])].as_py(), dtype=np.int64)
-            inter = len(np.intersect1d(s1, s2))
-            union = len(s1) + len(s2) - inter
-            if union > 0 and float(inter) / float(union) >= threshold:
-                out_a.append(int(a[s]))
-                out_b.append(int(b[s]))
-                if with_counts:
-                    out_i.append(inter)
-                    out_u.append(union)
-        cols = {"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64())}
+        # first row per (pair, endpoint-key): collapses duplicates
+        first = np.r_[
+            True,
+            (a[1:] != a[:-1]) | (b[1:] != b[:-1]) | (keys[1:] != keys[:-1]),
+        ]
+        sel = order[first]
+        a, b = a[first], b[first]
+        sh = g["shingles"].take(pa.array(sel, pa.int64())).combine_chunks()
+        lens = pc.list_value_length(sh).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(sh).to_numpy(zero_copy_only=False)
+        new_pair = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        pid = np.cumsum(new_pair) - 1
+        npairs = int(pid[-1]) + 1
+        n_sides = np.bincount(pid, minlength=npairs)
+        both = n_sides == 2  # an endpoint with no shingles never verifies
+        tot = np.bincount(pid, weights=lens, minlength=npairs).astype(np.int64)
+        fpid = np.repeat(pid, lens)
+        o2 = np.lexsort((flat, fpid))
+        fp, ft = fpid[o2], flat[o2]
+        match = (fp[1:] == fp[:-1]) & (ft[1:] == ft[:-1])
+        inter = np.bincount(fp[1:][match], minlength=npairs)
+        union = tot - inter
+        ok = both & (union > 0) & (
+            inter.astype(np.float64) / np.maximum(union, 1).astype(np.float64)
+            >= threshold
+        )
+        heads = np.flatnonzero(new_pair)
+        sel_p = np.flatnonzero(ok)
+        cols = {
+            "a": pa.array(a[heads[sel_p]], pa.int64()),
+            "b": pa.array(b[heads[sel_p]], pa.int64()),
+        }
         if with_counts:
-            cols["n_inter"] = pa.array(out_i, pa.int64())
-            cols["n_union"] = pa.array(out_u, pa.int64())
+            cols["n_inter"] = pa.array(inter[sel_p].astype(np.int64), pa.int64())
+            cols["n_union"] = pa.array(union[sel_p].astype(np.int64), pa.int64())
         return pa.table(cols)
 
     return (
@@ -562,6 +583,7 @@ def jaccard_prefix_join(
                 "sh": pa.array(sh[keep], pa.int64()),
                 "doc_id": pa.array(doc[keep], pa.int64()),
                 "set_size": pa.array(size[keep], pa.int64()),
+                "pos": pa.array(rank[keep], pa.int64()),
                 "__b3": pa.array(_bucket64(sh[keep]), pa.int64()),
             }
         )
@@ -570,8 +592,9 @@ def jaccard_prefix_join(
         sh = g["sh"].to_numpy(zero_copy_only=False)
         doc = g["doc_id"].to_numpy(zero_copy_only=False)
         size = g["set_size"].to_numpy(zero_copy_only=False)
+        ppos = g["pos"].to_numpy(zero_copy_only=False)
         order = np.lexsort((doc, sh))
-        sh, doc, size = sh[order], doc[order], size[order]
+        sh, doc, size, ppos = sh[order], doc[order], size[order], ppos[order]
         n = len(sh)
         empty = pa.table(
             {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
@@ -594,10 +617,48 @@ def jaccard_prefix_join(
         lo_sz = np.minimum(sa, sb).astype(np.float64)
         hi_sz = np.maximum(sa, sb).astype(np.float64)
         ok = lo_sz + 1e-9 >= threshold * hi_sz  # J >= t needs |small| >= t|large|
+        # PPJoin positional filter (exact): at the FIRST common token w
+        # of a qualifying pair, overlap <= 1 + min(remaining tokens
+        # after w on each side); requiring that bound >= the overlap
+        # threshold alpha = ceil(t/(1+t)(|x|+|y|)) at EVERY generated
+        # collision keeps w's collision alive, so recall is preserved
+        # while late-position-only pairs die here instead of in verify.
+        alpha = np.ceil(threshold / (1.0 + threshold) * (sa + sb) - 1e-9)
+        ub = 1 + np.minimum(sa - ppos[i_idx] - 1, sb - ppos[j_idx] - 1)
+        ok &= ub >= alpha
         a = np.minimum(da, db)[ok]
         b = np.maximum(da, db)[ok]
-        return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+        # local dedup: a pair sharing many prefix tokens in this
+        # partition repeats once per token — collapse before the shuffle
+        key = np.unique((a << np.int64(32)) | b)
+        return pa.table(
+            {
+                "a": pa.array(key >> np.int64(32), pa.int64()),
+                "b": pa.array(key & np.int64(0xFFFFFFFF), pa.int64()),
+            }
+        )
 
+    def global_dedup(g: pa.Table) -> pa.Table:
+        a = g["a"].to_numpy(zero_copy_only=False)
+        b = g["b"].to_numpy(zero_copy_only=False)
+        key = np.unique((a << np.int64(32)) | b)
+        return pa.table(
+            {
+                "a": pa.array(key >> np.int64(32), pa.int64()),
+                "b": pa.array(key & np.int64(0xFFFFFFFF), pa.int64()),
+            }
+        )
+
+    def pair_b(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        key = (a << np.int64(32)) | b
+        return t.append_column("__b4", pa.array(_bucket64(key), pa.int64()))
+
+    # dedup candidate pairs globally BEFORE the verify semi-join: the
+    # duplicate factor (= shared prefix tokens per pair) is unbounded,
+    # and the verify stage ships each pair row with full shingle lists
+    # — dedup shuffles bare int64 keys instead
     cands = (
         shingled.map_batches(explode, batch_format="pyarrow")
         .groupby("__bucket")
@@ -606,7 +667,55 @@ def jaccard_prefix_join(
         .map_groups(prefix_rows, batch_format="pyarrow")
         .groupby("__b3")
         .map_groups(cand_pairs, batch_format="pyarrow")
+        .map_batches(pair_b, batch_format="pyarrow")
+        .groupby("__b4")
+        .map_groups(global_dedup, batch_format="pyarrow")
     )
+    # verify-regime gate (same HLL probe contract as ngram_jaccard_pairs,
+    # driver sees two scalars): a SMALL global vocab means dense token
+    # overlap — exactly the regime where per-pair shingle lists are fat
+    # relative to their information and candidates are plentiful — so
+    # verify against vocab/8-byte bitsets (AND + popcount) instead of
+    # shipped lists. Huge vocab (real webtext) keeps the list verify.
+    from georay import sketch
+
+    refs = shingled.to_arrow_refs()
+    est = sketch.estimate(
+        ray.get(_tree_reduce([_block_shingle_hll.remote(r) for r in refs], _merge_hlls))
+    ) if refs else 0.0
+    max_verify_vocab = 1 << 16
+    if refs and est <= 1.3 * max_verify_vocab:
+        vocab_ref = _tree_reduce(
+            [_block_unique_shingles.remote(r) for r in refs], _union_sorted
+        )
+        vocab_n = int(ray.get(_obj_len.remote(vocab_ref)))
+        if vocab_n <= max_verify_vocab:
+            n_bytes = (vocab_n + 7) // 8
+
+            def pack(t: pa.Table) -> pa.Table:
+                vocab = ray.get(vocab_ref)  # zero-copy local plasma read
+                lens = pc.list_value_length(t["shingles"]).to_numpy(
+                    zero_copy_only=False
+                )
+                flat = pc.list_flatten(t["shingles"]).to_numpy(zero_copy_only=False)
+                rows = np.repeat(np.arange(len(t), dtype=np.int64), lens)
+                bits = np.zeros((len(t), vocab_n), dtype=np.uint8)
+                bits[rows, np.searchsorted(vocab, flat)] = 1
+                blob = np.packbits(bits, axis=1).tobytes()
+                return pa.table(
+                    {
+                        "doc_id": t["doc_id"],
+                        "bits": pa.array(
+                            [blob[i * n_bytes : (i + 1) * n_bytes] for i in range(len(t))],
+                            pa.binary(),
+                        ),
+                    }
+                )
+
+            packed = shingled.map_batches(pack, batch_format="pyarrow")
+            return _exact_verify_pairs_packed(
+                cands, packed, threshold, n_bytes, with_counts=True
+            )
     return _exact_verify_pairs(
         cands,
         shingled.select_columns(["doc_id", "shingles"]),
@@ -707,6 +816,8 @@ def _block_shingle_hll(t: pa.Table) -> np.ndarray:
     """Fixed-size (4 KB) HLL registers over one block's shingles."""
     from georay import sketch
 
+    if "shingles" not in t.column_names:  # degenerate empty block
+        return sketch.empty_registers()
     flat = pc.list_flatten(t["shingles"]).to_numpy(zero_copy_only=False)
     return sketch.update_registers(sketch.empty_registers(), sketch.hash64(flat))
 
@@ -721,6 +832,8 @@ def _merge_hlls(*regs):
 
 @ray.remote
 def _block_unique_shingles(t: pa.Table) -> np.ndarray:
+    if "shingles" not in t.column_names:  # degenerate empty block
+        return np.empty(0, dtype=np.int64)
     return np.unique(pc.list_flatten(t["shingles"]).to_numpy(zero_copy_only=False))
 
 
@@ -3461,4 +3574,167 @@ def greedy_coverage(docs: ray.data.Dataset, k: int = 5, shingle_n: int = 2):
             "doc_id": pa.array(ids, pa.int64()),
             "gain": pa.array(gains, pa.int64()),
         }
+    )
+
+
+_POP8 = np.unpackbits(np.arange(256, dtype=np.uint8).reshape(-1, 1), axis=1).sum(
+    axis=1
+).astype(np.uint16)
+
+
+def _binary_matrix(col, n_bytes: int) -> np.ndarray:
+    """Fixed-width binary column -> [N, n_bytes] uint8 view, straight
+    off the Arrow buffers (no per-row Python)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if len(arr) == 0:
+        return np.zeros((0, n_bytes), np.uint8)
+    off = np.frombuffer(arr.buffers()[1], np.int32)
+    off = off[arr.offset : arr.offset + len(arr) + 1]
+    data = np.frombuffer(arr.buffers()[2], np.uint8)
+    if off[-1] - off[0] != len(arr) * n_bytes:
+        raise ValueError("ragged binary column in _binary_matrix")
+    return data[off[0] : off[-1]].reshape(len(arr), n_bytes)
+
+
+def _exact_verify_pairs_packed(
+    pairs_ds: ray.data.Dataset,
+    packed: ray.data.Dataset,
+    threshold: float,
+    n_bytes: int,
+    with_counts: bool = False,
+):
+    """Bit-packed twin of _exact_verify_pairs for the small-vocab
+    regime: the semi-join ships a vocab/8-byte bitset per endpoint
+    instead of the shingle list, and per-pair intersections are
+    AND + popcount-LUT over the stacked matrices — no per-pair work at
+    all. Set sizes come from each side's own popcount, so no extra
+    column rides the shuffle."""
+    n_parts = _n_partitions()
+
+    def _key_bucket(keys: np.ndarray) -> np.ndarray:
+        return np.abs((keys * np.int64(2654435761)) % np.int64(n_parts))
+
+    def pair_keyed(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = np.concatenate([a, b])
+        n = len(a)
+        return pa.table(
+            {
+                "key": pa.array(key, pa.int64()),
+                "a": pa.array(np.concatenate([a, a]), pa.int64()),
+                "b": pa.array(np.concatenate([b, b]), pa.int64()),
+                "bits": pa.array([None] * (2 * n), pa.binary()),
+                "side": pa.array(np.zeros(2 * n, dtype=np.int8)),
+                "__bucket": pa.array(_key_bucket(key), pa.int64()),
+            }
+        )
+
+    def doc_keyed(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        keys = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.int64()),
+                "a": pa.array(np.full(n, -1, dtype=np.int64)),
+                "b": pa.array(np.full(n, -1, dtype=np.int64)),
+                "bits": t["bits"],
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "__bucket": pa.array(_key_bucket(keys), pa.int64()),
+            }
+        )
+
+    def attach(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        keys = g["key"].to_numpy(zero_copy_only=False)
+        doc_idx = np.nonzero(side == 1)[0]
+        pair_idx = np.nonzero(side == 0)[0]
+        empty = pa.table(
+            {
+                "key": pa.array([], pa.int64()),
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "bits": pa.array([], pa.binary()),
+            }
+        )
+        if len(doc_idx) == 0 or len(pair_idx) == 0:
+            return empty
+        dkeys = keys[doc_idx]
+        order = np.argsort(dkeys, kind="stable")
+        dkeys_s, doc_idx_s = dkeys[order], doc_idx[order]
+        pk = keys[pair_idx]
+        pos = np.minimum(np.searchsorted(dkeys_s, pk), len(dkeys_s) - 1)
+        found = dkeys_s[pos] == pk
+        sel_pairs = pa.array(pair_idx[found])
+        sel_docs = pa.array(doc_idx_s[pos[found]])
+        return pa.table(
+            {
+                "key": g["key"].take(sel_pairs),
+                "a": g["a"].take(sel_pairs),
+                "b": g["b"].take(sel_pairs),
+                "bits": g["bits"].take(sel_docs),
+            }
+        )
+
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        mixed = (a * np.uint64(0x9E3779B97F4A7C15)) ^ b
+        return t.append_column(
+            "__bucket", pa.array((mixed % np.uint64(n_parts)).astype(np.int64), pa.int64())
+        )
+
+    def verify_bucket(g: pa.Table) -> pa.Table:
+        empty_cols = {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+        if with_counts:
+            empty_cols["n_inter"] = pa.array([], pa.int64())
+            empty_cols["n_union"] = pa.array([], pa.int64())
+        if g.num_rows == 0:
+            return pa.table(empty_cols)
+        a = g["a"].to_numpy(zero_copy_only=False)
+        b = g["b"].to_numpy(zero_copy_only=False)
+        keys = g["key"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((keys, b, a))
+        a, b, keys = a[order], b[order], keys[order]
+        first = np.r_[
+            True,
+            (a[1:] != a[:-1]) | (b[1:] != b[:-1]) | (keys[1:] != keys[:-1]),
+        ]
+        sel = order[first]
+        a, b = a[first], b[first]
+        mat = _binary_matrix(g["bits"].take(pa.array(sel, pa.int64())), n_bytes)
+        new_pair = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        pid = np.cumsum(new_pair) - 1
+        npairs = int(pid[-1]) + 1
+        heads = np.flatnonzero(new_pair)
+        both = np.bincount(pid, minlength=npairs) == 2
+        ai, bi = heads[both], heads[both] + 1
+        A, B = mat[ai], mat[bi]
+        inter = _POP8[A & B].sum(axis=1).astype(np.int64)
+        union = (
+            _POP8[A].sum(axis=1).astype(np.int64)
+            + _POP8[B].sum(axis=1).astype(np.int64)
+            - inter
+        )
+        ok = (union > 0) & (
+            inter.astype(np.float64) / np.maximum(union, 1).astype(np.float64)
+            >= threshold
+        )
+        cols = {
+            "a": pa.array(a[ai[ok]], pa.int64()),
+            "b": pa.array(b[ai[ok]], pa.int64()),
+        }
+        if with_counts:
+            cols["n_inter"] = pa.array(inter[ok], pa.int64())
+            cols["n_union"] = pa.array(union[ok], pa.int64())
+        return pa.table(cols)
+
+    both_ds = pairs_ds.map_batches(pair_keyed, batch_format="pyarrow").union(
+        packed.map_batches(doc_keyed, batch_format="pyarrow")
+    )
+    keyed = both_ds.groupby("__bucket").map_groups(attach, batch_format="pyarrow")
+    return (
+        keyed.map_batches(pair_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(verify_bucket, batch_format="pyarrow")
     )

@@ -418,3 +418,51 @@ def test_common_neighbors_topk_matches_brute(ray_session):
         )
     )
     assert got == want
+
+
+def test_triangle_counts_distributed_matches_local(ray_session):
+    import ray.data
+
+    from georay.graph import triangle_counts
+
+    rng = np.random.default_rng(37)
+    seen = set()
+    for _ in range(500):
+        x, y = sorted(map(int, rng.integers(0, 55, 2)))
+        if x != y:
+            seen.add((x, y))
+    edges = sorted(seen)
+    a = pa.array([e[0] for e in edges], pa.int64())
+    b = pa.array([e[1] for e in edges], pa.int64())
+    ds = ray.data.from_arrow(pa.table({"part_a": a, "part_b": b})).repartition(4)
+    loc = triangle_counts(ds, local_cutoff=10**6).to_pandas()
+    dist = triangle_counts(ds, local_cutoff=0).to_pandas()
+    assert dict(zip(loc["part_key"], loc["n_triangles"])) == dict(
+        zip(dist["part_key"], dist["n_triangles"])
+    ) == _brute_triangles(edges)
+
+
+def test_common_neighbors_distributed_matches_local(ray_session):
+    import ray.data
+
+    from georay.graph import common_neighbors_topk
+
+    rng = np.random.default_rng(43)
+    seen = set()
+    for _ in range(250):
+        x, y = sorted(map(int, rng.integers(0, 40, 2)))
+        if x != y:
+            seen.add((x, y))
+    edges = sorted(seen)
+    a = pa.array([e[0] for e in edges], pa.int64())
+    b = pa.array([e[1] for e in edges], pa.int64())
+    ds = ray.data.from_arrow(pa.table({"part_a": a, "part_b": b})).repartition(4)
+
+    def rows(t):
+        return list(
+            zip(t["part_a"].to_pylist(), t["part_b"].to_pylist(), t["n_common"].to_pylist())
+        )
+
+    loc = common_neighbors_topk(ds, k=12, local_cutoff=10**6)
+    dist = common_neighbors_topk(ds, k=12, local_cutoff=0)
+    assert rows(loc) == rows(dist)
