@@ -827,6 +827,22 @@ def _q_part_skyline(sf_dir):
     return part_skyline(sf_dir)
 
 
+def _q_seeded_shuffle(sf_dir):
+    """Deterministic global shuffle order via splitmix64(doc_id ^ seed)
+    rank (georay/textops.py seeded_shuffle)."""
+    from georay.textops import seeded_shuffle
+
+    return seeded_shuffle(_docs(sf_dir), seed=42)
+
+
+def _q_orders_pivot(sf_dir):
+    """Month x priority wide pivot via packed-code bincount partials +
+    tiny month fold (georay/relational.py orders_pivot)."""
+    from georay.relational import orders_pivot
+
+    return orders_pivot(sf_dir)
+
+
 def _q_greedy_coverage(sf_dir):
     """Greedy max-coverage selection of 5 docs by marginal distinct-
     bigram gain (georay/textops.py greedy_coverage)."""
@@ -1594,6 +1610,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcenter_sample": _q_kcenter_sample,
         "linreg_train": _q_linreg_train,
         "greedy_coverage": _q_greedy_coverage,
+        "seeded_shuffle": _q_seeded_shuffle,
+        "orders_pivot": _q_orders_pivot,
         "part_skyline": _q_part_skyline,
         "bloom_semi_join": _q_bloom_semi_join,
         "image_ahash_dups": _q_image_ahash_dups,
@@ -3793,6 +3811,35 @@ def _oracle_sql_raw() -> dict[str, str]:
         "kcenter_sample": _kcenter_sql(8),
         "linreg_train": _linreg_sql(5, 16),
         "greedy_coverage": _greedy_coverage_sql(5),
+        "seeded_shuffle": """
+            WITH x0t AS (SELECT doc_id,
+                   (xor(doc_id, 42)::HUGEINT + 11400714819323198485)
+                     % 18446744073709551616 AS x0 FROM documents),
+            x0xt AS (SELECT doc_id, xor(x0, x0 // 1073741824) AS x0x FROM x0t),
+            x1t AS (SELECT doc_id,
+                   ((x0x % 4294967296) * 484763065
+                    + (((x0x // 4294967296) * 484763065
+                        + (x0x % 4294967296) * 3210233709) % 4294967296)
+                      * 4294967296) % 18446744073709551616 AS x1 FROM x0xt),
+            x1xt AS (SELECT doc_id, xor(x1, x1 // 134217728) AS x1x FROM x1t),
+            x2t AS (SELECT doc_id,
+                   ((x1x % 4294967296) * 321982955
+                    + (((x1x // 4294967296) * 321982955
+                        + (x1x % 4294967296) * 2496678331) % 4294967296)
+                      * 4294967296) % 18446744073709551616 AS x2 FROM x1xt),
+            ht AS (SELECT doc_id, xor(x2, x2 // 2147483648) AS h FROM x2t)
+            SELECT doc_id, ROW_NUMBER() OVER (ORDER BY h, doc_id) AS shuffle_pos
+            FROM ht
+        """,
+        "orders_pivot": """
+            SELECT (year(o_orderdate) * 100 + month(o_orderdate))::BIGINT AS month_key,
+                   (COUNT(*) FILTER (WHERE o_orderpriority LIKE '1%'))::BIGINT AS n_urgent,
+                   (COUNT(*) FILTER (WHERE o_orderpriority LIKE '2%'))::BIGINT AS n_high,
+                   (COUNT(*) FILTER (WHERE o_orderpriority LIKE '3%'))::BIGINT AS n_medium,
+                   (COUNT(*) FILTER (WHERE o_orderpriority LIKE '4%'))::BIGINT AS n_notspec,
+                   (COUNT(*) FILTER (WHERE o_orderpriority LIKE '5%'))::BIGINT AS n_low
+            FROM orders GROUP BY 1
+        """,
         "embedding_pca": _pca_sql(5),
         "dsir_weights": """
             WITH dt AS (

@@ -2456,3 +2456,35 @@ def bloom_semi_join(sf_dir: str, min_size: int = 48):
         .groupby("__bucket")
         .map_groups(confirm_agg, batch_format="pyarrow")
     )
+
+
+def orders_pivot(sf_dir: str):
+    """PIVOT / wide conditional aggregation: per order month, the
+    order count broken out into one column per priority class. The
+    wide shape comes from a per-batch packed-code bincount partial
+    (month x priority folded into one int key — no string groupby),
+    then ONE tiny-cardinality month fold through the remote fan-in
+    tree (tiny_key_sum), so the shuffle moves O(months x 5) ints."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_orderpriority"])
+    names = ["n_urgent", "n_high", "n_medium", "n_notspec", "n_low"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        d = pd.to_datetime(df["o_orderdate"])
+        month = (d.dt.year * 100 + d.dt.month).to_numpy(np.int64)
+        pr = df["o_orderpriority"].str[0].astype(np.int64).to_numpy() - 1
+        code = month * 8 + pr
+        uc, cnt = np.unique(code, return_counts=True)
+        um = uc // 8
+        up = uc % 8
+        months = np.unique(um)
+        mat = np.zeros((len(months), 5), dtype=np.int64)
+        mat[np.searchsorted(months, um), up] = cnt
+        cols = {"month_key": pa.array(months, pa.int64())}
+        for j, nme in enumerate(names):
+            cols[nme] = pa.array(mat[:, j], pa.int64())
+        return pa.table(cols)
+
+    return tiny_key_sum(
+        ds.map_batches(partial, batch_format="pyarrow"), ["month_key"], names
+    )

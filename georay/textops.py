@@ -3738,3 +3738,36 @@ def _exact_verify_pairs_packed(
         .groupby("__bucket")
         .map_groups(verify_bucket, batch_format="pyarrow")
     )
+
+
+def seeded_shuffle(docs: ray.data.Dataset, seed: int = 42):
+    """Deterministic global training-order shuffle: every doc gets
+    shuffle_pos = its 1-based rank under splitmix64(doc_id XOR seed) —
+    a pure function of (doc_id, seed), so the order is reproducible
+    across runs, resumable mid-epoch, and independent of partitioning
+    (the property a training pipeline needs that random_shuffle()
+    doesn't give). Re-keying is one vectorized map; the global rank is
+    the existing histogram-bucket rank_by (O(bins) driver state, no
+    global sort materialization)."""
+    from georay.rank import rank_by
+    from georay.sketch import hash64
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = hash64(ids ^ np.int64(seed))
+        # unsigned-order-preserving map into int64 (rank_by compares
+        # signed; SQL orders the raw HUGEINT) — flip the sign bit
+        key = (h ^ np.uint64(1 << 63)).view(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "__k": pa.array(key, pa.int64()),
+            }
+        )
+
+    ranked = rank_by(docs.map_batches(keyed, batch_format="pyarrow"), "__k", "doc_id")
+
+    def out(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"], "shuffle_pos": t["rnk"]})
+
+    return ranked.map_batches(out, batch_format="pyarrow")

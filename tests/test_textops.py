@@ -933,3 +933,30 @@ def test_greedy_coverage_matches_sequential(ray_session):
     # sanity on the known corpus: doc 1 first (7 bigrams), then the
     # disjoint doc 2 (3 new), and duplicates/subsets add nothing
     assert got[0][1] == 1 and got[1][1] == 2
+
+
+def test_seeded_shuffle_is_deterministic_permutation(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+    from georay.textops import seeded_shuffle
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(200), pa.int64()),
+            "text": pa.array(["x"] * 200, pa.string()),
+        }
+    )
+
+    def run(blocks, seed):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        df = seeded_shuffle(ds, seed=seed).to_pandas().sort_values("doc_id")
+        return df["shuffle_pos"].to_numpy()
+
+    a = run(3, seed=42)
+    # a permutation of 1..n, identical under a different block layout
+    assert sorted(a) == list(range(1, 201))
+    assert np.array_equal(a, run(9, seed=42))
+    # a different seed gives a different order
+    assert not np.array_equal(a, run(3, seed=7))
