@@ -827,6 +827,15 @@ def _q_part_skyline(sf_dir):
     return part_skyline(sf_dir)
 
 
+def _q_user_drawdown(sf_dir):
+    """Per-user max peak-to-trough drawdown of the event-value series
+    (georay/relational.py user_drawdown) — segmented running-max scan,
+    one bucketed shuffle."""
+    from georay.relational import user_drawdown
+
+    return user_drawdown(sf_dir)
+
+
 def _q_seeded_shuffle(sf_dir):
     """Deterministic global shuffle order via splitmix64(doc_id ^ seed)
     rank (georay/textops.py seeded_shuffle)."""
@@ -1612,6 +1621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "greedy_coverage": _q_greedy_coverage,
         "seeded_shuffle": _q_seeded_shuffle,
         "orders_pivot": _q_orders_pivot,
+        "user_drawdown": _q_user_drawdown,
         "part_skyline": _q_part_skyline,
         "bloom_semi_join": _q_bloom_semi_join,
         "image_ahash_dups": _q_image_ahash_dups,
@@ -3830,6 +3840,21 @@ def _oracle_sql_raw() -> dict[str, str]:
             ht AS (SELECT doc_id, xor(x2, x2 // 2147483648) AS h FROM x2t)
             SELECT doc_id, ROW_NUMBER() OVER (ORDER BY h, doc_id) AS shuffle_pos
             FROM ht
+        """,
+        "user_drawdown": """
+            WITH e AS (
+              SELECT user_id, ts, event_id,
+                     CAST(ROUND(value * 100) AS BIGINT) AS cents
+              FROM events),
+            d AS (
+              SELECT user_id,
+                     MAX(cents) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) - cents AS dd
+              FROM e)
+            SELECT user_id, COUNT(*)::BIGINT AS n_events,
+                   MAX(dd)::BIGINT AS max_drawdown_cents
+            FROM d GROUP BY 1
         """,
         "orders_pivot": """
             SELECT (year(o_orderdate) * 100 + month(o_orderdate))::BIGINT AS month_key,

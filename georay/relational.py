@@ -2488,3 +2488,64 @@ def orders_pivot(sf_dir: str):
     return tiny_key_sum(
         ds.map_batches(partial, batch_format="pyarrow"), ["month_key"], names
     )
+
+
+def user_drawdown(sf_dir: str):
+    """Per-user maximum drawdown of the event-value series — the
+    sequential-scan window pattern (running max + peak-to-trough) that
+    no plain aggregate expresses: drawdown_i = max(value_1..i) -
+    value_i over (ts, event_id) order, reported as each user's max.
+    Integer cents throughout.
+
+    Shape: ONE hash-bucketed shuffle on user_id; inside a partition
+    every user's scan runs in the same numpy pass — segmented
+    running-max via the offset trick (add user_seq << 40 before
+    maximum.accumulate, subtract after), no Python loop over users."""
+    n_parts = _n_partitions()
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = np.rint(t["value"].to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "ts_us": pa.array(ts, pa.int64()),
+                "event_id": t["event_id"],
+                "cents": pa.array(cents, pa.int64()),
+                "__bucket": pa.array(_hash_bucket(u, n_parts), pa.int64()),
+            }
+        )
+
+    def scan(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        cents = g["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, cents = u[order], cents[order]
+        starts = np.r_[0, np.flatnonzero(u[1:] != u[:-1]) + 1]
+        runlen = np.diff(np.r_[starts, len(u)])
+        seg = np.repeat(np.arange(len(starts), dtype=np.int64), runlen)
+        # segmented running max via the offset trick (cent values are
+        # bounded far below 2^40)
+        off = seg << np.int64(40)
+        runmax = np.maximum.accumulate(cents + off) - off
+        dd = runmax - cents
+        max_dd = np.maximum.reduceat(dd, starts)
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts], pa.int64()),
+                "n_events": pa.array(runlen.astype(np.int64), pa.int64()),
+                "max_drawdown_cents": pa.array(max_dd.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(scan, batch_format="pyarrow")
+    )

@@ -419,3 +419,39 @@ def test_event_transitions_single_and_empty_users(ray_session):
         ("a", "b", 1),
         ("b", "a", 1),
     ]
+
+
+def test_user_drawdown_brute(ray_session, tmp_path):
+    """Segmented running-max scan vs a per-user python reference."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from georay.relational import user_drawdown
+
+    rng = np.random.default_rng(19)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10**6, n), unit="s"),
+            "user_id": rng.integers(0, 12, n).astype(np.int64),
+            "event_type": ["x"] * n,
+            "value": np.round(rng.uniform(0, 300, n), 2),
+            "props": ["{}"] * n,
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), tmp_path / "events.parquet")
+
+    want = {}
+    for uid, g in df.sort_values(["ts", "event_id"]).groupby("user_id"):
+        cents = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        dd = np.maximum.accumulate(cents) - cents
+        want[uid] = (len(g), int(dd.max()))
+
+    got = user_drawdown(str(tmp_path)).to_pandas()
+    assert {
+        r.user_id: (r.n_events, r.max_drawdown_cents) for r in got.itertuples()
+    } == want
