@@ -827,6 +827,23 @@ def _q_part_skyline(sf_dir):
     return part_skyline(sf_dir)
 
 
+def _q_grouped_price_quantiles(sf_dir):
+    """Per-priority approximate order-price quantiles via the grouped
+    mergeable histogram sketch (georay/sketch.py
+    grouped_approx_quantiles); deterministic upper-bin-edge contract,
+    so even the approximation is oracle-verifiable."""
+    import ray.data
+
+    from georay.sketch import grouped_approx_quantiles
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    )
+    return grouped_approx_quantiles(
+        orders, "o_orderpriority", "o_totalprice", qs=(0.5, 0.9), n_bins=512
+    )
+
+
 def _q_user_drawdown(sf_dir):
     """Per-user max peak-to-trough drawdown of the event-value series
     (georay/relational.py user_drawdown) — segmented running-max scan,
@@ -1622,6 +1639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seeded_shuffle": _q_seeded_shuffle,
         "orders_pivot": _q_orders_pivot,
         "user_drawdown": _q_user_drawdown,
+        "grouped_price_quantiles": _q_grouped_price_quantiles,
         "part_skyline": _q_part_skyline,
         "bloom_semi_join": _q_bloom_semi_join,
         "image_ahash_dups": _q_image_ahash_dups,
@@ -3840,6 +3858,36 @@ def _oracle_sql_raw() -> dict[str, str]:
             ht AS (SELECT doc_id, xor(x2, x2 // 2147483648) AS h FROM x2t)
             SELECT doc_id, ROW_NUMBER() OVER (ORDER BY h, doc_id) AS shuffle_pos
             FROM ht
+        """,
+        "grouped_price_quantiles": """
+            WITH v AS (SELECT o_orderpriority AS grp,
+                              CAST(o_totalprice AS DOUBLE) AS x FROM orders),
+            s AS (SELECT grp, CAST(MIN(x) AS DOUBLE) AS lo,
+                         CAST(MAX(x) AS DOUBLE) AS hi, COUNT(*) AS n
+                  FROM v GROUP BY 1),
+            p AS (SELECT grp, lo, n,
+                         (CASE WHEN hi <= lo THEN lo + 1.0 ELSE hi END - lo) / 512
+                           AS width
+                  FROM s),
+            b AS (SELECT v.grp,
+                         LEAST(GREATEST(CAST(FLOOR((x - lo) / width) AS BIGINT), 0),
+                               511) AS bin
+                  FROM v JOIN p ON v.grp = p.grp),
+            h AS (SELECT grp, bin, COUNT(*) AS c FROM b GROUP BY 1, 2),
+            cum AS (SELECT grp, bin,
+                           CAST(SUM(c) OVER (PARTITION BY grp ORDER BY bin) AS BIGINT)
+                             AS cm
+                    FROM h)
+            SELECT p.grp AS o_orderpriority, p.n::BIGINT AS n_rows,
+                   lo + ((SELECT MIN(bin) FROM cum
+                          WHERE cum.grp = p.grp
+                            AND cm >= CAST(CEIL(0.5 * n) AS BIGINT)) + 1) * width
+                     AS p5,
+                   lo + ((SELECT MIN(bin) FROM cum
+                          WHERE cum.grp = p.grp
+                            AND cm >= CAST(CEIL(0.9 * n) AS BIGINT)) + 1) * width
+                     AS p9
+            FROM p
         """,
         "user_drawdown": """
             WITH e AS (

@@ -201,3 +201,74 @@ def approx_quantiles(
                for k, v in out.items()},
         }
     )
+
+
+def grouped_approx_quantiles(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    col: str,
+    qs=(0.5, 0.9),
+    n_bins: int = 512,
+):
+    """Per-GROUP approximate quantiles via the same mergeable
+    equi-width histogram sketch as approx_quantiles: one tiny grouped
+    Min/Max fixes each group's bin domain, then every batch emits one
+    O(groups x n_bins) partial histogram — memory independent of row
+    count per group, the property the exact per-group sort path gives
+    up at scale. Same deterministic upper-bin-edge error contract
+    (within one bin width above quantile_disc)."""
+    import ray.data
+    from ray.data.aggregate import Count as AggCount
+    from ray.data.aggregate import Max as AggMax
+    from ray.data.aggregate import Min as AggMin
+
+    stats = (
+        ds.groupby(group_col)
+        .aggregate(AggMin(col), AggMax(col), AggCount())
+        .take_all()
+    )
+    groups = sorted(r[group_col] for r in stats)
+    gidx = {g: i for i, g in enumerate(groups)}
+    lo = np.empty(len(groups))
+    width = np.empty(len(groups))
+    n_rows = np.zeros(len(groups), dtype=np.int64)
+    for r in stats:
+        i = gidx[r[group_col]]
+        glo, ghi = float(r[f"min({col})"]), float(r[f"max({col})"])
+        if not np.isfinite(glo) or not np.isfinite(ghi) or ghi <= glo:
+            ghi = glo + 1.0
+        lo[i] = glo
+        width[i] = (ghi - glo) / n_bins
+        n_rows[i] = int(r["count()"])
+
+    gkeys = np.array(groups)  # sorted -> searchsorted IS the group index
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = np.searchsorted(
+            gkeys, t[group_col].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.clip(((v - lo[g]) / width[g]).astype(np.int64), 0, n_bins - 1)
+        h = np.bincount(g * n_bins + b, minlength=len(groups) * n_bins).astype(
+            np.int64
+        )
+        return pa.table({"hist": pa.array([h.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    total = np.zeros(len(groups) * n_bins, dtype=np.int64)
+    for row in parts:  # one fixed-size vector per input batch
+        total += np.frombuffer(row["hist"], dtype=np.int64)
+    total = total.reshape(len(groups), n_bins)
+    cum = np.cumsum(total, axis=1)
+    cols = {
+        group_col: pa.array(groups),
+        "n_rows": pa.array(n_rows, pa.int64()),
+    }
+    for q in qs:
+        vals = []
+        for i in range(len(groups)):
+            rank = max(0, int(np.ceil(q * n_rows[i])) - 1)
+            b = int(np.searchsorted(cum[i], rank + 1))
+            vals.append(lo[i] + (b + 1) * width[i])
+        cols[f"p{str(q).replace('0.', '')}"] = pa.array(vals, pa.float64())
+    return pa.table(cols)

@@ -90,3 +90,38 @@ def test_approx_quantiles_within_bin_width(ray_session):
         exact = s[max(0, int(np.ceil(q * len(s))) - 1)]
         got = row[name]
         assert exact <= got <= exact + 2 * width, (q, got, exact, width)
+
+
+def test_grouped_approx_quantiles_bounds(ray_session):
+    """Per-group sketch quantiles sit in (exact, exact + bin width]
+    for every group — the deterministic error contract."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+    from georay.sketch import grouped_approx_quantiles
+
+    rng = np.random.default_rng(23)
+    n = 4000
+    grp = rng.choice(["a", "b", "c"], size=n)
+    val = np.where(grp == "a", rng.uniform(0, 100, n), rng.uniform(50, 500, n))
+    t = pa.table({"g": pa.array(grp), "v": pa.array(val, pa.float64())})
+    out = grouped_approx_quantiles(
+        ray.data.from_arrow(t).repartition(5), "g", "v", qs=(0.5, 0.9), n_bins=256
+    )
+    rows = {
+        out["g"][i].as_py(): (
+            out["n_rows"][i].as_py(),
+            out["p5"][i].as_py(),
+            out["p9"][i].as_py(),
+        )
+        for i in range(out.num_rows)
+    }
+    for g in ("a", "b", "c"):
+        sel = np.sort(val[grp == g])
+        width = (sel[-1] - sel[0]) / 256
+        n_g, p5, p9 = rows[g]
+        assert n_g == len(sel)
+        for q, got in ((0.5, p5), (0.9, p9)):
+            exact = sel[max(0, int(np.ceil(q * len(sel))) - 1)]
+            assert exact <= got <= exact + width + 1e-9
