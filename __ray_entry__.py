@@ -1252,6 +1252,84 @@ def _geo_simplify(sf_dir):
     return polygon_measures(simplified)
 
 
+def _geo_tile_contrast(sf_dir):
+    """Spatial hotspot contrast per z15 tile: 9*count - sum(3x3
+    neighborhood counts) — the local spatial-window statistic (a
+    pure-integer Getis-Ord-style local score; positive = denser than
+    the neighborhood). Works over the already-tiny tile-count table:
+    each tile fans out 9 (neighbor, count) contributions keyed by the
+    packed neighbor id, ONE hash-bucketed fold sums them, and only
+    tiles that exist contribute (missing neighbors are zero on both
+    engines)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from georay.pages import pages_dir_for
+    from georay.pipelines.flagship import geotag_pipeline
+    from georay.relational import _hash_bucket, _n_partitions
+
+    tiles = geotag_pipeline(pages_dir_for(sf_dir))["tiles"]
+    n_parts = _n_partitions()
+    ZBITS, XBITS = np.int64(1) << np.int64(58), np.int64(1) << np.int64(29)
+
+    def fan_out(t: pa.Table) -> pa.Table:
+        tile = t["tile"].to_numpy(zero_copy_only=False)
+        n = t["n_pages"].to_numpy(zero_copy_only=False).astype(np.int64)
+        z = tile // ZBITS
+        x = (tile % ZBITS) // XBITS
+        y = tile % XBITS
+        outs = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nx, ny = x + dx, y + dy
+                ok = (nx >= 0) & (ny >= 0)
+                key = z[ok] * ZBITS + nx[ok] * XBITS + ny[ok]
+                outs.append(
+                    pa.table(
+                        {
+                            "key": pa.array(key, pa.int64()),
+                            "n": pa.array(n[ok], pa.int64()),
+                            # the dx=dy=0 row doubles as the base-tile
+                            # marker carrying its own count
+                            "self_n": pa.array(
+                                n[ok] if (dx == 0 and dy == 0) else np.full(ok.sum(), -1, np.int64),
+                                pa.int64(),
+                            ),
+                            "__bucket": pa.array(
+                                _hash_bucket(key, n_parts), pa.int64()
+                            ),
+                        }
+                    )
+                )
+        return pa.concat_tables(outs)
+
+    def fold(g: pa.Table) -> pa.Table:
+        key = g["key"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        self_n = g["self_n"].to_numpy(zero_copy_only=False)
+        order = np.argsort(key, kind="stable")
+        key, n, self_n = key[order], n[order], self_n[order]
+        starts = np.r_[0, np.flatnonzero(key[1:] != key[:-1]) + 1]
+        nb_sum = np.add.reduceat(n, starts)
+        base = np.maximum.reduceat(self_n, starts)  # -1 unless the tile exists
+        keep = base >= 0
+        return pa.table(
+            {
+                "tile": pa.array(key[starts][keep], pa.int64()),
+                "n_pages": pa.array(base[keep].astype(np.int64), pa.int64()),
+                "contrast": pa.array(
+                    (9 * base[keep] - nb_sum[keep]).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        tiles.map_batches(fan_out, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
 def _geo_tile_pyramid(sf_dir):
     """Tile-pyramid rollup: page counts per tile at zooms 15/13/11.
     ONE pass aggregates the finest level (per-batch np.unique partials,
@@ -1671,6 +1749,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_layers": _geo_layers,
         "geo_pip_join": _geo_pip_join,
         "geo_tile_counts": _geo_tile_counts,
+        "geo_tile_contrast": _geo_tile_contrast,
         "geo_polygon_tiles": _geo_polygon_tiles,
         "geo_knn": _geo_knn,
         "geo_areas": _geo_areas,
@@ -4357,6 +4436,20 @@ def _oracle_sql_raw() -> dict[str, str]:
             SELECT tile, COUNT(*) AS n_pages
             FROM joined
             GROUP BY tile
+        """,
+        "geo_tile_contrast": f"""
+            {_GEO_JOIN_CTE}
+            , tc AS (SELECT tile, COUNT(*) AS n FROM joined GROUP BY tile),
+            xy AS (SELECT tile, n,
+                          (tile % 288230376151711744) // 536870912 AS x,
+                          tile % 536870912 AS y
+                   FROM tc),
+            nb AS (SELECT a.tile, a.n, SUM(b.n) AS s
+                   FROM xy a JOIN xy b
+                     ON abs(a.x - b.x) <= 1 AND abs(a.y - b.y) <= 1
+                   GROUP BY 1, 2)
+            SELECT tile, n::BIGINT AS n_pages, (9 * n - s)::BIGINT AS contrast
+            FROM nb
         """,
         "geo_polygon_tiles": f"""
             WITH {_NPOLY_CTE},
