@@ -827,6 +827,14 @@ def _q_part_skyline(sf_dir):
     return part_skyline(sf_dir)
 
 
+def _q_mutual_knn(sf_dir):
+    """Mutual (reciprocal) k-NN pairs over the embedding table at k=5
+    (georay/ann.py mutual_knn)."""
+    from georay.ann import mutual_knn
+
+    return mutual_knn(_emb(sf_dir), k=5)
+
+
 def _q_grouped_price_quantiles(sf_dir):
     """Per-priority approximate order-price quantiles via the grouped
     mergeable histogram sketch (georay/sketch.py
@@ -1718,6 +1726,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_pivot": _q_orders_pivot,
         "user_drawdown": _q_user_drawdown,
         "grouped_price_quantiles": _q_grouped_price_quantiles,
+        "mutual_knn": _q_mutual_knn,
         "part_skyline": _q_part_skyline,
         "bloom_semi_join": _q_bloom_semi_join,
         "image_ahash_dups": _q_image_ahash_dups,
@@ -3937,6 +3946,25 @@ def _oracle_sql_raw() -> dict[str, str]:
             ht AS (SELECT doc_id, xor(x2, x2 // 2147483648) AS h FROM x2t)
             SELECT doc_id, ROW_NUMBER() OVER (ORDER BY h, doc_id) AS shuffle_pos
             FROM ht
+        """,
+        "mutual_knn": """
+            WITH s AS (
+              SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                     CAST(FLOOR(list_cosine_similarity(
+                            CAST(a.embedding AS DOUBLE[]),
+                            CAST(b.embedding AS DOUBLE[])) * 1000000 + 0.5)
+                          AS BIGINT) AS m
+              FROM embeddings a, embeddings b
+              WHERE a.vec_id <> b.vec_id),
+            r AS (SELECT query_id, neighbor_id,
+                         ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY m DESC, neighbor_id) AS rk
+                  FROM s),
+            t AS (SELECT query_id, neighbor_id FROM r WHERE rk <= 5)
+            SELECT x.query_id AS a, x.neighbor_id AS b
+            FROM t x JOIN t y
+              ON y.query_id = x.neighbor_id AND y.neighbor_id = x.query_id
+            WHERE x.query_id < x.neighbor_id
         """,
         "grouped_price_quantiles": """
             WITH v AS (SELECT o_orderpriority AS grp,

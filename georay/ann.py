@@ -970,3 +970,138 @@ def kcenter_sample(embeddings: ray.data.Dataset, k: int = 8):
             "dist_q": pa.array(qs, pa.int64()),
         }
     )
+
+
+@ray.remote
+def _mknn_block_pair(refs_i, refs_j, same: bool, k: int):
+    """Directed top-k candidates between two chunks of the embedding
+    table: one [Ni, Nj] cosine matmul serves BOTH directions (i-rows
+    rank j-columns; for i != j the transpose ranks j-rows against
+    i-columns), each side k-bounded before anything leaves the task.
+    Sims are MICRO-quantized before ranking (the embedding_clusters
+    contract) so numpy's normalize-then-dot and DuckDB's
+    list_cosine_similarity rank identically; the chunk is pre-sorted
+    by vec_id so a stable descending argsort IS the
+    (micro desc, neighbor asc) order."""
+
+    def load(refs):
+        t = pa.concat_tables(ray.get(list(refs)))
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        E = unpack_embeddings(t)[order]
+        return ids, _normalize(E)
+
+    ids_i, Ei = load(refs_i)
+    ids_j, Ej = (ids_i, Ei) if same else load(refs_j)
+    M = np.floor((Ei @ Ej.T) * 1e6 + 0.5).astype(np.int64)
+    SELF = np.int64(-(10**15))  # below any micro-cosine; int64-min would
+    if same:                    # overflow under negation and sort FIRST
+        np.fill_diagonal(M, SELF)
+
+    def side_topk(mat, qids, nids):
+        kk = min(k, mat.shape[1])
+        order = np.argsort(-mat, axis=1, kind="stable")[:, :kk]
+        rows = np.repeat(np.arange(mat.shape[0]), kk)
+        cols = order.ravel()
+        keep = mat[rows, cols] != SELF
+        return (
+            np.repeat(qids, kk)[keep],
+            nids[cols][keep],
+            mat[rows, cols][keep],
+        )
+
+    oq, on, om = side_topk(M, ids_i, ids_j)
+    if not same:
+        oq2, on2, om2 = side_topk(np.ascontiguousarray(M.T), ids_j, ids_i)
+        oq = np.concatenate([oq, oq2])
+        on = np.concatenate([on, on2])
+        om = np.concatenate([om, om2])
+    return pa.table(
+        {
+            "query_id": pa.array(oq, pa.int64()),
+            "neighbor_id": pa.array(on, pa.int64()),
+            "sim_micro": pa.array(om, pa.int64()),
+        }
+    )
+
+
+def mutual_knn(embeddings: ray.data.Dataset, k: int = 5):
+    """Mutual k-NN graph over the embedding table: unordered pairs
+    {a, b} where EACH vector ranks the other inside its own cosine
+    top-k — the reciprocal-neighbor criterion used for high-precision
+    near-dup mining and kNN-graph clustering (one-directional kNN keeps
+    hub false friends; mutuality kills them).
+
+    Scale shape: chunk-pair matmul tasks emit k-bounded DIRECTED
+    candidates (never the [N, N] matrix), then two hash-bucketed folds
+    — per-query exact top-k, then pack-keyed mutuality (count == 2) —
+    so no stage materializes more than N*k rows and the driver sees
+    nothing. Ranking is micro-quantized cosine with ties by neighbor
+    id (the embedding_clusters determinism contract)."""
+    from georay.relational import _hash_bucket, _n_partitions
+
+    n_parts = _n_partitions()
+    emb = embeddings.select_columns(["vec_id", "embedding"]).materialize()
+    prefs = emb.to_arrow_refs()
+    n_docs = emb.count()
+    empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    if n_docs < 2:
+        return empty
+    try:
+        ncpu = max(1, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        ncpu = 8
+    n_chunks = min(len(prefs), max(1, -(-n_docs // 2048)), int(np.ceil(np.sqrt(4 * ncpu))))
+    per = -(-len(prefs) // n_chunks)
+    chunks = [prefs[i : i + per] for i in range(0, len(prefs), per)]
+    futures = []
+    for i in range(len(chunks)):
+        for j in range(i, len(chunks)):
+            futures.append(_mknn_block_pair.remote(chunks[i], chunks[j], i == j, k))
+
+    cand = ray.data.from_arrow_refs(futures)
+
+    def qbucket(t: pa.Table) -> pa.Table:
+        q = t["query_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "__bucket", pa.array(_hash_bucket(q, n_parts), pa.int64())
+        )
+
+    def per_query_topk(g: pa.Table) -> pa.Table:
+        q = g["query_id"].to_numpy(zero_copy_only=False)
+        n = g["neighbor_id"].to_numpy(zero_copy_only=False)
+        s = g["sim_micro"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((n, -s, q))
+        q, n = q[order], n[order]
+        starts = np.r_[0, np.flatnonzero(q[1:] != q[:-1]) + 1]
+        runlen = np.diff(np.r_[starts, len(q)])
+        rank = np.arange(len(q)) - np.repeat(starts, runlen)
+        keep = rank < k
+        q, n = q[keep], n[keep]
+        key = (np.minimum(q, n) << np.int64(32)) | np.maximum(q, n)
+        return pa.table(
+            {
+                "key": pa.array(key, pa.int64()),
+                "__b2": pa.array(_hash_bucket(key, n_parts), pa.int64()),
+            }
+        )
+
+    def mutual(g: pa.Table) -> pa.Table:
+        key = g["key"].to_numpy(zero_copy_only=False)
+        uk, uc = np.unique(key, return_counts=True)
+        uk = uk[uc == 2]  # both directions made the cut
+        return pa.table(
+            {
+                "a": pa.array(uk >> np.int64(32), pa.int64()),
+                "b": pa.array(uk & np.int64(0xFFFFFFFF), pa.int64()),
+            }
+        )
+
+    return (
+        cand.map_batches(qbucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_query_topk, batch_format="pyarrow")
+        .groupby("__b2")
+        .map_groups(mutual, batch_format="pyarrow")
+    )

@@ -572,3 +572,41 @@ def test_kcenter_sample_matches_reference(ray_session):
     assert got["vec_id"].to_pylist() == sel
     assert got["dist_q"].to_pylist() == qs
     assert got["sel_rank"].to_pylist() == list(range(k))
+
+
+def test_mutual_knn_matches_reference_and_partitioning(ray_session):
+    """Blocked chunk-pair candidates + two bucketed folds must equal
+    the single-matrix quantized reference, independent of block count
+    (chunk boundaries change which task sees which pair)."""
+    import pyarrow as pa
+
+    import ray.data
+    from georay.ann import mutual_knn
+
+    rng = np.random.default_rng(47)
+    n, d, k = 120, 8, 4
+    E = rng.normal(size=(n, d)).astype(np.float32)
+    En = E.astype(np.float64)
+    En = En / np.linalg.norm(En, axis=1, keepdims=True)
+    M = np.floor(En @ En.T * 1e6 + 0.5).astype(np.int64)
+    np.fill_diagonal(M, -(10**15))
+    order = np.argsort(-M, axis=1, kind="stable")[:, :k]
+    top = {i: set(order[i].tolist()) for i in range(n)}
+    ref = sorted(
+        (a, b) for a in top for b in top[a] if a < b and a in top[b]
+    )
+
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in E], pa.list_(pa.float32())),
+        }
+    )
+
+    def run(blocks):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        df = mutual_knn(ds, k=k).to_pandas()
+        return sorted(zip(df["a"], df["b"]))
+
+    assert run(3) == ref
+    assert run(11) == ref
