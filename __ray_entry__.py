@@ -827,6 +827,15 @@ def _q_part_skyline(sf_dir):
     return part_skyline(sf_dir)
 
 
+def _q_props_rollup(sf_dir):
+    """JSON property extraction + per-type rollup over events.props
+    (georay/relational.py props_rollup); one Arrow extract_regex
+    kernel, no per-row parsing."""
+    from georay.relational import props_rollup
+
+    return props_rollup(sf_dir)
+
+
 def _q_mutual_knn(sf_dir):
     """Mutual (reciprocal) k-NN pairs over the embedding table at k=5
     (georay/ann.py mutual_knn)."""
@@ -1727,6 +1736,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_drawdown": _q_user_drawdown,
         "grouped_price_quantiles": _q_grouped_price_quantiles,
         "mutual_knn": _q_mutual_knn,
+        "props_rollup": _q_props_rollup,
         "part_skyline": _q_part_skyline,
         "bloom_semi_join": _q_bloom_semi_join,
         "image_ahash_dups": _q_image_ahash_dups,
@@ -3946,6 +3956,18 @@ def _oracle_sql_raw() -> dict[str, str]:
             ht AS (SELECT doc_id, xor(x2, x2 // 2147483648) AS h FROM x2t)
             SELECT doc_id, ROW_NUMBER() OVER (ORDER BY h, doc_id) AS shuffle_pos
             FROM ht
+        """,
+        "props_rollup": """
+            WITH e AS (SELECT event_type,
+                              CAST(NULLIF(regexp_extract(props, '"k": (\\d+)', 1), '')
+                                   AS BIGINT) AS k
+                       FROM events)
+            SELECT event_type,
+                   COUNT(k)::BIGINT AS n_events,
+                   CAST(SUM(k) AS BIGINT) AS sum_k,
+                   CAST(MIN(k) AS BIGINT) AS min_k,
+                   CAST(MAX(k) AS BIGINT) AS max_k
+            FROM e GROUP BY 1
         """,
         "mutual_knn": """
             WITH s AS (

@@ -2549,3 +2549,55 @@ def user_drawdown(sf_dir: str):
         .groupby("__bucket")
         .map_groups(scan, batch_format="pyarrow")
     )
+
+
+def props_rollup(sf_dir: str):
+    """Semi-structured property extraction + rollup: pull the integer
+    `k` out of the events' JSON props column with ONE Arrow
+    extract_regex kernel (no per-row json.loads, no Python loop) and
+    aggregate {n_events, sum_k, min_k, max_k} per event_type. Rows
+    without the key drop out on both engines (COUNT(k) semantics).
+
+    Shape: per-batch partials collapse to O(types) rows before the
+    groupby, so the shuffle carries a few dozen ints per block."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(t["props"], pattern=r'"k": (?P<v>\d+)')
+        k = pc.cast(pc.struct_field(ext, "v"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        types = t["event_type"].to_numpy(zero_copy_only=False)
+        ok = ~pd.isna(k)
+        k = k[ok].astype(np.int64)
+        types = types[ok]
+        uniq, inv = np.unique(types, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        s = np.zeros(len(uniq), np.int64)
+        np.add.at(s, inv, k)
+        mn = np.full(len(uniq), np.iinfo(np.int64).max)
+        mx = np.full(len(uniq), np.iinfo(np.int64).min)
+        np.minimum.at(mn, inv, k)
+        np.maximum.at(mx, inv, k)
+        return pa.table(
+            {
+                "event_type": pa.array(uniq),
+                "n": pa.array(n, pa.int64()),
+                "s": pa.array(s, pa.int64()),
+                "mn": pa.array(mn, pa.int64()),
+                "mx": pa.array(mx, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n_events"),
+            Sum("s", alias_name="sum_k"),
+            Min("mn", alias_name="min_k"),
+            Max("mx", alias_name="max_k"),
+        )
+    )
