@@ -797,6 +797,28 @@ def _q_graph_pagerank(sf_dir):
     return pagerank(supplier_customer_edges(sf_dir), n_iters=5)
 
 
+def _q_personalized_pagerank(sf_dir):
+    """Personalized PageRank seeded on the BUILDING-segment customer
+    nodes over the cust<->supp interaction multigraph (georay/graph.py
+    pagerank(source_nodes=...)); integer-nano exact like
+    graph_pagerank."""
+    import pyarrow.compute as _pc
+
+    from georay.graph import pagerank, supplier_customer_edges
+    from georay.relational import _read
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    keys = cust.map_batches(
+        lambda t: t.filter(_pc.equal(t["c_mktsegment"], "BUILDING")).select(
+            ["c_custkey"]
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()["c_custkey"].to_numpy()
+    return pagerank(
+        supplier_customer_edges(sf_dir), n_iters=5, source_nodes=keys * 2
+    )
+
+
 def _q_triangle_counts(sf_dir):
     """Per-node triangle counts over the part co-order graph
     (part_pair_counts edges, min_orders=2) via degree-ordered wedge
@@ -1725,6 +1747,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pca": _q_embedding_pca,
         "dsir_weights": _q_dsir_weights,
         "graph_pagerank": _q_graph_pagerank,
+        "personalized_pagerank": _q_personalized_pagerank,
         "triangle_counts": _q_triangle_counts,
         "kcore": _q_kcore,
         "common_neighbors": _q_common_neighbors,
@@ -2088,6 +2111,51 @@ def _pagerank_sql(n_iters: int = 5) -> str:
                           CAST((15 * (1000000000000 // COUNT(*))) // 100 AS BIGINT) AS base
                    FROM nodes),
         r0t AS (SELECT node, r0 AS r FROM nodes, params),
+        {joined}
+        SELECT node, r AS rank_nano FROM {prev}
+    """
+
+
+def _ppr_sql(n_iters: int = 5) -> str:
+    """Unrolled integer-nano PERSONALIZED PageRank: identical update
+    arithmetic to _pagerank_sql, but teleport mass lives only on the
+    BUILDING-customer source nodes (matching
+    pagerank(source_nodes=...))."""
+    prev = "r0t"
+    iters = []
+    for i in range(1, n_iters + 1):
+        iters.append(
+            f"""i{i} AS (
+              SELECT n.node,
+                     CAST(COALESCE(sb.base_s, 0)
+                          + (85 * COALESCE(f.s, 0)) // 100 AS BIGINT) AS r
+              FROM nodes n
+              LEFT JOIN srcbase sb ON n.node = sb.node
+              LEFT JOIN (
+                SELECT e.dst AS node, SUM(rr.r // dg.d) AS s
+                FROM e JOIN {prev} rr ON e.src = rr.node
+                       JOIN deg dg ON e.src = dg.node
+                GROUP BY e.dst) f ON n.node = f.node)"""
+        )
+        prev = f"i{i}"
+    joined = ",\n        ".join(iters)
+    return f"""
+        WITH pair AS (
+          SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        ),
+        e AS (SELECT c AS src, s AS dst FROM pair
+              UNION ALL SELECT s AS src, c AS dst FROM pair),
+        nodes AS (SELECT DISTINCT src AS node FROM e),
+        deg AS (SELECT src AS node, COUNT(*) AS d FROM e GROUP BY src),
+        src_c AS (SELECT DISTINCT c_custkey * 2 AS node FROM customer
+                  WHERE c_mktsegment = 'BUILDING'),
+        srcg AS (SELECT s.node FROM src_c s JOIN nodes n ON n.node = s.node),
+        p AS (SELECT CAST(1000000000000 // COUNT(*) AS BIGINT) AS r0s FROM srcg),
+        srcbase AS (SELECT node, CAST((15 * r0s) // 100 AS BIGINT) AS base_s, r0s
+                    FROM srcg, p),
+        r0t AS (SELECT n.node, CAST(COALESCE(sb.r0s, 0) AS BIGINT) AS r
+                FROM nodes n LEFT JOIN srcbase sb ON n.node = sb.node),
         {joined}
         SELECT node, r AS rank_nano FROM {prev}
     """
@@ -3879,6 +3947,7 @@ def _oracle_sql_raw() -> dict[str, str]:
             FROM a LEFT JOIN pruned p ON a.vec_id = p.vec_id
         """,
         "graph_pagerank": _pagerank_sql(5),
+        "personalized_pagerank": _ppr_sql(5),
         "triangle_counts": """
             WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
             e AS (

@@ -266,6 +266,7 @@ def pagerank(
     n_iters: int = 5,
     damping_pct: int = 85,
     total_nano: int = 10**12,
+    source_nodes=None,
 ) -> ray.data.Dataset:
     """Integer-exact PageRank over a directed multigraph edge list
     (``src``/``dst`` int64 columns; parallel edges count as
@@ -315,9 +316,26 @@ def pagerank(
     )
     deg_ref = ray.put(deg)
 
-    r0 = total_nano // n_nodes
-    base = ((100 - damping_pct) * r0) // 100
-    rank = np.full(n_nodes, r0, dtype=np.int64)
+    if source_nodes is None:
+        r0 = total_nano // n_nodes
+        rank = np.full(n_nodes, r0, dtype=np.int64)
+        base_vec = np.full(n_nodes, ((100 - damping_pct) * r0) // 100, np.int64)
+    else:
+        # PERSONALIZED PageRank: teleport mass concentrates on the
+        # source cohort instead of the uniform vector — relevance
+        # relative to a seed set (graph-based retrieval/expansion).
+        # Same integer-nano exactness: only the base/init vectors
+        # change, every update op is unchanged.
+        src = np.intersect1d(
+            np.asarray(source_nodes, dtype=np.int64), nodes
+        )  # sources outside the graph carry no mass
+        ns = max(len(src), 1)
+        pos = np.searchsorted(nodes, src)
+        r0s = total_nano // ns
+        rank = np.zeros(n_nodes, dtype=np.int64)
+        rank[pos] = r0s
+        base_vec = np.zeros(n_nodes, dtype=np.int64)
+        base_vec[pos] = ((100 - damping_pct) * r0s) // 100
     for _ in range(n_iters):
         rank_ref = ray.put(rank)
         inflow = ray.get(
@@ -326,7 +344,7 @@ def pagerank(
                 _pr_sum_dense,
             )
         )
-        rank = base + (damping_pct * inflow) // 100
+        rank = base_vec + (damping_pct * inflow) // 100
     return ray.data.from_arrow(
         pa.table({"node": pa.array(nodes), "rank_nano": pa.array(rank)})
     )
