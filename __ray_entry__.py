@@ -797,6 +797,23 @@ def _q_graph_pagerank(sf_dir):
     return pagerank(supplier_customer_edges(sf_dir), n_iters=5)
 
 
+def _q_hits_scores(sf_dir):
+    """HITS hubs/authorities over the directed customer->supplier
+    interaction multigraph (georay/graph.py hits); integer L-inf
+    normalization makes every iterate exact."""
+    import pyarrow.compute as _pc
+
+    from georay.graph import hits, supplier_customer_edges
+
+    # supplier_customer_edges emits both directions; HITS wants the
+    # directed bipartite half (customers = even ids = hubs)
+    directed = supplier_customer_edges(sf_dir).map_batches(
+        lambda t: t.filter(_pc.equal(_pc.bit_wise_and(t["src"], 1), 0)),
+        batch_format="pyarrow",
+    )
+    return hits(directed, n_iters=4)
+
+
 def _q_personalized_pagerank(sf_dir):
     """Personalized PageRank seeded on the BUILDING-segment customer
     nodes over the cust<->supp interaction multigraph (georay/graph.py
@@ -1748,6 +1765,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": _q_dsir_weights,
         "graph_pagerank": _q_graph_pagerank,
         "personalized_pagerank": _q_personalized_pagerank,
+        "hits_scores": _q_hits_scores,
         "triangle_counts": _q_triangle_counts,
         "kcore": _q_kcore,
         "common_neighbors": _q_common_neighbors,
@@ -2113,6 +2131,55 @@ def _pagerank_sql(n_iters: int = 5) -> str:
         r0t AS (SELECT node, r0 AS r FROM nodes, params),
         {joined}
         SELECT node, r AS rank_nano FROM {prev}
+    """
+
+
+def _hits_sql(n_iters: int = 4) -> str:
+    """Unrolled HITS replay with exact integer L-infinity
+    normalization (v * 1e9 // max in HUGEINT — the same arithmetic
+    georay.graph._linf_scale runs in Python ints)."""
+    parts = [
+        """pair AS MATERIALIZED (SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+                 FROM orders JOIN lineitem ON l_orderkey = o_orderkey)""",
+        "e AS MATERIALIZED (SELECT src, dst FROM pair)",
+        """nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e
+                  UNION SELECT DISTINCT dst FROM e)""",
+        "h0 AS MATERIALIZED (SELECT node, 1000000000::HUGEINT AS v FROM nodes)",
+    ]
+    for i in range(1, n_iters + 1):
+        parts.append(
+            f"""ar{i} AS MATERIALIZED (SELECT n.node, COALESCE(s.sv, 0)::HUGEINT AS v
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node, SUM(hv.v) AS sv
+                FROM e JOIN h{i - 1} hv ON e.src = hv.node GROUP BY e.dst) s
+              ON n.node = s.node)"""
+        )
+        parts.append(
+            f"""a{i} AS MATERIALIZED (SELECT node,
+                 v * 1000000000 // GREATEST((SELECT MAX(v) FROM ar{i}), 1) AS v
+               FROM ar{i})"""
+        )
+        parts.append(
+            f"""hr{i} AS MATERIALIZED (SELECT n.node, COALESCE(s.sv, 0)::HUGEINT AS v
+              FROM nodes n LEFT JOIN (
+                SELECT e.src AS node, SUM(av.v) AS sv
+                FROM e JOIN a{i} av ON e.dst = av.node GROUP BY e.src) s
+              ON n.node = s.node)"""
+        )
+        parts.append(
+            f"""h{i} AS MATERIALIZED (SELECT node,
+                 v * 1000000000 // GREATEST((SELECT MAX(v) FROM hr{i}), 1) AS v
+               FROM hr{i})"""
+        )
+    joined = ",\n        ".join(parts)
+    return f"""
+        WITH {joined}
+        SELECT n.node,
+               CAST(CASE WHEN n.node IN (SELECT src FROM e)
+                         THEN hh.v ELSE aa.v END AS BIGINT) AS score
+        FROM nodes n
+        JOIN h{n_iters} hh ON hh.node = n.node
+        JOIN a{n_iters} aa ON aa.node = n.node
     """
 
 
@@ -3948,6 +4015,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         """,
         "graph_pagerank": _pagerank_sql(5),
         "personalized_pagerank": _ppr_sql(5),
+        "hits_scores": _hits_sql(4),
         "triangle_counts": """
             WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
             e AS (

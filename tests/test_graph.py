@@ -505,3 +505,43 @@ def test_personalized_pagerank_concentrates_on_sources(ray_session):
     # hold — a seed's neighbor can out-rank it while the seed keeps
     # pushing 85% of its mass out — but near >> far always does)
     assert r[0] > r[4] and r[1] > r[5] and r[2] > r[5]
+
+
+def test_hits_integer_replay(ray_session):
+    """Distributed HITS must replay the sequential integer L-inf
+    reference exactly; on a bipartite star, the hub that links to
+    everything dominates."""
+    import ray.data
+
+    from georay.graph import hits
+
+    # hubs 0,2 ; authorities 1,3,5 ; hub 0 links to all, hub 2 to one
+    edges = [(0, 1), (0, 3), (0, 5), (2, 1)]
+    t = pa.table(
+        {
+            "src": pa.array([e[0] for e in edges], pa.int64()),
+            "dst": pa.array([e[1] for e in edges], pa.int64()),
+        }
+    )
+    got = hits(ray.data.from_arrow(t).repartition(2), n_iters=3).to_pandas()
+    r = dict(zip(got["node"], got["score"]))
+
+    nodes = sorted({n for e in edges for n in e})
+    scale = 10**9
+    h = {n: scale for n in nodes}
+    a = {n: 0 for n in nodes}
+    for _ in range(3):
+        raw = {n: 0 for n in nodes}
+        for s, d in edges:
+            raw[d] += h[s]
+        mx = max(max(raw.values()), 1)
+        a = {n: v * scale // mx for n, v in raw.items()}
+        raw = {n: 0 for n in nodes}
+        for s, d in edges:
+            raw[s] += a[d]
+        mx = max(max(raw.values()), 1)
+        h = {n: v * scale // mx for n, v in raw.items()}
+    want = {n: (h[n] if n in (0, 2) else a[n]) for n in nodes}
+    assert r == want
+    assert r[0] == scale and r[0] > r[2]  # dominant hub
+    assert r[1] > r[3] == r[5]  # authority 1 has two in-links
