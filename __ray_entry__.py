@@ -295,6 +295,14 @@ def _q_minhash_near_dups(sf_dir):
     return minhash_near_dups(_docs(sf_dir), threshold=NGRAM_TAU)
 
 
+def _q_ngram_novelty(sf_dir):
+    """Per-doc corpus-unique-bigram novelty permille
+    (georay/textops.py ngram_novelty)."""
+    from georay.textops import ngram_novelty
+
+    return ngram_novelty(_docs(sf_dir))
+
+
 def _q_jaccard_prefix_join(sf_dir):
     """Exact AllPairs prefix-filtered Jaccard self-join at tau=0.6
     with exact intersection/union counts (georay/textops.py
@@ -1706,6 +1714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_counts": _q_quality_counts,
         "ngram_jaccard_dups": _q_ngram_jaccard,
         "jaccard_prefix_join": _q_jaccard_prefix_join,
+        "ngram_novelty": _q_ngram_novelty,
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash": _q_simhash,
         "simhash_near_dups": _q_simhash_near_dups,
@@ -3495,6 +3504,24 @@ def _oracle_sql_raw() -> dict[str, str]:
             FROM documents
         """,
         "ngram_jaccard_dups": _EXACT_JACCARD_SQL,
+        "ngram_novelty": """
+            WITH t AS (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS w
+                       FROM documents),
+            words AS (SELECT doc_id, i, w[i+1] AS tok
+                      FROM t, UNNEST(range(len(w))) AS u(i)),
+            bigrams AS (SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok AS bg
+                        FROM words a JOIN words b
+                          ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+            df AS (SELECT bg, COUNT(*) AS c FROM bigrams GROUP BY bg),
+            per AS (SELECT b.doc_id, COUNT(*) AS tot,
+                           COUNT(*) FILTER (WHERE df.c = 1) AS nu
+                    FROM bigrams b JOIN df USING (bg) GROUP BY 1)
+            SELECT d.doc_id,
+                   COALESCE(tot, 0)::BIGINT AS n_shingles,
+                   COALESCE(nu, 0)::BIGINT AS n_unique,
+                   COALESCE(1000 * nu // tot, 0)::BIGINT AS novelty_permille
+            FROM documents d LEFT JOIN per USING (doc_id)
+        """,
         "jaccard_prefix_join": f"""
             WITH t AS (SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') w FROM documents),
             words AS (SELECT doc_id, i, w[i+1] AS tok FROM t, UNNEST(range(len(w))) AS u(i)),

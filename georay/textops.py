@@ -3771,3 +3771,122 @@ def seeded_shuffle(docs: ray.data.Dataset, seed: int = 42):
         return pa.table({"doc_id": t["doc_id"], "shuffle_pos": t["rnk"]})
 
     return ranked.map_batches(out, batch_format="pyarrow")
+
+
+def ngram_novelty(docs: ray.data.Dataset, shingle_n: int = 2):
+    """Per-doc novelty signal: the integer-permille share of the doc's
+    distinct shingles that appear in NO other document (corpus df ==
+    1) — high novelty separates genuinely fresh content from remix /
+    boilerplate, the complement of the boilerplate-segment signal.
+
+    Shape: postings hash-bucketed by shingle (a shingle's global df =
+    its co-located run length, the jaccard_prefix_join trick — no
+    count+join), unique-flagged postings regroup by doc once, permille
+    is exact integer floor(1000 * unique / total). Docs with no
+    shingles report 0/0/0."""
+    n_parts = _n_partitions()
+    shingled = _shingle_rows(docs, shingle_n)
+
+    def _bucket64(keys: np.ndarray) -> np.ndarray:
+        mixed = keys.astype(np.int64).view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return (mixed % np.uint64(n_parts)).astype(np.int64)
+
+    def explode(t: pa.Table) -> pa.Table:
+        sizes = t["set_size"].to_numpy(zero_copy_only=False)
+        sh = pc.list_flatten(t["shingles"]).to_numpy(zero_copy_only=False)
+        doc = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), sizes)
+        return pa.table(
+            {
+                "sh": pa.array(sh, pa.int64()),
+                "doc_id": pa.array(doc, pa.int64()),
+                "__bucket": pa.array(_bucket64(sh), pa.int64()),
+            }
+        )
+
+    def flag_unique(g: pa.Table) -> pa.Table:
+        sh = g["sh"].to_numpy(zero_copy_only=False)
+        doc = g["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(sh, kind="stable")
+        sh, doc = sh[order], doc[order]
+        starts = np.r_[0, np.flatnonzero(sh[1:] != sh[:-1]) + 1]
+        runlen = np.diff(np.r_[starts, len(sh)])
+        uniq = np.repeat(runlen == 1, runlen)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, pa.int64()),
+                "u": pa.array(uniq.astype(np.int64), pa.int64()),
+                "__b2": pa.array(
+                    _bucket64(doc), pa.int64()
+                ),
+            }
+        )
+
+    def per_doc(g: pa.Table) -> pa.Table:
+        doc = g["doc_id"].to_numpy(zero_copy_only=False)
+        u = g["u"].to_numpy(zero_copy_only=False)
+        order = np.argsort(doc, kind="stable")
+        doc, u = doc[order], u[order]
+        starts = np.r_[0, np.flatnonzero(doc[1:] != doc[:-1]) + 1]
+        tot = np.diff(np.r_[starts, len(doc)]).astype(np.int64)
+        nu = np.add.reduceat(u, starts).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[starts], pa.int64()),
+                "n_shingles": pa.array(tot, pa.int64()),
+                "n_unique": pa.array(nu, pa.int64()),
+                "novelty_permille": pa.array(1000 * nu // tot, pa.int64()),
+            }
+        )
+
+    scored = (
+        shingled.map_batches(explode, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(flag_unique, batch_format="pyarrow")
+        .groupby("__b2")
+        .map_groups(per_doc, batch_format="pyarrow")
+    )
+
+    # shingle-less docs (empty/one-word) report zeros — the co-partition
+    # never sees them, so fold them back with one tiny union
+    all_ids = docs.select_columns(["doc_id"])
+
+    def zrows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        z = np.zeros(len(ids), np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_shingles": pa.array(z, pa.int64()),
+                "n_unique": pa.array(z, pa.int64()),
+                "novelty_permille": pa.array(z, pa.int64()),
+                "__b3": pa.array(_bucket64(ids), pa.int64()),
+            }
+        )
+
+    def add_b3(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("__b3", pa.array(_bucket64(ids), pa.int64()))
+
+    def first_wins(g: pa.Table) -> pa.Table:
+        # scored row (n_shingles > 0) beats the zero placeholder
+        doc = g["doc_id"].to_numpy(zero_copy_only=False)
+        ns = g["n_shingles"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((-ns, doc))
+        doc, ns = doc[order], ns[order]
+        first = np.r_[True, doc[1:] != doc[:-1]]
+        sel = pa.array(order[first], pa.int64())
+        return pa.table(
+            {
+                "doc_id": g["doc_id"].take(sel),
+                "n_shingles": g["n_shingles"].take(sel),
+                "n_unique": g["n_unique"].take(sel),
+                "novelty_permille": g["novelty_permille"].take(sel),
+            }
+        )
+
+    return (
+        scored.map_batches(add_b3, batch_format="pyarrow")
+        .union(all_ids.map_batches(zrows, batch_format="pyarrow"))
+        .groupby("__b3")
+        .map_groups(first_wins, batch_format="pyarrow")
+    )

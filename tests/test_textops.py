@@ -960,3 +960,40 @@ def test_seeded_shuffle_is_deterministic_permutation(ray_session):
     assert np.array_equal(a, run(9, seed=42))
     # a different seed gives a different order
     assert not np.array_equal(a, run(3, seed=7))
+
+
+def test_ngram_novelty_closed_form(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+    from georay.textops import ngram_novelty
+
+    texts = {
+        0: "a b c d",        # bigrams: ab bc cd
+        1: "a b x y",        # ab xy? -> "a b","b x","x y"
+        2: "q r",            # "q r" unique
+        3: "",               # no shingles: zeros
+        4: "solo",           # single token: zeros
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(sorted(texts), pa.int64()),
+            "text": pa.array([texts[k] for k in sorted(texts)], pa.string()),
+        }
+    )
+    out = (
+        ngram_novelty(ray.data.from_arrow(t).repartition(3))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    rows = {
+        r.doc_id: (r.n_shingles, r.n_unique, r.novelty_permille)
+        for r in out.itertuples()
+    }
+    # doc0: "a b" shared with doc1; "b c","c d" unique -> 2/3
+    assert rows[0] == (3, 2, 666)
+    assert rows[1] == (3, 2, 666)
+    assert rows[2] == (1, 1, 1000)
+    assert rows[3] == (0, 0, 0)
+    assert rows[4] == (0, 0, 0)
