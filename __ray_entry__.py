@@ -822,6 +822,21 @@ def _q_hits_scores(sf_dir):
     return hits(directed, n_iters=4)
 
 
+def _q_hits_full(sf_dir):
+    """HITS with the lossless {node, hub, authority} schema
+    (both_scores=True) — the general-directed-graph API where a node
+    holding both roles keeps both scores (ADVICE r04)."""
+    import pyarrow.compute as _pc
+
+    from georay.graph import hits, supplier_customer_edges
+
+    directed = supplier_customer_edges(sf_dir).map_batches(
+        lambda t: t.filter(_pc.equal(_pc.bit_wise_and(t["src"], 1), 0)),
+        batch_format="pyarrow",
+    )
+    return hits(directed, n_iters=4, both_scores=True)
+
+
 def _q_personalized_pagerank(sf_dir):
     """Personalized PageRank seeded on the BUILDING-segment customer
     nodes over the cust<->supp interaction multigraph (georay/graph.py
@@ -1775,6 +1790,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_pagerank": _q_graph_pagerank,
         "personalized_pagerank": _q_personalized_pagerank,
         "hits_scores": _q_hits_scores,
+        "hits_full": _q_hits_full,
         "triangle_counts": _q_triangle_counts,
         "kcore": _q_kcore,
         "common_neighbors": _q_common_neighbors,
@@ -2143,7 +2159,7 @@ def _pagerank_sql(n_iters: int = 5) -> str:
     """
 
 
-def _hits_sql(n_iters: int = 4) -> str:
+def _hits_sql(n_iters: int = 4, both: bool = False) -> str:
     """Unrolled HITS replay with exact integer L-infinity
     normalization (v * 1e9 // max in HUGEINT — the same arithmetic
     georay.graph._linf_scale runs in Python ints)."""
@@ -2181,6 +2197,16 @@ def _hits_sql(n_iters: int = 4) -> str:
                FROM hr{i})"""
         )
     joined = ",\n        ".join(parts)
+    if both:
+        return f"""
+        WITH {joined}
+        SELECT n.node,
+               CAST(hh.v AS BIGINT) AS hub,
+               CAST(aa.v AS BIGINT) AS authority
+        FROM nodes n
+        JOIN h{n_iters} hh ON hh.node = n.node
+        JOIN a{n_iters} aa ON aa.node = n.node
+    """
     return f"""
         WITH {joined}
         SELECT n.node,
@@ -4043,6 +4069,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "graph_pagerank": _pagerank_sql(5),
         "personalized_pagerank": _ppr_sql(5),
         "hits_scores": _hits_sql(4),
+        "hits_full": _hits_sql(4, both=True),
         "triangle_counts": """
             WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
             e AS (

@@ -933,8 +933,13 @@ def kcenter_sample(embeddings: ray.data.Dataset, k: int = 8):
     Determinism contract (oracle-replayable like kmeans_iter): seed =
     the lowest vec_id; each round scores every vector by its 1e-4
     quantized min squared distance to the selected set and picks
-    (max q, then lowest vec_id). Selected points score 0 against
-    themselves, so picks never repeat while k <= n.
+    (max q, then lowest vec_id). Already-selected points score 0
+    against themselves, so picks don't repeat while any vector has a
+    nonzero min-distance — but when every remaining min-distance is 0
+    (exact-duplicate vectors saturate the selected set) the argmax
+    re-picks the lowest already-selected vec_id, so the output CAN
+    contain duplicate vec_ids on degenerate inputs. The SQL oracle
+    replays the identical rule, by design (ADVICE r04).
 
     Scale shape: the table is pinned once; each of the k-1 rounds is
     one task-mode pass over its blocks (per-block top-1 partial, remote
@@ -1079,6 +1084,8 @@ def mutual_knn(embeddings: ray.data.Dataset, k: int = 5):
         rank = np.arange(len(q)) - np.repeat(starts, runlen)
         keep = rank < k
         q, n = q[keep], n[keep]
+        if len(q) and int(max(q.max(), n.max())) >= (1 << 31):
+            raise ValueError("mutual_knn: vec_id >= 2^31, widen the pack")
         key = (np.minimum(q, n) << np.int64(32)) | np.maximum(q, n)
         return pa.table(
             {

@@ -329,7 +329,14 @@ def pagerank(
         src = np.intersect1d(
             np.asarray(source_nodes, dtype=np.int64), nodes
         )  # sources outside the graph carry no mass
-        ns = max(len(src), 1)
+        if len(src) == 0:
+            # an all-outside seed set would silently zero every rank
+            # here while the SQL replay divides by zero — fail loudly
+            # instead of diverging (ADVICE r04)
+            raise ValueError(
+                "pagerank: no source_nodes intersect the graph's node set"
+            )
+        ns = len(src)
         pos = np.searchsorted(nodes, src)
         r0s = total_nano // ns
         rank = np.zeros(n_nodes, dtype=np.int64)
@@ -808,8 +815,10 @@ def kcore(
 
     es = edges.select_columns([a_col, b_col]).materialize()
     n_prev = es.count()
+    converged = False
     for _ in range(max_rounds):
         if n_prev == 0:
+            converged = True
             break
         if n_prev <= local_cutoff:
             # the surviving graph fits one worker: the remaining rounds
@@ -847,8 +856,17 @@ def kcore(
         )
         n = es.count()
         if n == n_prev:  # no edge died -> every surviving degree >= k
+            converged = True
             break
         n_prev = n
+    if not converged and n_prev > 0:
+        # max_rounds exhausted while edges were still dying: the partial
+        # peel would violate the "every surviving degree >= k" contract,
+        # so fail loudly instead of returning a wrong core (ADVICE r04)
+        raise RuntimeError(
+            f"kcore: fixpoint not reached in {max_rounds} rounds "
+            f"({n_prev} edges alive); raise max_rounds"
+        )
 
     def to_out(t: pa.Table) -> pa.Table:
         return t.rename_columns(
@@ -1198,6 +1216,7 @@ def hits(
     edges: ray.data.Dataset,
     n_iters: int = 4,
     scale: int = 10**9,
+    both_scores: bool = False,
 ) -> ray.data.Dataset:
     """HITS hubs & authorities (Kleinberg 1999) over a directed edge
     list — the second classic link-analysis signal next to PageRank,
@@ -1216,8 +1235,14 @@ def hits(
     (ray.put), dense int64 partials merged by a remote fan-in tree —
     driver traffic is one O(|V|) array per half-step.
 
-    Output: {node, score} — hub score for source-side nodes, authority
-    score for destination-side nodes (per-side L-inf max = scale)."""
+    Output (default, ``both_scores=False``): {node, score} — hub score
+    for source-side nodes, authority score for destination-side nodes
+    (per-side L-inf max = scale). That single-score collapse is only
+    meaningful on bipartite / one-role graphs (as here: customers are
+    pure hubs, suppliers pure authorities); on a general directed
+    graph a node with both roles would have its authority score
+    silently discarded (ADVICE r04) — pass ``both_scores=True`` to get
+    the lossless {node, hub, authority} schema instead."""
     from .textops import _tree_reduce
 
     refs = edges.materialize().to_arrow_refs()
@@ -1226,9 +1251,12 @@ def hits(
     )
     n_nodes = int(len(nodes))
     if n_nodes == 0:
-        return ray.data.from_arrow(
-            pa.table({"node": pa.array([], pa.int64()), "score": pa.array([], pa.int64())})
-        )
+        empty = pa.array([], pa.int64())
+        if both_scores:
+            return ray.data.from_arrow(
+                pa.table({"node": empty, "hub": empty, "authority": empty})
+            )
+        return ray.data.from_arrow(pa.table({"node": empty, "score": empty}))
     nodes_ref = ray.put(nodes)
     preps = [_pr_prep.remote(nodes_ref, r) for r in refs]
     is_src = ray.get(
@@ -1252,6 +1280,16 @@ def hits(
             )
         )
         h = _linf_scale(h_raw, scale)
+    if both_scores:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(nodes),
+                    "hub": pa.array(h, pa.int64()),
+                    "authority": pa.array(a, pa.int64()),
+                }
+            )
+        )
     score = np.where(is_src, h, a)
     return ray.data.from_arrow(
         pa.table({"node": pa.array(nodes), "score": pa.array(score, pa.int64())})

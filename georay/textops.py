@@ -628,6 +628,8 @@ def jaccard_prefix_join(
         ok &= ub >= alpha
         a = np.minimum(da, db)[ok]
         b = np.maximum(da, db)[ok]
+        if len(a) and int(max(a.max(), b.max())) >= (1 << 31):
+            raise ValueError("jaccard_prefix_join: doc_id >= 2^31, widen the pack")
         # local dedup: a pair sharing many prefix tokens in this
         # partition repeats once per token — collapse before the shuffle
         key = np.unique((a << np.int64(32)) | b)

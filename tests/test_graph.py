@@ -545,3 +545,45 @@ def test_hits_integer_replay(ray_session):
     assert r == want
     assert r[0] == scale and r[0] > r[2]  # dominant hub
     assert r[1] > r[3] == r[5]  # authority 1 has two in-links
+
+
+def test_hits_both_scores(ray_session):
+    """both_scores=True keeps hub AND authority per node (the lossless
+    general-directed-graph schema, ADVICE r04); on the bipartite star
+    the per-role columns must match the single-score collapse."""
+    import ray.data
+
+    from georay.graph import hits
+
+    edges = [(0, 1), (0, 3), (0, 5), (2, 1)]
+    t = pa.table(
+        {
+            "src": pa.array([e[0] for e in edges], pa.int64()),
+            "dst": pa.array([e[1] for e in edges], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(2)
+    single = hits(ds, n_iters=3).to_pandas()
+    both = hits(ds, n_iters=3, both_scores=True).to_pandas()
+    assert list(both.columns) == ["node", "hub", "authority"]
+    s = dict(zip(single["node"], single["score"]))
+    for _, row in both.iterrows():
+        want = row["hub"] if row["node"] in (0, 2) else row["authority"]
+        assert s[row["node"]] == want
+    # pure authorities gathered no hub inflow
+    assert all(both.set_index("node").loc[[1, 3, 5], "hub"] == 0)
+
+
+def test_pagerank_disjoint_sources_raise(ray_session):
+    """A seed set fully outside the graph must raise, not silently
+    zero all mass (ADVICE r04 — the SQL replay divides by zero)."""
+    import pytest
+    import ray.data
+
+    from georay.graph import pagerank
+
+    t = pa.table(
+        {"src": pa.array([1, 2], pa.int64()), "dst": pa.array([2, 1], pa.int64())}
+    )
+    with pytest.raises(ValueError, match="source_nodes"):
+        pagerank(ray.data.from_arrow(t), n_iters=2, source_nodes=[99, 100])
