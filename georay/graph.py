@@ -261,12 +261,323 @@ def _pr_sum_dense(*parts):
     return out
 
 
+# ----------------------------------------------------------------
+# Co-partitioned iterative-graph fallback (VERDICT r04 #2).
+#
+# The broadcast path ships an O(|V|) int64 rank vector to every edge
+# block each iteration — the right trade while the node universe is
+# dimension-sized (hosts, not pages, in a web graph). Past the dense
+# budget (GEORAY_GRAPH_DENSE_BUDGET, default 256 MB — the dim_side
+# convention, relational.py:60) the fallback keeps BOTH sides
+# partitioned by the same hash: edges are bucketed ONCE by
+# hash(src) % B (so a src's full out-degree is bucket-local), rank
+# lives as per-bucket (sorted nodes_b, rank_b) int64 arrays pinned in
+# the object store, and each iteration is scatter (bucket-local
+# rank⨝edges -> per-dst-bucket partial inflow tables) + apply (gather
+# the B partials addressed to the bucket). Driver state is O(B) refs
+# and a handful of ints — never O(|V|) — and per-iteration traffic is
+# B^2 k-bounded partial tables instead of B copies of the full rank
+# vector. Same integer-nano arithmetic as the broadcast path, so the
+# two modes are bit-identical (pinned by tests/test_graph.py parity).
+
+DEFAULT_GRAPH_DENSE_BUDGET_BYTES = 256 << 20
+
+
+def _graph_dense_budget() -> int:
+    import os
+
+    return int(
+        os.environ.get("GEORAY_GRAPH_DENSE_BUDGET", DEFAULT_GRAPH_DENSE_BUDGET_BYTES)
+    )
+
+
+def _gp_hash(keys: np.ndarray, n_buckets: int) -> np.ndarray:
+    # same multiplicative hash as relational._hash_bucket: rank buckets
+    # and edge buckets MUST agree or co-partitioning silently breaks
+    return np.abs((keys.astype(np.int64) * np.int64(2654435761)) % np.int64(n_buckets))
+
+
+@ray.remote
+def _gp_len(arr: np.ndarray) -> int:
+    return int(len(arr))
+
+
+@ray.remote
+def _gp_split_nodes(n_buckets: int, uniq: np.ndarray):
+    """One block's distinct nodes split by hash(node) % B."""
+    hb = _gp_hash(uniq, n_buckets)
+    return tuple(uniq[hb == b] for b in range(n_buckets))
+
+
+@ray.remote
+def _gp_union_sorted(*parts) -> np.ndarray:
+    return np.unique(np.concatenate(parts)) if parts else np.array([], np.int64)
+
+
+@ray.remote
+def _gp_split_edges(n_buckets: int, key_col: str, block: pa.Table):
+    """One edge block split by hash(key_col) % B (key_col = 'src' for
+    the PageRank/authority gather, 'dst' for the HITS hub gather)."""
+    if block.num_rows == 0:
+        e = np.array([], np.int64)
+        return tuple(pa.table({"src": pa.array(e), "dst": pa.array(e)}) for _ in range(n_buckets))
+    src = block["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = block["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    hb = _gp_hash(src if key_col == "src" else dst, n_buckets)
+    out = []
+    for b in range(n_buckets):
+        m = hb == b
+        out.append(pa.table({"src": pa.array(src[m]), "dst": pa.array(dst[m])}))
+    return tuple(out)
+
+
+@ray.remote
+def _gp_build_part(key_col: str, *subtables) -> pa.Table:
+    """Concat one bucket's edge rows, sorted by the bucket key, with
+    the per-edge key-side degree materialized (the full degree IS
+    bucket-local because every edge with this key hashes here)."""
+    t = pa.concat_tables([s for s in subtables if s.num_rows], promote_options="default") \
+        if any(s.num_rows for s in subtables) else None
+    if t is None:
+        e = np.array([], np.int64)
+        return pa.table({"src": pa.array(e), "dst": pa.array(e), "deg": pa.array(e)})
+    src = t["src"].to_numpy(zero_copy_only=False)
+    dst = t["dst"].to_numpy(zero_copy_only=False)
+    key = src if key_col == "src" else dst
+    order = np.argsort(key, kind="stable")
+    src, dst = src[order], dst[order]
+    key = key[order]
+    starts = np.r_[0, np.flatnonzero(key[1:] != key[:-1]) + 1]
+    counts = np.diff(np.r_[starts, len(key)])
+    deg = np.repeat(counts, counts).astype(np.int64)
+    return pa.table({"src": pa.array(src), "dst": pa.array(dst), "deg": pa.array(deg)})
+
+
+@ray.remote
+def _gp_scatter(
+    n_buckets: int,
+    part: pa.Table,
+    nodes_b: np.ndarray,
+    rank_b: np.ndarray,
+    divide_by_deg: bool,
+    gather_col: str,
+):
+    """One src-bucket's iteration half: score each edge from the
+    co-located rank slice, partial-sum per destination node, split by
+    the destination's bucket. Integer sums via sort + add.reduceat
+    (bincount(weights=...) would silently go float64)."""
+    empty = pa.table(
+        {"node": pa.array([], pa.int64()), "inflow": pa.array([], pa.int64())}
+    )
+    if part.num_rows == 0:
+        return tuple(empty for _ in range(n_buckets))
+    src = part["src"].to_numpy(zero_copy_only=False)
+    dst = part["dst"].to_numpy(zero_copy_only=False)
+    key, other = (src, dst) if gather_col == "dst" else (dst, src)
+    flow = rank_b[np.searchsorted(nodes_b, key)]
+    if divide_by_deg:
+        flow = flow // part["deg"].to_numpy(zero_copy_only=False)
+    hb = _gp_hash(other, n_buckets)
+    out = []
+    for c in range(n_buckets):
+        m = hb == c
+        d, f = other[m], flow[m]
+        if not len(d):
+            out.append(empty)
+            continue
+        order = np.argsort(d, kind="stable")
+        d, f = d[order], f[order]
+        starts = np.r_[0, np.flatnonzero(d[1:] != d[:-1]) + 1]
+        out.append(
+            pa.table(
+                {
+                    "node": pa.array(d[starts], pa.int64()),
+                    "inflow": pa.array(np.add.reduceat(f, starts), pa.int64()),
+                }
+            )
+        )
+    return tuple(out)
+
+
+@ray.remote
+def _gp_gather_raw(nodes_b: np.ndarray, *partials) -> np.ndarray:
+    """Sum the B partial inflow tables addressed to this bucket into a
+    nodes_b-aligned dense int64 vector."""
+    inflow = np.zeros(len(nodes_b), dtype=np.int64)
+    for p in partials:
+        if p.num_rows == 0:
+            continue
+        idx = np.searchsorted(nodes_b, p["node"].to_numpy(zero_copy_only=False))
+        np.add.at(inflow, idx, p["inflow"].to_numpy(zero_copy_only=False))
+    return inflow
+
+
+@ray.remote
+def _gp_apply_pr(base_b: np.ndarray, damping_pct: int, inflow: np.ndarray) -> np.ndarray:
+    return base_b + (damping_pct * inflow) // 100
+
+
+@ray.remote
+def _gp_vec_max(vec: np.ndarray) -> int:
+    return int(vec.max()) if len(vec) else 0
+
+
+@ray.remote
+def _gp_linf(vec: np.ndarray, global_max: int, scale: int) -> np.ndarray:
+    """Bucket slice of _linf_scale: same Python-int (HUGEINT) multiply
+    against the GLOBAL max, so the distributed normalize is
+    bit-identical to the driver-side one."""
+    mx = max(global_max, 1)
+    return np.array([int(v) * scale // mx for v in vec.tolist()], dtype=np.int64)
+
+
+@ray.remote(num_returns=2)
+def _gp_init_pr(nodes_b: np.ndarray, r0: int, damping_pct: int, src_ids):
+    """(rank_b, base_b) for one bucket: uniform teleport when src_ids
+    is None, else mass only on the bucket's seed positions."""
+    if src_ids is None:
+        rank = np.full(len(nodes_b), r0, dtype=np.int64)
+        base = np.full(len(nodes_b), ((100 - damping_pct) * r0) // 100, np.int64)
+        return rank, base
+    pos = np.searchsorted(nodes_b, np.intersect1d(src_ids, nodes_b))
+    rank = np.zeros(len(nodes_b), dtype=np.int64)
+    base = np.zeros(len(nodes_b), dtype=np.int64)
+    rank[pos] = r0
+    base[pos] = ((100 - damping_pct) * r0) // 100
+    return rank, base
+
+
+@ray.remote
+def _gp_count_in(nodes_b: np.ndarray, ids: np.ndarray) -> int:
+    return int(len(np.intersect1d(nodes_b, ids)))
+
+
+@ray.remote
+def _gp_out(nodes_b: np.ndarray, rank_b: np.ndarray, col: str) -> pa.Table:
+    return pa.table({"node": pa.array(nodes_b), col: pa.array(rank_b, pa.int64())})
+
+
+@ray.remote
+def _gp_out_hits(
+    nodes_b: np.ndarray, h_b: np.ndarray, a_b: np.ndarray, outdeg_b: np.ndarray, both: bool
+) -> pa.Table:
+    if both:
+        return pa.table(
+            {
+                "node": pa.array(nodes_b),
+                "hub": pa.array(h_b, pa.int64()),
+                "authority": pa.array(a_b, pa.int64()),
+            }
+        )
+    return pa.table(
+        {
+            "node": pa.array(nodes_b),
+            "score": pa.array(np.where(outdeg_b > 0, h_b, a_b), pa.int64()),
+        }
+    )
+
+
+def _gp_partition(refs, n_buckets: int, key_col: str):
+    """Shuffle edge blocks ONCE into B pinned bucket partitions keyed
+    by hash(key_col), with per-edge key-side degree precomputed."""
+    splits = [
+        _gp_split_edges.options(num_returns=n_buckets).remote(n_buckets, key_col, r)
+        for r in refs
+    ]
+    return [
+        _gp_build_part.remote(key_col, *[s[b] for s in splits])
+        for b in range(n_buckets)
+    ]
+
+
+def _gp_node_buckets(nparts, n_buckets: int):
+    """Per-bucket sorted node-universe arrays from the per-block
+    distinct-node refs; driver sees only refs and B lengths."""
+    nsplits = [
+        _gp_split_nodes.options(num_returns=n_buckets).remote(n_buckets, p)
+        for p in nparts
+    ]
+    nodes_b = [
+        _gp_union_sorted.remote(*[s[b] for s in nsplits]) for b in range(n_buckets)
+    ]
+    lens = ray.get([_gp_len.remote(nb) for nb in nodes_b])
+    return nodes_b, lens
+
+
+def _gp_n_buckets(ub_nodes: int, budget: int) -> int:
+    """Bucket count so one bucket's dense state stays well under the
+    budget; capped at 128 so the per-iteration B^2 partial-table count
+    stays bounded (at 128 that is 16k small objects — raise the budget
+    env, not the cap, for a larger node universe)."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    per_bucket = max(1, budget // 8)
+    return int(min(128, max(8, cpus, -(-ub_nodes * 8 // per_bucket))))
+
+
+def _pagerank_copartition(
+    refs,
+    nparts,
+    n_iters: int,
+    damping_pct: int,
+    total_nano: int,
+    source_nodes,
+    n_buckets: int,
+):
+    B = n_buckets
+    nodes_b, lens = _gp_node_buckets(nparts, B)
+    n_nodes = sum(lens)
+    if n_nodes == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {"node": pa.array([], pa.int64()), "rank_nano": pa.array([], pa.int64())}
+            )
+        )
+    parts = _gp_partition(refs, B, "src")
+    if source_nodes is None:
+        r0 = total_nano // n_nodes
+        src_ref = None
+    else:
+        src_arr = np.unique(np.asarray(source_nodes, dtype=np.int64))
+        ns = sum(ray.get([_gp_count_in.remote(nb, src_arr) for nb in nodes_b]))
+        if ns == 0:
+            raise ValueError(
+                "pagerank: no source_nodes intersect the graph's node set"
+            )
+        r0 = total_nano // ns
+        src_ref = ray.put(src_arr)
+    inits = [_gp_init_pr.remote(nodes_b[b], r0, damping_pct, src_ref) for b in range(B)]
+    rank_b = [i[0] for i in inits]
+    base_b = [i[1] for i in inits]
+    for _ in range(n_iters):
+        scatters = [
+            _gp_scatter.options(num_returns=B).remote(
+                B, parts[b], nodes_b[b], rank_b[b], True, "dst"
+            )
+            for b in range(B)
+        ]
+        rank_b = [
+            _gp_apply_pr.remote(
+                base_b[c],
+                damping_pct,
+                _gp_gather_raw.remote(nodes_b[c], *[scatters[b][c] for b in range(B)]),
+            )
+            for c in range(B)
+        ]
+    return ray.data.from_arrow_refs(
+        [_gp_out.remote(nodes_b[b], rank_b[b], "rank_nano") for b in range(B)]
+    )
+
+
 def pagerank(
     edges: ray.data.Dataset,
     n_iters: int = 5,
     damping_pct: int = 85,
     total_nano: int = 10**12,
     source_nodes=None,
+    mode: str = "auto",
 ) -> ray.data.Dataset:
     """Integer-exact PageRank over a directed multigraph edge list
     (``src``/``dst`` int64 columns; parallel edges count as
@@ -281,16 +592,23 @@ def pagerank(
     float summation order, which is what makes an iterative numeric
     algorithm oracle-checkable at all.
 
-    Scale shape: the edge set is pinned once and stays distributed;
-    each iteration broadcasts the O(|V|) rank vector (``ray.put``,
-    read once per task, never re-shipped per batch), every edge block
-    emits a dense int64 inflow vector, and a remote fan-in tree
-    (textops._tree_reduce) sums them so the driver receives exactly
-    one O(|V|) array per iteration. Driver/broadcast state is O(|V|) —
-    the node universe (hosts, not pages, in a web graph) — the same
-    bounded-small-side contract as the dim_side broadcasts
-    (relational.py:76); a beyond-budget node universe would switch to
-    a co-partitioned rank⨝edges join per iteration.
+    Scale shape (``mode="auto"``, the default, GATED — VERDICT r04
+    #2): while the node universe fits the dense budget
+    (GEORAY_GRAPH_DENSE_BUDGET, default 256 MB; checked against a
+    cheap sum-of-block-distincts upper bound on |V| BEFORE anything
+    O(|V|) reaches the driver), the edge set is pinned once and each
+    iteration broadcasts the O(|V|) rank vector (``ray.put``, read
+    once per task), every edge block emits a dense int64 inflow
+    vector, and a remote fan-in tree sums them — the right trade for
+    a dimension-sized universe (hosts, not pages, in a web graph),
+    the same bounded-small-side contract as the dim_side broadcasts
+    (relational.py:76). A beyond-budget universe automatically
+    switches to the co-partitioned rank⨝edges path
+    (_pagerank_copartition above): per-bucket rank arrays co-located
+    with hash(src)-bucketed edges, B^2 k-bounded partial-inflow
+    tables per iteration, O(B) driver state. Both modes run the same
+    integer arithmetic and are bit-identical (parity-pinned in
+    tests); force one with ``mode="broadcast"``/``"copartition"``.
 
     The reference has no graph ops (SURVEY.md §2.6); this adds the
     canonical web-graph quality signal used in pretraining-data
@@ -298,10 +616,27 @@ def pagerank(
     """
     from .textops import _tree_reduce
 
+    if mode not in ("auto", "broadcast", "copartition"):
+        raise ValueError(f"pagerank: unknown mode {mode!r}")
     refs = edges.materialize().to_arrow_refs()
-    nodes = ray.get(
-        _tree_reduce([_pr_nodes_partial.remote(r) for r in refs], _pr_union)
-    )
+    nparts = [_pr_nodes_partial.remote(r) for r in refs]
+    if mode != "broadcast":
+        # gate on a sum-of-block-distincts UPPER bound on |V|: if even
+        # the overcount fits the budget, broadcasting is safe; the
+        # bound costs B ints of driver traffic, never the node array
+        ub = sum(ray.get([_gp_len.remote(p) for p in nparts]))
+        budget = _graph_dense_budget()
+        if mode == "copartition" or ub * 8 > budget:
+            return _pagerank_copartition(
+                refs,
+                nparts,
+                n_iters,
+                damping_pct,
+                total_nano,
+                source_nodes,
+                _gp_n_buckets(ub, budget),
+            )
+    nodes = ray.get(_tree_reduce(nparts, _pr_union))
     n_nodes = int(len(nodes))
     if n_nodes == 0:
         return ray.data.from_arrow(
@@ -1212,11 +1547,78 @@ def _linf_scale(vec: np.ndarray, scale: int) -> np.ndarray:
     return np.array([int(v) * scale // mx for v in vec.tolist()], dtype=np.int64)
 
 
+@ray.remote
+def _gp_outdeg(nodes_b: np.ndarray, part_src: pa.Table) -> np.ndarray:
+    """Dense nodes_b-aligned out-degree from the bucket's src-keyed
+    edge partition (complete by construction: every edge with a src
+    hashing here lives here)."""
+    out = np.zeros(len(nodes_b), dtype=np.int64)
+    if part_src.num_rows:
+        src = part_src["src"].to_numpy(zero_copy_only=False)
+        np.add.at(out, np.searchsorted(nodes_b, src), 1)
+    return out
+
+
+@ray.remote
+def _gp_const(n: int, value: int) -> np.ndarray:
+    return np.full(n, value, dtype=np.int64)
+
+
+def _hits_copartition(refs, nparts, n_iters, scale, both_scores, n_buckets):
+    """Co-partitioned HITS: same two-half-step loop as the broadcast
+    path, but hub/authority vectors live as per-bucket arrays and each
+    gather runs against edges bucketed by ITS key side (src-keyed
+    partitions feed the authority gather, dst-keyed the hub gather).
+    L-inf normalization needs one global scalar per half-step: each
+    bucket reports its raw max (B ints to the driver), the normalize
+    itself runs per bucket with the same HUGEINT arithmetic as
+    _linf_scale. Driver state O(B)."""
+    B = n_buckets
+    nodes_b, lens = _gp_node_buckets(nparts, B)
+    if sum(lens) == 0:
+        empty = pa.array([], pa.int64())
+        if both_scores:
+            return ray.data.from_arrow(
+                pa.table({"node": empty, "hub": empty, "authority": empty})
+            )
+        return ray.data.from_arrow(pa.table({"node": empty, "score": empty}))
+    parts_src = _gp_partition(refs, B, "src")
+    parts_dst = _gp_partition(refs, B, "dst")
+    outdeg = [_gp_outdeg.remote(nodes_b[b], parts_src[b]) for b in range(B)]
+    h_b = [_gp_const.remote(lens[b], scale) for b in range(B)]
+
+    def half_step(vec_b, parts, gather_col):
+        scat = [
+            _gp_scatter.options(num_returns=B).remote(
+                B, parts[b], nodes_b[b], vec_b[b], False, gather_col
+            )
+            for b in range(B)
+        ]
+        raw = [
+            _gp_gather_raw.remote(nodes_b[c], *[scat[b][c] for b in range(B)])
+            for c in range(B)
+        ]
+        mx = max(ray.get([_gp_vec_max.remote(r) for r in raw]))
+        return [_gp_linf.remote(r, mx, scale) for r in raw]
+
+    a_b = [_gp_const.remote(lens[b], 0) for b in range(B)]
+    for _ in range(n_iters):
+        a_b = half_step(h_b, parts_src, "dst")
+        h_b = half_step(a_b, parts_dst, "src")
+    return ray.data.from_arrow_refs(
+        [
+            _gp_out_hits.remote(nodes_b[b], h_b[b], a_b[b], outdeg[b], both_scores)
+            for b in range(B)
+        ]
+    )
+
+
 def hits(
     edges: ray.data.Dataset,
     n_iters: int = 4,
     scale: int = 10**9,
     both_scores: bool = False,
+    mode: str = "auto",
 ) -> ray.data.Dataset:
     """HITS hubs & authorities (Kleinberg 1999) over a directed edge
     list — the second classic link-analysis signal next to PageRank,
@@ -1230,10 +1632,13 @@ def hits(
     normalizing multiply runs in Python/HUGEINT ints because
     post-gather magnitudes overflow an int64 product).
 
-    Scale shape identical to pagerank: edge blocks prepped once into
-    compact index pairs, per-iteration O(|V|) vector broadcast
-    (ray.put), dense int64 partials merged by a remote fan-in tree —
-    driver traffic is one O(|V|) array per half-step.
+    Scale shape identical to pagerank, INCLUDING the dense-budget gate
+    (VERDICT r04 #2): under GEORAY_GRAPH_DENSE_BUDGET the per-half-step
+    O(|V|) vector broadcast + dense-partial fan-in tree runs; past it
+    the call reroutes to _hits_copartition (per-bucket score arrays
+    co-located with src- and dst-keyed edge partitions, one global max
+    scalar per half-step). Bit-identical across modes; force with
+    ``mode=``.
 
     Output (default, ``both_scores=False``): {node, score} — hub score
     for source-side nodes, authority score for destination-side nodes
@@ -1245,10 +1650,19 @@ def hits(
     the lossless {node, hub, authority} schema instead."""
     from .textops import _tree_reduce
 
+    if mode not in ("auto", "broadcast", "copartition"):
+        raise ValueError(f"hits: unknown mode {mode!r}")
     refs = edges.materialize().to_arrow_refs()
-    nodes = ray.get(
-        _tree_reduce([_pr_nodes_partial.remote(r) for r in refs], _pr_union)
-    )
+    nparts = [_pr_nodes_partial.remote(r) for r in refs]
+    if mode != "broadcast":
+        # same dense-vector budget gate as pagerank (VERDICT r04 #2)
+        ub = sum(ray.get([_gp_len.remote(p) for p in nparts]))
+        budget = _graph_dense_budget()
+        if mode == "copartition" or ub * 8 > budget:
+            return _hits_copartition(
+                refs, nparts, n_iters, scale, both_scores, _gp_n_buckets(ub, budget)
+            )
+    nodes = ray.get(_tree_reduce(nparts, _pr_union))
     n_nodes = int(len(nodes))
     if n_nodes == 0:
         empty = pa.array([], pa.int64())

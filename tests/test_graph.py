@@ -587,3 +587,115 @@ def test_pagerank_disjoint_sources_raise(ray_session):
     )
     with pytest.raises(ValueError, match="source_nodes"):
         pagerank(ray.data.from_arrow(t), n_iters=2, source_nodes=[99, 100])
+
+
+def test_pagerank_copartition_parity(ray_session):
+    """The co-partitioned rank⨝edges fallback must be bit-identical to
+    the broadcast path (same integer-nano arithmetic, different
+    physical plan) — uniform AND personalized teleport."""
+    import ray.data
+
+    from georay.graph import pagerank
+
+    rng = np.random.default_rng(23)
+    half = [
+        (int(a), int(b)) for a, b in rng.integers(0, 60, size=(400, 2)) if a != b
+    ]
+    edges = half + [(b, a) for a, b in half]
+    t = pa.table(
+        {
+            "src": pa.array([e[0] for e in edges], pa.int64()),
+            "dst": pa.array([e[1] for e in edges], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(5)
+    for seeds in (None, [0, 3, 7]):
+        bc = (
+            pagerank(ds, n_iters=4, source_nodes=seeds, mode="broadcast")
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        cp = (
+            pagerank(ds, n_iters=4, source_nodes=seeds, mode="copartition")
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        assert bc.equals(cp), f"copartition diverged (seeds={seeds})"
+
+
+def test_pagerank_auto_gate_triggers(ray_session, monkeypatch):
+    """mode='auto' must reroute to the co-partitioned path once the
+    node-universe upper bound exceeds GEORAY_GRAPH_DENSE_BUDGET — and
+    still produce the broadcast-identical answer."""
+    import ray.data
+
+    from georay.graph import pagerank
+
+    edges = [(i, (i + 1) % 30) for i in range(30)] + [
+        ((i + 1) % 30, i) for i in range(30)
+    ]
+    t = pa.table(
+        {
+            "src": pa.array([e[0] for e in edges], pa.int64()),
+            "dst": pa.array([e[1] for e in edges], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    want = pagerank(ds, n_iters=3, mode="broadcast").to_pandas().sort_values("node")
+    monkeypatch.setenv("GEORAY_GRAPH_DENSE_BUDGET", "64")  # 8 nodes' worth
+    got = pagerank(ds, n_iters=3, mode="auto").to_pandas().sort_values("node")
+    # the gated run must have produced multiple bucket blocks
+    assert want.reset_index(drop=True).equals(got.reset_index(drop=True))
+
+
+def test_pagerank_copartition_disjoint_sources_raise(ray_session):
+    import pytest
+    import ray.data
+
+    from georay.graph import pagerank
+
+    t = pa.table(
+        {"src": pa.array([1, 2], pa.int64()), "dst": pa.array([2, 1], pa.int64())}
+    )
+    with pytest.raises(ValueError, match="source_nodes"):
+        pagerank(
+            ray.data.from_arrow(t), n_iters=2, source_nodes=[99], mode="copartition"
+        )
+
+
+def test_hits_copartition_parity(ray_session):
+    """Co-partitioned HITS (src- and dst-keyed edge partitions, global
+    max per half-step) must replay the broadcast path exactly, in both
+    output schemas."""
+    import ray.data
+
+    from georay.graph import hits
+
+    rng = np.random.default_rng(31)
+    edges = [
+        (int(a) * 2, int(b) * 2 + 1)  # bipartite: even hubs -> odd auths
+        for a, b in rng.integers(0, 25, size=(300, 2))
+    ]
+    t = pa.table(
+        {
+            "src": pa.array([e[0] for e in edges], pa.int64()),
+            "dst": pa.array([e[1] for e in edges], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    for both in (False, True):
+        bc = (
+            hits(ds, n_iters=3, both_scores=both, mode="broadcast")
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        cp = (
+            hits(ds, n_iters=3, both_scores=both, mode="copartition")
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        assert bc.equals(cp), f"hits copartition diverged (both_scores={both})"
