@@ -906,6 +906,15 @@ def _q_mutual_knn(sf_dir):
     return mutual_knn(_emb(sf_dir), k=5)
 
 
+def _q_mutual_knn_ivf(sf_dir):
+    """Sub-quadratic mutual k-NN: IVF-gated candidates (first-8-vector
+    cells, nprobe=2) + the exact top-k/mutuality folds
+    (georay/ann.py mutual_knn_ivf; VERDICT r04 #1)."""
+    from georay.ann import mutual_knn_ivf
+
+    return mutual_knn_ivf(_emb(sf_dir), k=5, n_cells=8, nprobe=2)
+
+
 def _q_grouped_price_quantiles(sf_dir):
     """Per-priority approximate order-price quantiles via the grouped
     mergeable histogram sketch (georay/sketch.py
@@ -1802,6 +1811,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_drawdown": _q_user_drawdown,
         "grouped_price_quantiles": _q_grouped_price_quantiles,
         "mutual_knn": _q_mutual_knn,
+        "mutual_knn_ivf": _q_mutual_knn_ivf,
         "props_rollup": _q_props_rollup,
         "part_skyline": _q_part_skyline,
         "bloom_semi_join": _q_bloom_semi_join,
@@ -4169,6 +4179,41 @@ def _oracle_sql_raw() -> dict[str, str]:
                           AS BIGINT) AS m
               FROM embeddings a, embeddings b
               WHERE a.vec_id <> b.vec_id),
+            r AS (SELECT query_id, neighbor_id,
+                         ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY m DESC, neighbor_id) AS rk
+                  FROM s),
+            t AS (SELECT query_id, neighbor_id FROM r WHERE rk <= 5)
+            SELECT x.query_id AS a, x.neighbor_id AS b
+            FROM t x JOIN t y
+              ON y.query_id = x.neighbor_id AND y.neighbor_id = x.query_id
+            WHERE x.query_id < x.neighbor_id
+        """,
+        "mutual_knn_ivf": """
+            WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+                       FROM embeddings WHERE vec_id < 8),
+            cs AS (SELECT e.vec_id, c.cid,
+                          CAST(FLOOR(list_cosine_similarity(
+                                 CAST(e.embedding AS DOUBLE[]), c.ce) * 1000000 + 0.5)
+                               AS BIGINT) AS m
+                   FROM embeddings e, c),
+            cr AS (SELECT vec_id, cid,
+                          ROW_NUMBER() OVER (PARTITION BY vec_id
+                                             ORDER BY m DESC, cid) AS rn
+                   FROM cs),
+            a1 AS (SELECT vec_id, cid FROM cr WHERE rn = 1),
+            probe AS (SELECT vec_id, cid FROM cr WHERE rn <= 2),
+            cand AS (SELECT p.vec_id AS query_id, n.vec_id AS neighbor_id
+                     FROM probe p JOIN a1 n
+                       ON n.cid = p.cid AND n.vec_id <> p.vec_id),
+            s AS (SELECT cand.query_id, cand.neighbor_id,
+                         CAST(FLOOR(list_cosine_similarity(
+                                CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) * 1000000 + 0.5)
+                              AS BIGINT) AS m
+                  FROM cand
+                  JOIN embeddings a ON a.vec_id = cand.query_id
+                  JOIN embeddings b ON b.vec_id = cand.neighbor_id),
             r AS (SELECT query_id, neighbor_id,
                          ROW_NUMBER() OVER (PARTITION BY query_id
                                             ORDER BY m DESC, neighbor_id) AS rk

@@ -1031,41 +1031,15 @@ def _mknn_block_pair(refs_i, refs_j, same: bool, k: int):
     )
 
 
-def mutual_knn(embeddings: ray.data.Dataset, k: int = 5):
-    """Mutual k-NN graph over the embedding table: unordered pairs
-    {a, b} where EACH vector ranks the other inside its own cosine
-    top-k — the reciprocal-neighbor criterion used for high-precision
-    near-dup mining and kNN-graph clustering (one-directional kNN keeps
-    hub false friends; mutuality kills them).
-
-    Scale shape: chunk-pair matmul tasks emit k-bounded DIRECTED
-    candidates (never the [N, N] matrix), then two hash-bucketed folds
-    — per-query exact top-k, then pack-keyed mutuality (count == 2) —
-    so no stage materializes more than N*k rows and the driver sees
-    nothing. Ranking is micro-quantized cosine with ties by neighbor
-    id (the embedding_clusters determinism contract)."""
-    from georay.relational import _hash_bucket, _n_partitions
-
-    n_parts = _n_partitions()
-    emb = embeddings.select_columns(["vec_id", "embedding"]).materialize()
-    prefs = emb.to_arrow_refs()
-    n_docs = emb.count()
-    empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-    if n_docs < 2:
-        return empty
-    try:
-        ncpu = max(1, int(ray.cluster_resources().get("CPU", 8)))
-    except Exception:
-        ncpu = 8
-    n_chunks = min(len(prefs), max(1, -(-n_docs // 2048)), int(np.ceil(np.sqrt(4 * ncpu))))
-    per = -(-len(prefs) // n_chunks)
-    chunks = [prefs[i : i + per] for i in range(0, len(prefs), per)]
-    futures = []
-    for i in range(len(chunks)):
-        for j in range(i, len(chunks)):
-            futures.append(_mknn_block_pair.remote(chunks[i], chunks[j], i == j, k))
-
-    cand = ray.data.from_arrow_refs(futures)
+def _mutual_fold(cand: ray.data.Dataset, k: int, n_parts: int) -> ray.data.Dataset:
+    """Shared tail of the mutual-kNN family: directed {query_id,
+    neighbor_id, sim_micro} candidates -> per-query EXACT top-k
+    (hash-bucketed on query) -> pack-keyed mutuality (count == 2).
+    Exact over whatever candidate set feeds it — the all-pairs path
+    gets the exact graph, the IVF path gets exact-within-candidates
+    (VERDICT r04 #1: candidate generation is the approximation, this
+    fold is the exact verify)."""
+    from georay.relational import _hash_bucket
 
     def qbucket(t: pa.Table) -> pa.Table:
         q = t["query_id"].to_numpy(zero_copy_only=False)
@@ -1112,3 +1086,194 @@ def mutual_knn(embeddings: ray.data.Dataset, k: int = 5):
         .groupby("__b2")
         .map_groups(mutual, batch_format="pyarrow")
     )
+
+
+def mutual_knn(embeddings: ray.data.Dataset, k: int = 5):
+    """EXACT mutual k-NN graph over the embedding table: unordered
+    pairs {a, b} where EACH vector ranks the other inside its own
+    cosine top-k — the reciprocal-neighbor criterion used for
+    high-precision near-dup mining and kNN-graph clustering
+    (one-directional kNN keeps hub false friends; mutuality kills
+    them).
+
+    EXACT-BY-CONTRACT (VERDICT r04 #1): the chunk-pair matmul
+    enumerates every block pair, so compute is O(N^2 * d) FLOPs even
+    though memory stays k-bounded (never the [N, N] matrix). That is
+    the price of the exact graph and the right call only while
+    N^2 * d fits the fleet's FLOP budget — past that, use
+    mutual_knn_ivf below, which generates candidates through the IVF
+    cell machinery (sub-quadratic) and keeps this function's exact
+    per-query top-k + mutuality folds as the verify stage.
+
+    Scale shape: chunk-pair matmul tasks emit k-bounded DIRECTED
+    candidates, then the two hash-bucketed folds (_mutual_fold) — so
+    no stage materializes more than N*k rows and the driver sees
+    nothing. Ranking is micro-quantized cosine with ties by neighbor
+    id (the embedding_clusters determinism contract)."""
+    from georay.relational import _n_partitions
+
+    n_parts = _n_partitions()
+    emb = embeddings.select_columns(["vec_id", "embedding"]).materialize()
+    prefs = emb.to_arrow_refs()
+    n_docs = emb.count()
+    empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    if n_docs < 2:
+        return empty
+    try:
+        ncpu = max(1, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        ncpu = 8
+    n_chunks = min(len(prefs), max(1, -(-n_docs // 2048)), int(np.ceil(np.sqrt(4 * ncpu))))
+    per = -(-len(prefs) // n_chunks)
+    chunks = [prefs[i : i + per] for i in range(0, len(prefs), per)]
+    futures = []
+    for i in range(len(chunks)):
+        for j in range(i, len(chunks)):
+            futures.append(_mknn_block_pair.remote(chunks[i], chunks[j], i == j, k))
+
+    cand = ray.data.from_arrow_refs(futures)
+    return _mutual_fold(cand, k, n_parts)
+
+
+def mutual_knn_ivf(
+    embeddings: ray.data.Dataset,
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 2,
+):
+    """Sub-quadratic mutual k-NN (VERDICT r04 #1): IVF-gated candidate
+    generation feeding the same exact per-query top-k + mutuality
+    folds as mutual_knn. A vector is a CANDIDATE for a query iff the
+    vector's top-1 cell is among the query's ``nprobe`` closest cells
+    — the standard inverted-file kNN-graph recipe — so compute drops
+    from all block pairs to ~N * (N * nprobe / n_cells) pair scores
+    (with n_cells ~ sqrt(N) at scale, O(N^1.5 * d) instead of
+    O(N^2 * d)).
+
+    Determinism / oracle contract: cells are the first ``n_cells``
+    corpus vectors (the pq_encode / embedding_clusters training-free
+    convention; seeded Gaussian centroids would ship the same way at
+    scale), assignment and probing rank cells by MICRO-quantized
+    cosine with ties to the lower cell id, so DuckDB replays the
+    candidate set exactly and the output is hash-comparable.
+
+    Shape: the (tiny) centroid matrix broadcasts once via ray.put; ONE
+    stateless map_batches pass assigns each vector its member cell +
+    nprobe probe cells and EXPLODES rows keyed by cell (the shuffle
+    moves each embedding 1 + nprobe times — the classic IVF build
+    cost); a hash-bucketed groupby on cell runs member x query matmuls
+    per cell with k-bounded output; _mutual_fold finishes. Driver
+    state: the centroid matrix."""
+    from georay.relational import _hash_bucket, _n_partitions
+    from georay.textops import unpack_embeddings as _unpack
+
+    n_parts = _n_partitions()
+    emb = embeddings.select_columns(["vec_id", "embedding"])
+    empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    crows = emb.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], n_cells)), batch_format="pyarrow"
+    ).take_all()
+    if len(crows) < 1:
+        return empty
+    crows.sort(key=lambda r: r["vec_id"])
+    cids = np.array([r["vec_id"] for r in crows], dtype=np.int64)
+    Cn = _normalize(np.array([r["embedding"] for r in crows], dtype=np.float64))
+    c_ref = ray.put((cids, Cn))
+    P = int(min(nprobe, len(cids)))
+    SELF = np.int64(-(10**15))  # mutual_knn's below-any-micro sentinel
+
+    class Explode:
+        def __init__(self):
+            self.cids, self.Cn = ray.get(c_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                e = pa.array([], pa.int64())
+                return pa.table(
+                    {
+                        "cell": e,
+                        "role": e,
+                        "vec_id": e,
+                        "embedding": pa.array([], t.schema.field("embedding").type)
+                        if "embedding" in t.column_names
+                        else pa.array([], pa.list_(pa.float32())),
+                        "__cb": e,
+                    }
+                )
+            En = _normalize(_unpack(t))
+            m = np.floor((En @ self.Cn.T) * 1e6 + 0.5).astype(np.int64)  # [B, C]
+            # cells ranked (micro desc, cid asc); cids sorted asc so a
+            # stable argsort over -m lands ties on the lower cell id
+            order = np.argsort(-m, axis=1, kind="stable")
+            B = t.num_rows
+            a1 = order[:, 0]
+            probes = order[:, :P]
+            idx = np.concatenate([np.arange(B), np.repeat(np.arange(B), P)])
+            cell = np.concatenate([self.cids[a1], self.cids[probes].ravel()])
+            role = np.concatenate(
+                [np.zeros(B, np.int64), np.ones(B * P, np.int64)]
+            )
+            sel = pa.array(idx, pa.int64())
+            return pa.table(
+                {
+                    "cell": pa.array(cell, pa.int64()),
+                    "role": pa.array(role, pa.int64()),
+                    "vec_id": t["vec_id"].take(sel),
+                    "embedding": t["embedding"].take(sel),
+                    "__cb": pa.array(_hash_bucket(cell, n_parts), pa.int64()),
+                }
+            )
+
+    def cell_topk(g: pa.Table) -> pa.Table:
+        out = {
+            "query_id": pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "sim_micro": pa.array([], pa.int64()),
+        }
+        if g.num_rows == 0:
+            return pa.table(out)
+        cell = g["cell"].to_numpy(zero_copy_only=False)
+        role = g["role"].to_numpy(zero_copy_only=False)
+        vid = g["vec_id"].to_numpy(zero_copy_only=False)
+        En = _normalize(_unpack(g))
+        # segment the bucket: members (role 0, vid asc) before queries
+        # within each cell, so per-cell slices are contiguous and the
+        # member side is already in neighbor-asc tie order
+        srt = np.lexsort((vid, role, cell))
+        cell, role, vid, En = cell[srt], role[srt], vid[srt], En[srt]
+        starts = np.r_[0, np.flatnonzero(cell[1:] != cell[:-1]) + 1]
+        ends = np.r_[starts[1:], len(cell)]
+        oq, on, om = [], [], []
+        for s, e in zip(starts, ends):
+            r = role[s:e]
+            nm = int(np.searchsorted(r, 1))  # members first after sort
+            if nm == 0 or nm == e - s:
+                continue  # a cell with no members or no queries
+            mid, mE = vid[s : s + nm], En[s : s + nm]
+            qid, qE = vid[s + nm : e], En[s + nm : e]
+            M = np.floor((qE @ mE.T) * 1e6 + 0.5).astype(np.int64)
+            M[qid[:, None] == mid[None, :]] = SELF
+            kk = min(k, M.shape[1])
+            top = np.argsort(-M, axis=1, kind="stable")[:, :kk]
+            rows = np.repeat(np.arange(M.shape[0]), kk)
+            cols = top.ravel()
+            keep = M[rows, cols] != SELF
+            oq.append(np.repeat(qid, kk)[keep])
+            on.append(mid[cols][keep])
+            om.append(M[rows, cols][keep])
+        if not oq:
+            return pa.table(out)
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(oq), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(on), pa.int64()),
+                "sim_micro": pa.array(np.concatenate(om), pa.int64()),
+            }
+        )
+
+    cand = (
+        emb.map_batches(Explode, batch_format="pyarrow", concurrency=(1, 8))
+        .groupby("__cb")
+        .map_groups(cell_topk, batch_format="pyarrow")
+    )
+    return _mutual_fold(cand, k, n_parts)

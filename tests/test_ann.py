@@ -2,6 +2,7 @@
 nprobe < n_clusters vs the brute-force baseline."""
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 from georay import ann
@@ -610,3 +611,59 @@ def test_mutual_knn_matches_reference_and_partitioning(ray_session):
 
     assert run(3) == ref
     assert run(11) == ref
+
+
+def test_mutual_knn_ivf_full_probe_is_exact(ray_session):
+    """nprobe = n_cells probes every cell, so the IVF candidate set is
+    complete and the result must equal the exact mutual_knn graph —
+    the candidate gate is the ONLY approximation (VERDICT r04 #1)."""
+    import ray.data
+
+    from georay.ann import mutual_knn, mutual_knn_ivf
+
+    rng = np.random.default_rng(7)
+    n, d, k = 80, 12, 4
+    E = rng.normal(size=(n, d))
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in E], pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(5)
+    exact = sorted(zip(*[mutual_knn(ds, k=k).to_pandas()[c] for c in ("a", "b")]))
+    full = mutual_knn_ivf(ds, k=k, n_cells=6, nprobe=6).to_pandas()
+    assert sorted(zip(full["a"], full["b"])) == exact
+
+
+def test_mutual_knn_ivf_subset_and_recall(ray_session):
+    """With a real probe budget the IVF graph closely tracks the exact
+    graph on clustered data (candidate pruning can both drop exact
+    pairs AND admit pairs that ride into a restricted top-k, so the
+    contract is recall/precision, not subset) and is
+    partition-invariant."""
+    import ray.data
+
+    from georay.ann import mutual_knn, mutual_knn_ivf
+
+    rng = np.random.default_rng(13)
+    # 4 well-separated clusters: IVF's natural case
+    centers = rng.normal(size=(4, 16)) * 8
+    E = np.vstack([c + rng.normal(size=(30, 16)) for c in centers])
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(E)), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in E], pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(6)
+    exact = set(
+        zip(*[mutual_knn(ds, k=4).to_pandas()[c] for c in ("a", "b")])
+    )
+    got = mutual_knn_ivf(ds, k=4, n_cells=8, nprobe=2).to_pandas()
+    pairs = set(zip(got["a"], got["b"]))
+    hit = len(pairs & exact)
+    assert hit >= 0.7 * len(exact), (hit, len(exact))
+    assert hit >= 0.7 * len(pairs), (hit, len(pairs))
+    got2 = mutual_knn_ivf(ds.repartition(11), k=4, n_cells=8, nprobe=2).to_pandas()
+    assert set(zip(got2["a"], got2["b"])) == pairs
