@@ -436,6 +436,21 @@ def _q_stratified_sample(sf_dir):
     )
 
 
+def _q_domain_cap(sf_dir):
+    """Per-source document quota: keep at most 12 docs per source
+    ranked by (n_chars DESC, doc_id ASC) — the RefinedWeb-style
+    absolute domain cap (georay/sampling.py domain_cap)."""
+    from georay.sampling import domain_cap
+
+    return domain_cap(
+        _docs(sf_dir).select_columns(["doc_id", "source", "n_chars"]),
+        group_col="source",
+        key_col="doc_id",
+        rank_col="n_chars",
+        cap=12,
+    )
+
+
 def _q_domain_mix(sf_dir):
     """Weighted per-source Bernoulli downsample (even sources keep 75%,
     odd 25%) — exact integer hash-threshold compare, shuffle-free."""
@@ -835,6 +850,36 @@ def _q_hits_full(sf_dir):
         batch_format="pyarrow",
     )
     return hits(directed, n_iters=4, both_scores=True)
+
+
+def _q_label_propagation(sf_dir):
+    """Semi-supervised label propagation: nation labels seeded on the
+    10% of customers with custkey % 10 == 0 spread 3 synchronous
+    plurality rounds across the cust<->supp interaction multigraph
+    (georay/graph.py label_propagation)."""
+    import pyarrow.compute as _pc
+
+    from georay.graph import label_propagation, supplier_customer_edges
+    from georay.relational import _read
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def to_seeds(t):
+        import numpy as _np
+        import pyarrow as _pa
+
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False).astype(_np.int64)
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(_np.int64)
+        m = ck % 10 == 0
+        return _pa.table(
+            {
+                "node": _pa.array(ck[m] * 2, _pa.int64()),
+                "label": _pa.array(nk[m], _pa.int64()),
+            }
+        )
+
+    seeds = cust.map_batches(to_seeds, batch_format="pyarrow")
+    return label_propagation(supplier_customer_edges(sf_dir), seeds, n_iters=3)
 
 
 def _q_personalized_pagerank(sf_dir):
@@ -1757,6 +1802,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": _q_quality_filter,
         "pack_sequences": _q_pack_sequences,
         "stratified_sample": _q_stratified_sample,
+        "domain_cap": _q_domain_cap,
         "domain_mix": _q_domain_mix,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "dedup_clusters": _q_dedup_clusters,
@@ -1797,6 +1843,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pca": _q_embedding_pca,
         "dsir_weights": _q_dsir_weights,
         "graph_pagerank": _q_graph_pagerank,
+        "label_propagation": _q_label_propagation,
         "personalized_pagerank": _q_personalized_pagerank,
         "hits_scores": _q_hits_scores,
         "hits_full": _q_hits_full,
@@ -2225,6 +2272,53 @@ def _hits_sql(n_iters: int = 4, both: bool = False) -> str:
         FROM nodes n
         JOIN h{n_iters} hh ON hh.node = n.node
         JOIN a{n_iters} aa ON aa.node = n.node
+    """
+
+
+def _label_prop_sql(n_iters: int = 3) -> str:
+    """Unrolled synchronous label-propagation replay: per round, a
+    vote count per (node, label) from labeled in-neighbors, plurality
+    with ties to the smallest label, seeds pinned, no-vote nodes keep
+    their previous state (matching georay.graph.label_propagation)."""
+    parts = [
+        """pair AS MATERIALIZED (SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+                 FROM orders JOIN lineitem ON l_orderkey = o_orderkey)""",
+        "e AS MATERIALIZED (SELECT src, dst FROM pair UNION ALL SELECT dst, src FROM pair)",
+        """nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e
+                  UNION SELECT DISTINCT dst FROM e)""",
+        """seeds AS MATERIALIZED (SELECT c_custkey * 2 AS node,
+                  CAST(c_nationkey AS BIGINT) AS label
+                  FROM customer WHERE c_custkey % 10 = 0)""",
+        """l0 AS MATERIALIZED (SELECT n.node, COALESCE(s.label, -1) AS label
+              FROM nodes n LEFT JOIN seeds s ON s.node = n.node)""",
+    ]
+    for i in range(1, n_iters + 1):
+        parts.append(
+            f"""v{i} AS MATERIALIZED (SELECT e.dst AS node, l.label, COUNT(*) AS c
+              FROM e JOIN l{i - 1} l ON e.src = l.node
+              WHERE l.label <> -1 GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"""b{i} AS MATERIALIZED (SELECT node, label FROM (
+                SELECT node, label,
+                       ROW_NUMBER() OVER (PARTITION BY node
+                                          ORDER BY c DESC, label) AS rn
+                FROM v{i}) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""l{i} AS MATERIALIZED (SELECT n.node,
+                 CASE WHEN s.label IS NOT NULL THEN s.label
+                      WHEN b.label IS NOT NULL THEN b.label
+                      ELSE p.label END AS label
+               FROM nodes n
+               LEFT JOIN seeds s ON s.node = n.node
+               LEFT JOIN b{i} b ON b.node = n.node
+               LEFT JOIN l{i - 1} p ON p.node = n.node)"""
+        )
+    joined = ",\n        ".join(parts)
+    return f"""
+        WITH {joined}
+        SELECT node, label FROM l{n_iters}
     """
 
 
@@ -3242,6 +3336,13 @@ def _oracle_sql_raw() -> dict[str, str]:
               FROM documents)
             WHERE rn <= 20
         """,
+        "domain_cap": """
+            WITH r AS (SELECT doc_id, source,
+                              ROW_NUMBER() OVER (PARTITION BY source
+                                                 ORDER BY n_chars DESC, doc_id) AS rk
+                       FROM documents)
+            SELECT doc_id, source, rk FROM r WHERE rk <= 12
+        """,
         # thresholds are floor(w * 2^64) as exact UBIGINT literals
         # (0.75 and 0.25 are dyadic, so the floats are exact)
         "domain_mix": """
@@ -4077,6 +4178,7 @@ def _oracle_sql_raw() -> dict[str, str]:
             FROM a LEFT JOIN pruned p ON a.vec_id = p.vec_id
         """,
         "graph_pagerank": _pagerank_sql(5),
+        "label_propagation": _label_prop_sql(3),
         "personalized_pagerank": _ppr_sql(5),
         "hits_scores": _hits_sql(4),
         "hits_full": _hits_sql(4, both=True),

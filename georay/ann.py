@@ -96,14 +96,19 @@ def knn_label_vote(embeddings: ray.data.Dataset, query_ids: list, k: int = 5):
     Shape: ann_topk's broadcast-queries partial-top-k does the heavy
     matmul; the neighbor set is k x Q rows, so the label fetch is ONE
     column-pruned scan filtered against the broadcast neighbor ids
-    (searchsorted, no shuffle) and the vote is O(k x Q) on the driver.
+    (searchsorted, no shuffle) and the vote is one vectorized
+    O(k x Q) run-length pass on the driver (bounded: k x Q rows, never
+    corpus-sized).
 
     Output: query_id, label (int32), votes (int64)."""
     from georay.textops import ann_topk
 
-    top = ann_topk(embeddings, query_ids, k=k).to_pandas()
-    nid = np.unique(top["neighbor_id"].to_numpy())
-    nid_ref = ray.put(np.sort(nid))
+    top = ann_topk(embeddings, query_ids, k=k).select_columns(
+        ["query_id", "neighbor_id"]
+    ).take_all()
+    top_q = np.array([r["query_id"] for r in top], dtype=np.int64)
+    top_n = np.array([r["neighbor_id"] for r in top], dtype=np.int64)
+    nid_ref = ray.put(np.unique(top_n))
 
     def fetch_labels(t: pa.Table) -> pa.Table:
         wanted = ray.get(nid_ref)
@@ -113,24 +118,30 @@ def knn_label_vote(embeddings: ray.data.Dataset, query_ids: list, k: int = 5):
         t = t.filter(pa.array(hit))
         return t.select(["vec_id", "label"])
 
-    lab = (
-        embeddings.map_batches(fetch_labels, batch_format="pyarrow")
-        .to_pandas()
-        .set_index("vec_id")["label"]
-    )
-    out_q, out_l, out_v = [], [], []
-    for qid, grp in top.groupby("query_id"):
-        labels = lab.loc[grp["neighbor_id"]].to_numpy()
-        uniq, counts = np.unique(labels, return_counts=True)
-        best = uniq[np.lexsort((uniq, -counts))[0]]
-        out_q.append(int(qid))
-        out_l.append(int(best))
-        out_v.append(int(counts[uniq == best][0]))
+    lab_rows = embeddings.map_batches(
+        fetch_labels, batch_format="pyarrow"
+    ).take_all()
+    lab_ids = np.array([r["vec_id"] for r in lab_rows], dtype=np.int64)
+    lab_vals = np.array([r["label"] for r in lab_rows], dtype=np.int64)
+    srt = np.argsort(lab_ids)
+    lab_ids, lab_vals = lab_ids[srt], lab_vals[srt]
+    nlab = lab_vals[np.searchsorted(lab_ids, top_n)]
+    # count per (query, label) via run lengths, then pick per query by
+    # (count desc, label asc) — no per-query Python loop
+    order = np.lexsort((nlab, top_q))
+    q, l = top_q[order], nlab[order]
+    new = np.r_[True, (q[1:] != q[:-1]) | (l[1:] != l[:-1])]
+    starts = np.flatnonzero(new)
+    counts = np.diff(np.r_[starts, len(q)]).astype(np.int64)
+    gq, gl = q[starts], l[starts]
+    sel = np.lexsort((gl, -counts, gq))
+    gq, gl, counts = gq[sel], gl[sel], counts[sel]
+    first = np.r_[True, gq[1:] != gq[:-1]]
     return pa.table(
         {
-            "query_id": pa.array(out_q, pa.int64()),
-            "label": pa.array(np.array(out_l, np.int32), pa.int32()),
-            "votes": pa.array(out_v, pa.int64()),
+            "query_id": pa.array(gq[first], pa.int64()),
+            "label": pa.array(gl[first].astype(np.int32), pa.int32()),
+            "votes": pa.array(counts[first], pa.int64()),
         }
     )
 

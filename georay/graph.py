@@ -1708,3 +1708,98 @@ def hits(
     return ray.data.from_arrow(
         pa.table({"node": pa.array(nodes), "score": pa.array(score, pa.int64())})
     )
+
+
+@ray.remote
+def _lp_vote_partial(lidx: np.ndarray, n_labels: int, prep: pa.Table) -> np.ndarray:
+    """One edge block's vote counts as a dense [V * L] int64 vector:
+    each edge whose src currently holds a label votes that label onto
+    its dst. Integer adds -> order-free fan-in merge."""
+    si = prep["si"].to_numpy(zero_copy_only=False)
+    di = prep["di"].to_numpy(zero_copy_only=False)
+    src_l = lidx[si]
+    live = src_l >= 0
+    out = np.zeros(len(lidx) * n_labels, dtype=np.int64)
+    np.add.at(out, di[live] * n_labels + src_l[live], 1)
+    return out
+
+
+def label_propagation(
+    edges: ray.data.Dataset,
+    seeds: ray.data.Dataset,
+    n_iters: int = 3,
+) -> ray.data.Dataset:
+    """Semi-supervised LABEL PROPAGATION (Zhu & Ghahramani 2002 /
+    Raghavan 2007 community flavor, made deterministic): seed nodes
+    hold fixed integer labels; every round each non-seed node takes
+    the PLURALITY label among its in-neighbors' current labels (ties
+    -> the smallest label value; nodes with no labeled neighbor keep
+    their previous state). Synchronous rounds, fixed n_iters, integer
+    vote counts — every round is exactly replayable by an unrolled SQL
+    CTE chain, the kcore/pagerank oracle pattern.
+
+    Scale shape: pagerank's broadcast BSP — edge blocks prepped once
+    to (si, di) index pairs, a compact label-INDEX vector (int8-sized
+    domain, stored int64) broadcast per round, per-block dense
+    [V x L] vote partials merged by the remote fan-in tree, argmax on
+    the driver vectorized. Label count L is the seed-label alphabet
+    (propagation never invents labels). Dense-budget contract
+    (VERDICT r04 #2 family): driver/broadcast state is O(V * L); the
+    call RAISES past GEORAY_GRAPH_DENSE_BUDGET rather than silently
+    not scaling — a beyond-budget universe wants the co-partitioned
+    vote join (pagerank's _gp machinery keyed by (node, label) packs).
+
+    seeds: Dataset{node, label} (int64). Output: {node, label} for
+    every node, label = -1 where propagation never reached."""
+    from .textops import _tree_reduce
+
+    refs = edges.materialize().to_arrow_refs()
+    nparts = [_pr_nodes_partial.remote(r) for r in refs]
+    seed_rows = seeds.select_columns(["node", "label"]).take_all()
+    seed_nodes = np.array([r["node"] for r in seed_rows], dtype=np.int64)
+    seed_labels = np.array([r["label"] for r in seed_rows], dtype=np.int64)
+    labels_alpha = np.unique(seed_labels)  # sorted: index order == value order
+    n_labels = int(len(labels_alpha))
+    ub = sum(ray.get([_gp_len.remote(p) for p in nparts]))
+    if ub * max(n_labels, 1) * 8 > _graph_dense_budget():
+        raise ValueError(
+            "label_propagation: V*L vote state exceeds "
+            "GEORAY_GRAPH_DENSE_BUDGET; co-partition the vote join first"
+        )
+    nodes = ray.get(_tree_reduce(nparts, _pr_union))
+    if len(nodes) == 0 or n_labels == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}
+            )
+        )
+    nodes_ref = ray.put(nodes)
+    preps = [_pr_prep.remote(nodes_ref, r) for r in refs]
+    # current state as label INDICES into labels_alpha; -1 = unlabeled
+    lidx = np.full(len(nodes), -1, dtype=np.int64)
+    in_graph = np.isin(seed_nodes, nodes)
+    spos = np.searchsorted(nodes, seed_nodes[in_graph])
+    seed_lidx = np.searchsorted(labels_alpha, seed_labels[in_graph])
+    lidx[spos] = seed_lidx
+    is_seed = np.zeros(len(nodes), dtype=bool)
+    is_seed[spos] = True
+    for _ in range(n_iters):
+        l_ref = ray.put(lidx)
+        votes = ray.get(
+            _tree_reduce(
+                [_lp_vote_partial.remote(l_ref, n_labels, p) for p in preps],
+                _pr_sum_dense,
+            )
+        ).reshape(len(nodes), n_labels)
+        got_votes = votes.sum(axis=1) > 0
+        # plurality with ties to the SMALLEST label value: argmax on a
+        # value-sorted alphabet returns the first (= smallest) maximum
+        best = np.argmax(votes, axis=1)
+        upd = ~is_seed & got_votes
+        lidx = np.where(upd, best, lidx)
+    out_label = np.where(lidx >= 0, labels_alpha[np.maximum(lidx, 0)], -1)
+    return ray.data.from_arrow(
+        pa.table(
+            {"node": pa.array(nodes), "label": pa.array(out_label, pa.int64())}
+        )
+    )

@@ -161,3 +161,80 @@ def split_sample(
         return t.filter(pa.array(u < fraction))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def domain_cap(
+    ds: ray.data.Dataset,
+    group_col: str,
+    key_col: str,
+    rank_col: str,
+    cap: int,
+) -> ray.data.Dataset:
+    """Per-domain document QUOTA — the RefinedWeb/C4-style curation
+    step that keeps at most ``cap`` documents per host so no single
+    domain dominates the training mix (Bernoulli mixing, domain_mix
+    above, thins proportionally; a cap bounds absolutely). Keeps the
+    top ``cap`` rows per ``group_col`` ranked by
+    (``rank_col`` DESC, ``key_col`` ASC) — deterministic, so the SQL
+    replay is a plain ROW_NUMBER window.
+
+    Scale shape: ONE column-pruned shuffle of (key, group, rank) —
+    never the text — hash-bucketed on the group (4xCPU buckets, the
+    _n_partitions rule); inside a bucket the rank is a vectorized
+    lexsort + run-length pass over ALL its groups at once. Hot
+    domains skew buckets at worst by their (key, rank) pairs, which is
+    the floor for an exact per-group top-cap; at 100 TB a
+    pathologically hot host could pre-thin with a per-partition local
+    cap >= cap first (same trick as the ANN partial top-ks).
+
+    Output: {key_col, group_col, rk} for kept rows, rk in [1, cap]."""
+    from georay.relational import _hash_bucket, _n_partitions
+
+    n_parts = _n_partitions()
+
+    def bucket(t: pa.Table) -> pa.Table:
+        t = t.select([key_col, group_col, rank_col])
+        g = np.asarray(t[group_col].to_pylist())
+        # hash only the UNIQUE domains (domain_mix's trick): the
+        # per-batch distinct-domain count is tiny next to the row count
+        uniq, inv = np.unique(g, return_inverse=True)
+        uh = np.array(
+            [int.from_bytes(hashlib.sha256(s.encode()).digest()[:8], "big") >> 1
+             for s in uniq],
+            dtype=np.int64,
+        )
+        return t.append_column("__gb", pa.array(uh[inv] % n_parts, pa.int64()))
+
+    def per_group_cap(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.int64()),
+                    group_col: pa.array([], pa.string()),
+                    "rk": pa.array([], pa.int64()),
+                }
+            )
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        grp = np.asarray(t[group_col].to_pylist())
+        rnk = t[rank_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((keys, -rnk, grp))
+        grp_s = grp[order]
+        new = np.r_[True, grp_s[1:] != grp_s[:-1]]
+        starts = np.flatnonzero(new)
+        runlen = np.diff(np.r_[starts, len(grp_s)])
+        rk = np.arange(len(grp_s)) - np.repeat(starts, runlen) + 1
+        keep = rk <= cap
+        sel = order[keep]
+        return pa.table(
+            {
+                key_col: pa.array(keys[sel], pa.int64()),
+                group_col: pa.array(grp[sel].tolist(), pa.string()),
+                "rk": pa.array(rk[keep], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("__gb")
+        .map_groups(per_group_cap, batch_format="pyarrow")
+    )

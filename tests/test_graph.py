@@ -699,3 +699,78 @@ def test_hits_copartition_parity(ray_session):
             .reset_index(drop=True)
         )
         assert bc.equals(cp), f"hits copartition diverged (both_scores={both})"
+
+
+def test_label_propagation_reference(ray_session):
+    """Distributed label propagation must replay a sequential
+    plurality-vote reference exactly (seeds pinned, ties to the
+    smallest label, no-vote nodes keep state), partition-invariant."""
+    import ray.data
+
+    from georay.graph import label_propagation
+
+    rng = np.random.default_rng(17)
+    half = [(int(a), int(b)) for a, b in rng.integers(0, 30, size=(120, 2)) if a != b]
+    edges = [(a, b) for a, b in half] + [(b, a) for a, b in half]
+    seeds = {0: 7, 3: 7, 5: 2, 11: 2, 20: 9}
+    n_iters = 3
+
+    nodes = sorted({n for e in edges for n in e})
+    state = {n: seeds.get(n, -1) for n in nodes}
+    for _ in range(n_iters):
+        votes = {}
+        for s, d in edges:
+            if state[s] != -1:
+                votes.setdefault(d, {}).setdefault(state[s], 0)
+        for s, d in edges:
+            if state[s] != -1:
+                votes[d][state[s]] += 1
+        nxt = dict(state)
+        for n in nodes:
+            if n in seeds:
+                continue
+            if n in votes and votes[n]:
+                best = sorted(votes[n].items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+                nxt[n] = best
+        state = nxt
+
+    et = pa.table(
+        {
+            "src": pa.array([e[0] for e in edges], pa.int64()),
+            "dst": pa.array([e[1] for e in edges], pa.int64()),
+        }
+    )
+    st = pa.table(
+        {
+            "node": pa.array(list(seeds), pa.int64()),
+            "label": pa.array(list(seeds.values()), pa.int64()),
+        }
+    )
+    for blocks in (2, 9):
+        got = label_propagation(
+            ray.data.from_arrow(et).repartition(blocks),
+            ray.data.from_arrow(st),
+            n_iters=n_iters,
+        ).to_pandas()
+        assert dict(zip(got["node"], got["label"])) == state
+
+
+def test_label_propagation_budget_raise(ray_session, monkeypatch):
+    """V*L vote state past GEORAY_GRAPH_DENSE_BUDGET must raise loudly
+    instead of broadcasting anyway (the dim_side contract)."""
+    import pytest
+    import ray.data
+
+    from georay.graph import label_propagation
+
+    et = pa.table(
+        {"src": pa.array([1, 2], pa.int64()), "dst": pa.array([2, 1], pa.int64())}
+    )
+    st = pa.table(
+        {"node": pa.array([1], pa.int64()), "label": pa.array([4], pa.int64())}
+    )
+    monkeypatch.setenv("GEORAY_GRAPH_DENSE_BUDGET", "8")
+    with pytest.raises(ValueError, match="DENSE_BUDGET"):
+        label_propagation(
+            ray.data.from_arrow(et), ray.data.from_arrow(st), n_iters=1
+        )

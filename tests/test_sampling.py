@@ -147,3 +147,34 @@ def test_domain_mix_fraction_and_determinism(grouped_ds):
     assert sizes["g0"] == 1250  # weight 1 keeps everything
     assert abs(sizes["g1"] / 1250 - 0.5) < 0.06
     assert abs(sizes["g3"] / 1250 - 0.25) < 0.06
+
+
+def test_domain_cap(ray_session):
+    """At most `cap` rows survive per group, chosen by (rank desc,
+    key asc), rk is the within-group rank, partition-invariant."""
+    import ray.data
+
+    from georay.sampling import domain_cap
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(12)), pa.int64()),
+            "source": pa.array(["a"] * 6 + ["b"] * 4 + ["c"] * 2),
+            "n_chars": pa.array([5, 9, 9, 1, 7, 3, 4, 4, 4, 2, 8, 8], pa.int64()),
+        }
+    )
+
+    def run(blocks):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        df = domain_cap(ds, "source", "doc_id", "n_chars", cap=3).to_pandas()
+        return sorted(zip(df["source"], df["rk"], df["doc_id"]))
+
+    got = run(3)
+    # a: n_chars desc -> ids 1(9),2(9),4(7); ties 9 broken by lower id
+    # b: 6(4),7(4),8(4) by id; c: only 2 rows survive a cap of 3
+    assert got == [
+        ("a", 1, 1), ("a", 2, 2), ("a", 3, 4),
+        ("b", 1, 6), ("b", 2, 7), ("b", 3, 8),
+        ("c", 1, 10), ("c", 2, 11),
+    ]
+    assert run(7) == got
