@@ -185,6 +185,21 @@ def _q_sample_orders(sf_dir):
     return sample_without_replacement(orders, 100, "o_orderkey", seed=42)
 
 
+def _q_hll_overlap(sf_dir):
+    """Pairwise audience overlap between event types from mergeable
+    per-type HLL registers (inclusion-exclusion on the register-max
+    union; georay/sketch.py hll_overlap). Deterministic sketch -> full
+    SQL register replay."""
+    import ray.data
+
+    from georay.sketch import hll_overlap
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return hll_overlap(ds, "event_type", "user_id")
+
+
 def _q_approx_users_by_type(sf_dir):
     """HyperLogLog per-group approximate COUNT(DISTINCT). The sketch is
     deterministic (splitmix64 + fixed p=12 registers), so it has a full
@@ -1875,6 +1890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_segment": _q_top_orders_per_segment,
         "daily_active_users": _q_daily_active_users,
         "approx_users_by_type": _q_approx_users_by_type,
+        "hll_overlap": _q_hll_overlap,
         "orders_by_month": _q_orders_by_month,
         "sample_orders": _q_sample_orders,
         "user_sessions": _q_user_sessions,
@@ -2272,6 +2288,93 @@ def _hits_sql(n_iters: int = 4, both: bool = False) -> str:
         FROM nodes n
         JOIN h{n_iters} hh ON hh.node = n.node
         JOIN a{n_iters} aa ON aa.node = n.node
+    """
+
+
+def _hll_overlap_sql() -> str:
+    """Pairwise HLL overlap replay: the approx_users_by_type register
+    simulation (splitmix64 chain, p=12, rho via bit length) kept as
+    sparse (event_type, idx, r) rows, then per-type estimates AND
+    per-pair union estimates (register-wise MAX across the two types)
+    with inclusion-exclusion on the ROUNDED BIGINTs — integer-exact
+    subtraction, matching georay.sketch.hll_overlap."""
+    est = (
+        "CAST(round(CASE WHEN (0.7213/(1+1.079/4096))*4096*4096"
+        " / ({s} + (4096-{n})) <= 2.5*4096 AND (4096-{n}) > 0"
+        " THEN 4096 * ln(4096.0/(4096-{n}))"
+        " ELSE (0.7213/(1+1.079/4096))*4096*4096 / ({s} + (4096-{n}))"
+        " END) AS BIGINT)"
+    )
+    return f"""
+        WITH hashes AS (
+          SELECT event_type,
+                 xor(x2, x2 // 2147483648) AS h
+          FROM (
+            SELECT event_type,
+                   ((x1x % 4294967296) * 321982955
+                    + (((x1x // 4294967296) * 321982955
+                        + (x1x % 4294967296) * 2496678331) % 4294967296)
+                      * 4294967296) % 18446744073709551616 AS x2
+            FROM (
+              SELECT event_type, xor(x1, x1 // 134217728) AS x1x
+              FROM (
+                SELECT event_type,
+                       ((x0x % 4294967296) * 484763065
+                        + (((x0x // 4294967296) * 484763065
+                            + (x0x % 4294967296) * 3210233709) % 4294967296)
+                          * 4294967296) % 18446744073709551616 AS x1
+                FROM (
+                  SELECT event_type, xor(x0, x0 // 1073741824) AS x0x
+                  FROM (
+                    SELECT event_type,
+                           (user_id::HUGEINT + 11400714819323198485)
+                             % 18446744073709551616 AS x0
+                    FROM events)))))
+        ),
+        regs AS MATERIALIZED (
+          SELECT event_type,
+                 (h // 4503599627370496)::BIGINT AS idx,
+                 MAX(CASE WHEN (h % 4503599627370496) = 0 THEN 53
+                          ELSE 53 - length(bin((h % 4503599627370496)::BIGINT))
+                     END) AS r
+          FROM hashes GROUP BY event_type, idx
+        ),
+        agg AS (
+          SELECT event_type, COUNT(*) AS n_present,
+                 SUM(power(2.0, -r)) AS sum_present
+          FROM regs GROUP BY event_type
+        ),
+        est AS MATERIALIZED (
+          SELECT event_type,
+                 {est.format(s="sum_present", n="n_present")} AS a
+          FROM agg
+        ),
+        pairs AS (
+          SELECT a.event_type AS ta, b.event_type AS tb
+          FROM est a JOIN est b ON a.event_type < b.event_type
+        ),
+        uregs AS (
+          SELECT p.ta, p.tb, r.idx, MAX(r.r) AS r
+          FROM pairs p JOIN regs r
+            ON r.event_type = p.ta OR r.event_type = p.tb
+          GROUP BY 1, 2, 3
+        ),
+        uagg AS (
+          SELECT ta, tb, COUNT(*) AS n_present,
+                 SUM(power(2.0, -r)) AS sum_present
+          FROM uregs GROUP BY 1, 2
+        ),
+        uest AS (
+          SELECT ta, tb, {est.format(s="sum_present", n="n_present")} AS u
+          FROM uagg
+        )
+        SELECT p.ta AS grp_a, p.tb AS grp_b,
+               ea.a AS approx_a, eb.a AS approx_b, u.u AS approx_union,
+               GREATEST(ea.a + eb.a - u.u, 0) AS approx_overlap
+        FROM pairs p
+        JOIN est ea ON ea.event_type = p.ta
+        JOIN est eb ON eb.event_type = p.tb
+        JOIN uest u ON u.ta = p.ta AND u.tb = p.tb
     """
 
 
@@ -2746,6 +2849,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         # comes from length(bin(w)) (integer-exact bit_length), and the
         # Flajolet estimator + linear-counting correction are plain
         # float math. Verified equal to georay.sketch at sf 0.001/0.01/0.1.
+        "hll_overlap": _hll_overlap_sql(),
         "approx_users_by_type": """
             WITH hashes AS (
               SELECT event_type,

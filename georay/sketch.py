@@ -272,3 +272,82 @@ def grouped_approx_quantiles(
             vals.append(lo[i] + (b + 1) * width[i])
         cols[f"p{str(q).replace('0.', '')}"] = pa.array(vals, pa.float64())
     return pa.table(cols)
+
+
+def hll_overlap(
+    ds: ray.data.Dataset, key: str, col: str, p: int = DEFAULT_P
+) -> pa.Table:
+    """Pairwise AUDIENCE OVERLAP between all group pairs, estimated
+    from ONE scan: per-group HLL registers are mergeable, so
+    |A ∪ B| is the register-wise max and |A ∩ B| falls out of
+    inclusion-exclusion — the raw key sets never meet in a join. The
+    canonical sketch trick for cross-segment user overlap /
+    cross-corpus vocabulary overlap at any scale.
+
+    Shape: grouped_approx_distinct's partial (one 2^p-byte register
+    row per (batch, group)) -> groupby(key) max-merge to ONE register
+    row per group -> the G register rows reach the driver (G = group
+    cardinality — the event-type / corpus-name alphabet, BOUNDED by
+    contract like every dimension side here) -> vectorized pairwise
+    union + estimate. All estimates round to int64 BEFORE the
+    subtraction, so overlap arithmetic is integer-exact and the SQL
+    replay hash-matches.
+
+    Output (driver-side pa.Table, G*(G-1)/2 rows): {grp_a, grp_b,
+    approx_a, approx_b, approx_union, approx_overlap}, pairs ordered
+    (grp_a < grp_b)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t[key].to_numpy(zero_copy_only=False)
+        vals = hash64(t[col].to_numpy(zero_copy_only=False))
+        out_k, out_r = [], []
+        order = np.argsort(keys, kind="stable")
+        sk = keys[order]
+        bounds = np.nonzero(sk[1:] != sk[:-1])[0] + 1
+        for grp in np.split(order, bounds):
+            if not len(grp):
+                continue
+            regs = empty_registers(p)
+            update_registers(regs, vals[grp], p)
+            out_k.append(keys[grp[0]])
+            out_r.append(regs.tobytes())
+        return pa.table({key: pa.array(out_k), "regs": pa.array(out_r, pa.binary())})
+
+    def merge_group(g: pa.Table) -> pa.Table:
+        regs = empty_registers(p)
+        for blob in g["regs"].to_pylist():
+            regs = merge_registers(regs, np.frombuffer(blob, dtype=np.uint8))
+        return pa.table(
+            {key: g[key].slice(0, 1), "regs": pa.array([regs.tobytes()], pa.binary())}
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key)
+        .map_groups(merge_group, batch_format="pyarrow")
+        .take_all()
+    )
+    rows.sort(key=lambda r: r[key])
+    groups = [r[key] for r in rows]
+    regsets = [np.frombuffer(r["regs"], dtype=np.uint8) for r in rows]
+    ests = [int(round(estimate(r))) for r in regsets]
+    ga, gb, ea, eb, eu, ov = [], [], [], [], [], []
+    for i in range(len(groups)):
+        for j in range(i + 1, len(groups)):
+            u = int(round(estimate(merge_registers(regsets[i], regsets[j]))))
+            ga.append(groups[i])
+            gb.append(groups[j])
+            ea.append(ests[i])
+            eb.append(ests[j])
+            eu.append(u)
+            ov.append(max(ests[i] + ests[j] - u, 0))
+    return pa.table(
+        {
+            "grp_a": pa.array(ga),
+            "grp_b": pa.array(gb),
+            "approx_a": pa.array(ea, pa.int64()),
+            "approx_b": pa.array(eb, pa.int64()),
+            "approx_union": pa.array(eu, pa.int64()),
+            "approx_overlap": pa.array(ov, pa.int64()),
+        }
+    )

@@ -125,3 +125,37 @@ def test_grouped_approx_quantiles_bounds(ray_session):
         for q, got in ((0.5, p5), (0.9, p9)):
             exact = sel[max(0, int(np.ceil(q * len(sel))) - 1)]
             assert exact <= got <= exact + width + 1e-9
+
+
+def test_hll_overlap_accuracy_and_invariance(ray_session):
+    """Inclusion-exclusion overlap tracks the exact intersection within
+    HLL error (<7% of union at p=12) and is partition-invariant."""
+    import pyarrow as pa
+    import ray.data
+
+    from georay.sketch import hll_overlap
+
+    # A: 0..4999, B: 3000..7999 (2000 shared), C: disjoint 100k..101k
+    ka = np.arange(5000)
+    kb = np.arange(3000, 8000)
+    kc = np.arange(100000, 101000)
+    t = pa.table(
+        {
+            "grp": pa.array(["a"] * len(ka) + ["b"] * len(kb) + ["c"] * len(kc)),
+            "uid": pa.array(np.concatenate([ka, kb, kc]), pa.int64()),
+        }
+    )
+
+    def run(blocks):
+        out = hll_overlap(
+            ray.data.from_arrow(t).repartition(blocks), "grp", "uid"
+        ).to_pandas()
+        return out
+
+    out = run(4)
+    row = out[(out["grp_a"] == "a") & (out["grp_b"] == "b")].iloc[0]
+    assert abs(row["approx_overlap"] - 2000) < 0.07 * 8000
+    rc = out[(out["grp_a"] == "a") & (out["grp_b"] == "c")].iloc[0]
+    assert rc["approx_overlap"] < 0.07 * 6000  # disjoint stays near zero
+    out2 = run(9)
+    assert out.equals(out2)
