@@ -1097,6 +1097,15 @@ def _q_rrf_fusion(sf_dir):
     return rrf_fusion(_docs(sf_dir), _emb(sf_dir), BM25_TERMS, query_id=0, k=20)
 
 
+def _q_grouped_heavy_hitters(sf_dir):
+    """Per-language frequency-threshold heavy hitters (count*30 >
+    in-group total; georay/textops.py grouped_heavy_hitters) — the
+    per-group Misra-Gries mergeable-summary fan-in, O(k*G) driver rows."""
+    from georay.textops import grouped_heavy_hitters
+
+    return grouped_heavy_hitters(_docs(sf_dir), group_col="lang", k=30)
+
+
 def _q_heavy_hitters(sf_dir):
     """Misra-Gries frequency-threshold heavy hitters (count*30 > corpus
     total; georay/textops.py heavy_hitters) — mergeable-summary fan-in,
@@ -1879,6 +1888,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join": _q_bloom_semi_join,
         "image_ahash_dups": _q_image_ahash_dups,
         "heavy_hitters": _q_heavy_hitters,
+        "grouped_heavy_hitters": _q_grouped_heavy_hitters,
         "quality_logreg": _q_quality_logreg,
         "rrf_fusion": _q_rrf_fusion,
         "kwic_snippets": _q_kwic_snippets,
@@ -4581,6 +4591,18 @@ def _oracle_sql_raw() -> dict[str, str]:
                    substr(text, GREATEST(sp - 20, 1),
                           sp + 25 - GREATEST(sp - 21, 0)) AS snippet
             FROM p WHERE sp > 0
+        """,
+        "grouped_heavy_hitters": """
+            WITH toks AS (
+              SELECT lang,
+                     UNNEST(regexp_split_to_array(TRIM(text), '\\s+')) AS word
+              FROM documents WHERE TRIM(text) <> ''
+            ),
+            c AS (SELECT lang, word, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+            tot AS (SELECT lang, COUNT(*) AS t FROM toks GROUP BY 1)
+            SELECT c.lang, c.word, CAST(n AS BIGINT) AS n
+            FROM c JOIN tot ON c.lang = tot.lang
+            WHERE n * 30 > t
         """,
         "heavy_hitters": """
             WITH toks AS (

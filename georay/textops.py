@@ -3892,3 +3892,165 @@ def ngram_novelty(docs: ray.data.Dataset, shingle_n: int = 2):
         .groupby("__b3")
         .map_groups(first_wins, batch_format="pyarrow")
     )
+
+
+def _gw_pack_partials(group_col: str):
+    """Batch -> exact (gw, grp, n) counts where gw = grp + US + word
+    (0x1f never appears in whitespace-split tokens)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "gw": pa.array([], pa.string()),
+                "grp": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        trimmed = pc.utf8_trim_whitespace(t["text"])
+        t2 = t.filter(pc.not_equal(trimmed, ""))
+        if t2.num_rows == 0:
+            return empty
+        toks = pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(t2["text"])
+        ).combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        per_doc = np.diff(offs)
+        grp = np.asarray(t2[group_col].to_pylist())
+        flat_grp = np.repeat(grp, per_doc)
+        flat_word = np.asarray(toks.flatten().to_pylist())
+        packed = np.char.add(np.char.add(flat_grp, "\x1f"), flat_word)
+        uniq, counts = np.unique(packed, return_counts=True)
+        grps = np.asarray([u.split("\x1f", 1)[0] for u in uniq.tolist()])
+        return pa.table(
+            {
+                "gw": pa.array(uniq.tolist(), pa.string()),
+                "grp": pa.array(grps.tolist(), pa.string()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return f
+
+
+def _group_sum_gw(t: pa.Table) -> pa.Table:
+    g = t.group_by("gw").aggregate([("n", "sum"), ("grp", "min")])
+    return pa.table(
+        {"gw": g["gw"], "grp": g["grp_min"], "n": g["n_sum"].cast(pa.int64())}
+    )
+
+
+@ray.remote
+def _ghh_total(*tables):
+    """Fan-in PER-GROUP token totals: leaves are (gw, grp, n) partials,
+    folded nodes are (grp, tot) tables."""
+    parts = []
+    for t in tables:
+        if "tot" in t.column_names:
+            parts.append(pa.table({"grp": t["grp"], "tot": t["tot"]}))
+        else:
+            g = t.group_by("grp").aggregate([("n", "sum")])
+            parts.append(pa.table({"grp": g["grp"], "tot": g["n_sum"]}))
+    g = pa.concat_tables(parts).group_by("grp").aggregate([("tot", "sum")])
+    return pa.table({"grp": g["grp"], "tot": g["tot_sum"].cast(pa.int64())})
+
+
+@ray.remote
+def _ghh_mg_merge(k: int, *tables):
+    """Per-group Misra-Gries fan-in: the _hh_mg_merge compression
+    applied independently inside every group of the fold, so each
+    group keeps <= k counters with the same candidate-superset
+    guarantee (group streams are disjoint; the merge bound is
+    per-stream)."""
+    g = _group_sum_gw(pa.concat_tables(tables))
+    grp = np.asarray(g["grp"].to_pylist())
+    n = g["n"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((np.arange(len(grp)), grp))
+    keep_idx = []
+    new_n = n.copy()
+    starts = np.r_[0, np.flatnonzero(grp[order][1:] != grp[order][:-1]) + 1]
+    ends = np.r_[starts[1:], len(order)]
+    for s, e in zip(starts, ends):
+        idx = order[s:e]
+        nn = n[idx]
+        if len(nn) > k:
+            dec = np.partition(nn, -(k + 1))[-(k + 1)]
+            nn = nn - dec
+            live = nn > 0
+            keep_idx.append(idx[live])
+            new_n[idx] = nn
+        else:
+            keep_idx.append(idx)
+    sel = np.concatenate(keep_idx) if keep_idx else np.array([], np.int64)
+    sel_a = pa.array(np.sort(sel), pa.int64())
+    return pa.table(
+        {
+            "gw": g["gw"].take(sel_a),
+            "grp": g["grp"].take(sel_a),
+            "n": pa.array(new_n[np.sort(sel)], pa.int64()),
+        }
+    )
+
+
+@ray.remote
+def _ghh_exact(cands: tuple, *tables):
+    cand = pa.array(list(cands), pa.string())
+    parts = [t.filter(pc.is_in(t["gw"], value_set=cand)) for t in tables]
+    return _group_sum_gw(pa.concat_tables(parts))
+
+
+def grouped_heavy_hitters(
+    docs: ray.data.Dataset, group_col: str = "lang", k: int = 20
+):
+    """PER-GROUP frequency-threshold heavy hitters: within each group
+    (language / domain / source), every token whose exact in-group
+    count n satisfies n * k > group_token_total — the per-language
+    frequent-terms profile a multilingual curation pipeline reads
+    before building stopword lists or language-specific filters.
+
+    Scale shape mirrors heavy_hitters exactly, with (group, word)
+    packed into one key: exact per-batch partials materialized once,
+    then three fan-in trees — per-group totals, per-group Misra-Gries
+    (<= k counters PER GROUP per fold; group streams are disjoint so
+    the superset guarantee holds per stream), exact recount of the
+    <= k * G candidates. Driver sees O(k * G) rows; no sort-groupby
+    shuffle; G (the group alphabet) is bounded by contract.
+
+    Output: {group_col, word, n}, ordered (group asc, n desc, word
+    asc)."""
+    empty = pa.table(
+        {
+            group_col: pa.array([], pa.string()),
+            "word": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+    partials = docs.map_batches(
+        _gw_pack_partials(group_col), batch_format="pyarrow"
+    ).materialize()
+    refs = partials.to_arrow_refs()
+    if not refs:
+        return ray.data.from_arrow(empty)
+    tot_ref = _tree_reduce(list(refs), _ghh_total)
+    mg_ref = _tree_reduce(list(refs), _ghh_mg_merge, args=(k,))
+    tot_t, mg_t = ray.get([tot_ref, mg_ref])
+    totals = dict(zip(tot_t["grp"].to_pylist(), tot_t["tot"].to_pylist()))
+    cands = tuple(sorted(mg_t["gw"].to_pylist()))
+    if not cands or not totals:
+        return ray.data.from_arrow(empty)
+    exact = ray.get(_tree_reduce(list(refs), _ghh_exact, args=(cands,)))
+    n = exact["n"].to_numpy(zero_copy_only=False)
+    grp = np.asarray(exact["grp"].to_pylist())
+    tot_per_row = np.array([totals[g] for g in grp], dtype=np.int64)
+    keep = n * k > tot_per_row
+    kept = exact.filter(pa.array(keep))
+    words = [s.split("\x1f", 1)[1] for s in kept["gw"].to_pylist()]
+    out = pa.table(
+        {
+            group_col: kept["grp"],
+            "word": pa.array(words, pa.string()),
+            "n": kept["n"],
+        }
+    ).sort_by(
+        [(group_col, "ascending"), ("n", "descending"), ("word", "ascending")]
+    )
+    return ray.data.from_arrow(out)

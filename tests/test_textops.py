@@ -1,5 +1,6 @@
 """Text-hygiene ops: PII scrubbing, repetition signals, host rollup."""
 
+import numpy as np
 import pyarrow as pa
 
 from georay import textops
@@ -997,3 +998,46 @@ def test_ngram_novelty_closed_form(ray_session):
     assert rows[2] == (1, 1, 1000)
     assert rows[3] == (0, 0, 0)
     assert rows[4] == (0, 0, 0)
+
+
+def test_grouped_heavy_hitters(ray_session):
+    """Per-group threshold semantics against a brute-force reference;
+    the MG fold must surface every in-group phi-frequent token even
+    with many partial folds (partition invariance)."""
+    import collections
+
+    import ray.data
+
+    from georay.textops import grouped_heavy_hitters
+
+    docs = []
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(40)]
+    for i in range(60):
+        grp = "en" if i % 3 else "de"
+        words = ["hot"] * 5 + list(rng.choice(vocab, size=10))
+        if grp == "de":
+            words += ["der"] * 8
+        docs.append({"doc_id": i, "lang": grp, "text": " ".join(words)})
+    k = 10
+    counts = collections.defaultdict(collections.Counter)
+    for d in docs:
+        counts[d["lang"]].update(d["text"].split())
+    want = sorted(
+        (g, w, n)
+        for g, c in counts.items()
+        for w, n in c.items()
+        if n * k > sum(c.values())
+    )
+    t = pa.table(
+        {
+            "doc_id": pa.array([d["doc_id"] for d in docs], pa.int64()),
+            "lang": pa.array([d["lang"] for d in docs]),
+            "text": pa.array([d["text"] for d in docs]),
+        }
+    )
+    for blocks in (2, 13):
+        got = grouped_heavy_hitters(
+            ray.data.from_arrow(t).repartition(blocks), "lang", k=k
+        ).to_pandas()
+        assert sorted(zip(got["lang"], got["word"], got["n"])) == want
