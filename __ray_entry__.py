@@ -185,6 +185,41 @@ def _q_sample_orders(sf_dir):
     return sample_without_replacement(orders, 100, "o_orderkey", seed=42)
 
 
+def _q_weighted_sample(sf_dir):
+    """Efraimidis-Spirakis weighted sample without replacement
+    (priority u^(1/w) in log space, u from the seeded sha256 key hash
+    so the SQL oracle replays the identical race); weight =
+    o_totalprice (georay/sampling.py sample_without_replacement)."""
+    import ray.data
+
+    from georay.sampling import sample_without_replacement
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    return sample_without_replacement(
+        orders, 100, "o_orderkey", seed=42, weight_col="o_totalprice"
+    )
+
+
+def _q_price_band_pairs(sf_dir):
+    """Cross-key band join: order pairs with |totalprice| difference
+    under 2.0, via the replicate-to-adjacent-band plan
+    (georay/relational.py price_band_pairs)."""
+    from georay.relational import price_band_pairs
+
+    return price_band_pairs(sf_dir)
+
+
+def _q_term_drift(sf_dir):
+    """Split-drift statistic: smoothed integer rate ratio of each
+    term between even/odd doc_id halves (georay/textops.py
+    term_drift)."""
+    from georay.textops import term_drift
+
+    return term_drift(_docs(sf_dir))
+
+
 def _q_hll_overlap(sf_dir):
     """Pairwise audience overlap between event types from mergeable
     per-type HLL registers (inclusion-exclusion on the register-max
@@ -1903,6 +1938,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_overlap": _q_hll_overlap,
         "orders_by_month": _q_orders_by_month,
         "sample_orders": _q_sample_orders,
+        "weighted_sample": _q_weighted_sample,
+        "price_band_pairs": _q_price_band_pairs,
+        "term_drift": _q_term_drift,
         "user_sessions": _q_user_sessions,
         "asof_last_order": _q_asof_last_order,
         "event_sessions": _q_event_sessions,
@@ -3755,7 +3793,7 @@ def _oracle_sql_raw() -> dict[str, str]:
             FROM documents
         """,
         "ngram_jaccard_dups": _EXACT_JACCARD_SQL,
-        "ngram_novelty": """
+        "ngram_novelty": r"""
             WITH t AS (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS w
                        FROM documents),
             words AS (SELECT doc_id, i, w[i+1] AS tok
@@ -3800,6 +3838,43 @@ def _oracle_sql_raw() -> dict[str, str]:
                           AS UBIGINT) >> 1 AS prio
               FROM orders)
             ORDER BY prio LIMIT 100
+        """,
+        "weighted_sample": """
+            -- Efraimidis-Spirakis race: keep the 100 largest ln(u)/w
+            -- (== the k smallest -ln(u)/w engine priorities); u is the
+            -- same sha256-derived double the engine computes.
+            SELECT o_orderkey, o_totalprice FROM (
+              SELECT o_orderkey, o_totalprice,
+                     ln((CAST(('0x' || substr(sha256('42:' || CAST(o_orderkey AS VARCHAR)), 1, 16))
+                              AS UBIGINT)::DOUBLE + 1.0) / 18446744073709551616.0)
+                       / o_totalprice AS lp
+              FROM orders)
+            ORDER BY lp DESC LIMIT 100
+        """,
+        "price_band_pairs": """
+            SELECT a.o_orderkey AS key_lo, b.o_orderkey AS key_hi,
+                   ABS(CAST(ROUND(a.o_totalprice*1e6) AS BIGINT)
+                       - CAST(ROUND(b.o_totalprice*1e6) AS BIGINT)) AS diff_micro
+            FROM orders a JOIN orders b
+              ON a.o_orderkey < b.o_orderkey
+             AND ABS(CAST(ROUND(a.o_totalprice*1e6) AS BIGINT)
+                     - CAST(ROUND(b.o_totalprice*1e6) AS BIGINT)) < 2000000
+        """,
+        "term_drift": r"""
+            WITH words AS (
+              SELECT doc_id % 2 AS par,
+                     UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS term
+              FROM documents WHERE TRIM(text) <> ''),
+            tc AS (SELECT term,
+                      SUM(CASE WHEN par = 0 THEN 1 ELSE 0 END)::BIGINT AS cnt_a,
+                      SUM(CASE WHEN par = 1 THEN 1 ELSE 0 END)::BIGINT AS cnt_b
+                   FROM words GROUP BY term),
+            tot AS (SELECT SUM(cnt_a)::BIGINT AS na, SUM(cnt_b)::BIGINT AS nb,
+                           COUNT(*)::BIGINT AS v FROM tc)
+            SELECT term, cnt_a, cnt_b,
+                   CAST(((cnt_a+1)::HUGEINT * 1000000 * (nb+v))
+                        // ((cnt_b+1)::HUGEINT * (na+v)) AS BIGINT) AS drift_micro
+            FROM tc, tot WHERE cnt_a + cnt_b >= 5
         """,
         "simhash": _SIMHASH_SQL,
         "simhash_near_dups": _SIMHASH_DUPS_SQL,

@@ -2601,3 +2601,110 @@ def props_rollup(sf_dir: str):
             Max("mx", alias_name="max_k"),
         )
     )
+
+
+def price_band_pairs(sf_dir: str, eps_micro: int = 2_000_000):
+    """Cross-key BAND JOIN (non-equi self-join on a continuous value
+    with no equality key): all order pairs whose total prices differ
+    by strictly less than eps — the one non-equi join class the rest
+    of the relational tier doesn't cover (attribution_join is an
+    interval join WITH an equality key; this has none, so naive
+    evaluation is the O(N^2) theta-join the reference could never
+    run either).
+
+    Shape (the classic replicate-to-adjacent-band plan): each row's
+    value quantizes to exact micro units and lands in band
+    b = v_micro // eps; a pair closer than eps must sit in the same
+    or adjacent bands, so every row is emitted twice — HOME in band b
+    and GHOST in band b+1 — and ONE hash(band) shuffle co-locates
+    every candidate pair. Inside a partition a lexsort by (band,
+    v, key) turns the band predicate into a searchsorted window, and
+    each pair is generated exactly once by anchoring on HOME rows
+    only and taking candidates strictly below the anchor in (v, key)
+    order (the larger side of a pair is always home in its own band;
+    the smaller side is home there or ghost from b-1). Pair emission
+    is the vectorized repeat + offset-arange idiom — no Python loop.
+
+    100-TB note: replication factor is exactly 2x regardless of eps;
+    per-partition work is O(rows_in_band x window width). A value
+    distribution concentrated in one band (all prices equal) makes
+    that band hot — the mitigation is sub-bucketing a hot band by
+    hash(key) and running the same window per sub-bucket pair, noted
+    here but not needed for a price-like continuous value.
+
+    Output: (key_lo, key_hi, diff_micro), key_lo < key_hi."""
+    n_parts = _n_partitions()
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    eps = np.int64(eps_micro)
+
+    def replicate(t: pa.Table) -> pa.Table:
+        key = t["o_orderkey"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = np.rint(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 1e6
+        ).astype(np.int64)
+        band = v // eps
+        key2 = np.concatenate([key, key])
+        v2 = np.concatenate([v, v])
+        band2 = np.concatenate([band, band + 1])
+        home = np.concatenate(
+            [np.ones(len(key), np.bool_), np.zeros(len(key), np.bool_)]
+        )
+        return pa.table(
+            {
+                "key": pa.array(key2, pa.int64()),
+                "v": pa.array(v2, pa.int64()),
+                "band": pa.array(band2, pa.int64()),
+                "home": pa.array(home, pa.bool_()),
+                "__b": pa.array(_hash_bucket(band2, n_parts), pa.int64()),
+            }
+        )
+
+    def pairs(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        band = t["band"].to_numpy(zero_copy_only=False)
+        home = t["home"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((key, v, band))
+        key, v, band, home = key[order], v[order], band[order], home[order]
+        n = len(key)
+        empty = pa.table(
+            {
+                "key_lo": pa.array([], pa.int64()),
+                "key_hi": pa.array([], pa.int64()),
+                "diff_micro": pa.array([], pa.int64()),
+            }
+        )
+        if n == 0:
+            return empty
+        # ONE vectorized searchsorted instead of a per-run loop: the
+        # composite key z = band*M + (v - (band-1)*eps) is strictly
+        # increasing across band runs (per-run offsets live in
+        # [0, 2*eps) < M) and ordered by v inside a run, so the band
+        # window "same run AND v > v_i - eps" is exactly z > z_i - eps.
+        M = 2 * eps + 2
+        z = band * M + (v - (band - 1) * eps)
+        lo = np.searchsorted(z, z - eps, side="right")
+        pos = np.arange(n)
+        cnt = np.where(home, pos - lo, 0)
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        anchors = np.repeat(pos, cnt)
+        # offset-arange: for each anchor, candidates lo[i] .. pos[i]-1
+        cand = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt) + np.repeat(
+            lo, cnt
+        )
+        a_key, c_key = key[anchors], key[cand]
+        return pa.table(
+            {
+                "key_lo": pa.array(np.minimum(a_key, c_key), pa.int64()),
+                "key_hi": pa.array(np.maximum(a_key, c_key), pa.int64()),
+                "diff_micro": pa.array(v[anchors] - v[cand], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(replicate, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(pairs, batch_format="pyarrow")
+    )

@@ -4054,3 +4054,93 @@ def grouped_heavy_hitters(
         [(group_col, "ascending"), ("n", "descending"), ("word", "ascending")]
     )
     return ray.data.from_arrow(out)
+
+
+def term_drift(docs: ray.data.Dataset, min_count: int = 5):
+    """Distribution-drift detector between two corpus splits: the
+    smoothed per-term rate ratio between even- and odd-doc_id halves
+    — the drift/contamination check run before mixing a new crawl
+    snapshot into a training corpus (a term whose rate ratio swings
+    far from 1e6 marks vocabulary shift between the splits). All
+    arithmetic is exact-integer (micro-quantized via integer floor
+    division), so the DuckDB oracle hash-matches bit-for-bit.
+
+    drift_micro = ((cnt_a+1) * 1e6 * (N_b+V)) // ((cnt_b+1) * (N_a+V))
+
+    where N_s = total tokens in split s and V = corpus vocab size
+    (add-one smoothing over the shared vocab).
+
+    Shape: per-batch token streams collapse to (term, cnt_a, cnt_b)
+    partials with one np.unique each — the groupby("term") moves one
+    row per (batch, distinct term), never one per token. The folded
+    term table is vocab-bounded by contract (same bound the vocab_ids
+    / dsir stages rely on), so materializing it for the three global
+    scalars (N_a, N_b, V) is O(V), not O(corpus). int64 headroom is
+    guarded: the stat needs (max_cnt+1)*(N+V) < 2^63/1e6, plenty for
+    any single-vocabulary corpus; past that the quantization constant
+    drops (documented, raises loudly rather than wrapping).
+
+    Output: (term, cnt_a, cnt_b, drift_micro) for terms with
+    cnt_a + cnt_b >= min_count."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks_a: list = []
+        toks_b: list = []
+        for doc_id, t in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            (toks_a if doc_id % 2 == 0 else toks_b).extend(tokenize(t or ""))
+        terms, ca, cb = [], [], []
+        if toks_a:
+            u, c = np.unique(np.asarray(toks_a, dtype=object), return_counts=True)
+            terms.extend(u.tolist())
+            ca.extend(c.tolist())
+            cb.extend([0] * len(u))
+        if toks_b:
+            u, c = np.unique(np.asarray(toks_b, dtype=object), return_counts=True)
+            terms.extend(u.tolist())
+            ca.extend([0] * len(u))
+            cb.extend(c.tolist())
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "cnt_a": pa.array(ca, pa.int64()),
+                "cnt_b": pa.array(cb, pa.int64()),
+            }
+        )
+
+    counted = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("cnt_a", alias_name="cnt_a"), Sum("cnt_b", alias_name="cnt_b"))
+        .materialize()  # vocab-bounded: O(V) rows by contract
+    )
+    na = int(counted.sum("cnt_a"))
+    nb = int(counted.sum("cnt_b"))
+    v = int(counted.count())
+    lim = (2**63 - 1) // 1_000_000
+    max_cnt = int(counted.max("cnt_a") or 0), int(counted.max("cnt_b") or 0)
+    if (max_cnt[0] + 1) * (nb + v) > lim or (max_cnt[1] + 1) * (na + v) > lim:
+        raise ValueError(
+            "term_drift int64 headroom exceeded: lower the 1e6 quantization "
+            f"constant (na={na}, nb={nb}, v={v})"
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        ca = t["cnt_a"].to_numpy(zero_copy_only=False)
+        cb = t["cnt_b"].to_numpy(zero_copy_only=False)
+        keep = (ca + cb) >= min_count
+        ca, cb = ca[keep], cb[keep]
+        drift = ((ca + 1) * np.int64(nb + v)) * np.int64(1_000_000) // (
+            (cb + 1) * np.int64(na + v)
+        )
+        return pa.table(
+            {
+                "term": t["term"].filter(pa.array(keep)),
+                "cnt_a": pa.array(ca, pa.int64()),
+                "cnt_b": pa.array(cb, pa.int64()),
+                "drift_micro": pa.array(drift, pa.int64()),
+            }
+        )
+
+    return counted.map_batches(finish, batch_format="pyarrow")
