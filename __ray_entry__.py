@@ -1390,6 +1390,21 @@ def _geo_areas(sf_dir):
     return polygon_measures(decode_features(pages))
 
 
+def _geo_hulls(sf_dir):
+    """Convex hull per decoded grid polygon (monotone chain over the
+    full ring vertex set; interior hole rings never contribute hull
+    vertices, so every grid cell hulls to its outer rectangle: 4
+    vertices, w*h area — the closed form the oracle replays)."""
+    import ray.data
+
+    from georay.pages import pages_dir_for
+    from georay.pipeline import decode_features
+    from georay.spatial.measure import polygon_hulls
+
+    pages = ray.data.read_parquet(pages_dir_for(sf_dir), columns=["url", "html"])
+    return polygon_hulls(decode_features(pages))
+
+
 def _geo_hex_counts(sf_dir):
     """Hexagonal (H3-role) page binning: axial hex cell per page
     coordinate, count per cell. Per-batch np.unique partials feed one
@@ -1959,6 +1974,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_polygon_tiles": _geo_polygon_tiles,
         "geo_knn": _geo_knn,
         "geo_areas": _geo_areas,
+        "geo_hulls": _geo_hulls,
         "geo_simplify": _geo_simplify,
         "geo_hex_counts": _geo_hex_counts,
         "geo_tile_coverage": _geo_tile_coverage,
@@ -4761,6 +4777,22 @@ def _oracle_sql_raw() -> dict[str, str]:
         # grid closed form: cell w x h, donut (pid%7=3) loses the
         # centered half-width hole; quantized at 1e10 every output is
         # an exact integer (measure.py docstring has the margin math)
+        # hull of every grid cell = its outer rectangle (hole rings
+        # are interior): 4 hull vertices, area w*h, for every present
+        # polygon id.
+        "geo_hulls": f"""
+            WITH {_NPOLY_CTE},
+            ids AS (
+              SELECT CAST(v AS BIGINT) AS pid
+              FROM range(256) t(v), npoly WHERE v < npoly.np
+            )
+            SELECT pid AS polygon_id,
+                   CAST(4 AS BIGINT) AS hull_nv,
+                   CAST(FLOOR(((CAST(-122.2 AS DOUBLE) - CAST(-122.5 AS DOUBLE)) / 16)
+                              * ((CAST(47.8 AS DOUBLE) - CAST(47.4 AS DOUBLE)) / 16)
+                              * 10000000000 + 0.5) AS BIGINT) AS hull_area_q
+            FROM ids
+        """,
         "geo_areas": f"""
             WITH {_NPOLY_CTE},
             ids AS (

@@ -129,3 +129,79 @@ def test_term_drift_partition_invariance(ray_session):
         for r in term_drift(ds.repartition(7)).take_all()
     )
     assert a == b and len(a) > 0
+
+
+def test_monotone_chain_matches_bruteforce():
+    from georay.spatial.measure import _monotone_chain
+
+    rng = np.random.default_rng(3)
+    for trial in range(5):
+        pts = rng.uniform(-10, 10, (60, 2)).round(3)
+        hull = _monotone_chain(pts)
+        hv = {tuple(p) for p in hull}
+        # brute force: a point is a hull VERTEX iff some half-plane
+        # through it keeps all other points strictly on one side
+        # (extreme point). Checked via: p is extreme iff it is NOT in
+        # the convex hull of the others — approximated by the support
+        # test over all direction pairs.
+        def is_extreme(i):
+            p = pts[i]
+            others = np.delete(pts, i, axis=0)
+            # p extreme iff exists direction d with p.d > max(others.d)
+            dirs = others - p  # candidate separating normals
+            for a in range(0, 360, 1):
+                d = np.array([np.cos(np.radians(a)), np.sin(np.radians(a))])
+                if (others @ d).max() < p @ d - 1e-9:
+                    return True
+            return False
+
+        brute = {tuple(pts[i]) for i in range(len(pts)) if is_extreme(i)}
+        assert hv == brute, f"trial {trial}"
+        # hull area >= bbox of hull points/2 sanity + contains all pts
+        x, y = hull[:, 0], hull[:, 1]
+        area = 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+        assert area > 0
+
+
+def test_monotone_chain_collinear_and_degenerate():
+    from georay.spatial.measure import _monotone_chain
+
+    # all collinear -> 2 endpoints
+    pts = np.array([[0.0, 0.0], [1.0, 1.0], [2.0, 2.0], [3.0, 3.0]])
+    h = _monotone_chain(pts)
+    assert len(h) == 2
+    # square with collinear mid-edge points and duplicates -> 4 corners
+    sq = np.array(
+        [
+            [0, 0], [1, 0], [2, 0], [2, 1], [2, 2],
+            [1, 2], [0, 2], [0, 1], [0, 0], [1, 0],
+        ],
+        dtype=np.float64,
+    )
+    h = _monotone_chain(sq)
+    assert len(h) == 4
+    assert {tuple(p) for p in h} == {(0, 0), (2, 0), (2, 2), (0, 2)}
+
+
+def test_polygon_hulls_hole_ring_ignored(ray_session):
+    import ray.data
+    from georay.geometry import wkb_encode
+    from georay.spatial.measure import polygon_hulls
+
+    import json as _json
+
+    outer = [[0.0, 0.0], [4.0, 0.0], [4.0, 2.0], [0.0, 2.0], [0.0, 0.0]]
+    hole = [[1.0, 0.5], [2.0, 0.5], [2.0, 1.5], [1.0, 1.5], [1.0, 0.5]]
+    t = pa.table(
+        {
+            "wkb": pa.array([wkb_encode("polygon", [outer, hole])]),
+            "geom_type": pa.array(["polygon"]),
+            "props_json": pa.array([_json.dumps([7])]),
+            "cols_json": pa.array([_json.dumps([["the_geom", "polygon_id"], ["geometry", "number"]])]),
+        }
+    )
+    rows = polygon_hulls(ray.data.from_arrow(t)).take_all()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["polygon_id"] == 7 and r["hull_nv"] == 4
+    assert r["hull_area_q"] == int(8.0 * 1e10)  # hole never subtracts
