@@ -211,6 +211,15 @@ def _q_price_band_pairs(sf_dir):
     return price_band_pairs(sf_dir)
 
 
+def _q_key_skew_profile(sf_dir):
+    """Key-skew observability: exact integer Gini + p50/p90/max of the
+    per-user event-count distribution — the pre-shuffle diagnostic a
+    salting decision reads (georay/relational.py key_skew_profile)."""
+    from georay.relational import key_skew_profile
+
+    return key_skew_profile(sf_dir)
+
+
 def _q_term_drift(sf_dir):
     """Split-drift statistic: smoothed integer rate ratio of each
     term between even/odd doc_id halves (georay/textops.py
@@ -1956,6 +1965,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": _q_weighted_sample,
         "price_band_pairs": _q_price_band_pairs,
         "term_drift": _q_term_drift,
+        "key_skew_profile": _q_key_skew_profile,
         "user_sessions": _q_user_sessions,
         "asof_last_order": _q_asof_last_order,
         "event_sessions": _q_event_sessions,
@@ -3875,6 +3885,22 @@ def _oracle_sql_raw() -> dict[str, str]:
               ON a.o_orderkey < b.o_orderkey
              AND ABS(CAST(ROUND(a.o_totalprice*1e6) AS BIGINT)
                      - CAST(ROUND(b.o_totalprice*1e6) AS BIGINT)) < 2000000
+        """,
+        "key_skew_profile": """
+            WITH c AS (SELECT user_id, COUNT(*)::BIGINT AS cnt
+                       FROM events GROUP BY user_id),
+            r AS (SELECT user_id, cnt,
+                         ROW_NUMBER() OVER (ORDER BY cnt, user_id)::BIGINT AS rnk
+                  FROM c),
+            s AS (SELECT COUNT(*)::BIGINT AS n, SUM(cnt)::BIGINT AS s0,
+                         SUM(rnk*cnt)::BIGINT AS s1, MAX(cnt)::BIGINT AS cmax
+                  FROM r)
+            SELECT n AS n_keys, s0 AS n_rows, cmax AS cnt_max,
+                   (SELECT cnt FROM r, s WHERE rnk = (n-1)*50//100 + 1) AS cnt_p50,
+                   (SELECT cnt FROM r, s WHERE rnk = (n-1)*90//100 + 1) AS cnt_p90,
+                   CAST((1000000::HUGEINT * (2*s1 - (n+1)*s0))
+                        // ((n)::HUGEINT * s0) AS BIGINT) AS gini_micro
+            FROM s
         """,
         "term_drift": r"""
             WITH words AS (

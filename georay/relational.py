@@ -2708,3 +2708,93 @@ def price_band_pairs(sf_dir: str, eps_micro: int = 2_000_000):
         .groupby("__b")
         .map_groups(pairs, batch_format="pyarrow")
     )
+
+
+def key_skew_profile(sf_dir: str, key_col: str = "user_id"):
+    """Key-skew observability profile of the events stream: ONE row
+    summarizing the per-key row-count distribution — key count, row
+    total, max, the p50/p90 counts, and an EXACT integer Gini
+    coefficient. This is the diagnostic a shuffle planner reads before
+    choosing salting/bucketing for a key (the 100-TB design notes all
+    over this repo say "salt a hot key" — this op is how a pipeline
+    detects one), kept as a first-class oracle-checked operator.
+
+    gini_micro = floor(1e6 * (2*S1 - (n+1)*S0) / (n*S0)) with
+    S1 = sum(rank*cnt) over counts sorted (cnt ASC, key ASC) — the
+    standard mean-difference form; ties make S1 invariant to their
+    ordering, the key tiebreak just pins the oracle's ROW_NUMBER.
+
+    Shape: per-batch unique partials -> one groupby(key) fold (key
+    universe is dimension-bounded by contract, same as vocab_ids) ->
+    rank_by's histogram-bucketed global rank (O(bins) driver state,
+    no single-machine sort) -> tree-mergeable (S0, S1, max) partials
+    + two rank-indexed point lookups. Nothing corpus-sized ever
+    reaches the driver."""
+    from georay.rank import rank_by
+
+    ds = _read(sf_dir, "events", columns=[key_col])
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t[key_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(k, return_counts=True)
+        return pa.table(
+            {
+                key_col: pa.array(uniq, pa.int64()),
+                "cnt": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    ranked = rank_by(counts, key_col="cnt", tie_col=key_col).materialize()
+
+    def sums(t: pa.Table) -> pa.Table:
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        rnk = t["rnk"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n": pa.array([len(cnt)], pa.int64()),
+                "s0": pa.array([int(cnt.sum())], pa.int64()),
+                "s1": pa.array([int((rnk * cnt).sum())], pa.int64()),
+                "cmax": pa.array(
+                    [int(cnt.max()) if len(cnt) else 0], pa.int64()
+                ),
+            }
+        )
+
+    agg = ranked.map_batches(sums, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"),
+        Sum("s0", alias_name="s0"),
+        Sum("s1", alias_name="s1"),
+        Max("cmax", alias_name="cmax"),
+    )
+    n, s0, s1, cmax = (
+        int(agg["n"]),
+        int(agg["s0"]),
+        int(agg["s1"]),
+        int(agg["cmax"]),
+    )
+    if n == 0 or s0 == 0:
+        raise ValueError("key_skew_profile: empty key universe")
+
+    r50 = (n - 1) * 50 // 100 + 1
+    r90 = (n - 1) * 90 // 100 + 1
+    picked = {
+        int(r["rnk"]): int(r["cnt"])
+        for r in ranked.filter(expr=f"rnk == {r50} or rnk == {r90}").take_all()
+    }
+    p50, p90 = picked[r50], picked[r90]
+    gini = (1_000_000 * (2 * s1 - (n + 1) * s0)) // (n * s0)
+    return pa.table(
+        {
+            "n_keys": pa.array([n], pa.int64()),
+            "n_rows": pa.array([s0], pa.int64()),
+            "cnt_max": pa.array([cmax], pa.int64()),
+            "cnt_p50": pa.array([p50], pa.int64()),
+            "cnt_p90": pa.array([p90], pa.int64()),
+            "gini_micro": pa.array([gini], pa.int64()),
+        }
+    )

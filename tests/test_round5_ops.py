@@ -205,3 +205,29 @@ def test_polygon_hulls_hole_ring_ignored(ray_session):
     r = rows[0]
     assert r["polygon_id"] == 7 and r["hull_nv"] == 4
     assert r["hull_area_q"] == int(8.0 * 1e10)  # hole never subtracts
+
+
+def test_key_skew_profile_exact_gini(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from georay.relational import key_skew_profile
+
+    # users 1..4 with counts 1, 1, 2, 6 (skewed)
+    uids = [1] + [2] + [3] * 2 + [4] * 6
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(uids)), pa.int64()),
+            "ts": pa.array(range(len(uids)), pa.timestamp("us")),
+            "user_id": pa.array(uids, pa.int64()),
+            "event_type": pa.array(["a"] * len(uids)),
+            "value": pa.array([0.0] * len(uids)),
+            "props": pa.array([""] * len(uids)),
+        }
+    )
+    pq.write_table(t, f"{tmp_path}/events.parquet")
+    row = key_skew_profile(str(tmp_path)).to_pylist()[0]
+    # sorted counts asc: [1,1,2,6]; n=4, s0=10, s1=1*1+2*1+3*2+4*6=33
+    assert row["n_keys"] == 4 and row["n_rows"] == 10 and row["cnt_max"] == 6
+    # p50 rank = (4-1)*50//100+1 = 2 -> cnt 1; p90 rank = 3 -> cnt 2
+    assert row["cnt_p50"] == 1 and row["cnt_p90"] == 2
+    assert row["gini_micro"] == (1_000_000 * (2 * 33 - 5 * 10)) // (4 * 10)
