@@ -220,6 +220,16 @@ def _q_key_skew_profile(sf_dir):
     return key_skew_profile(sf_dir)
 
 
+def _q_join_size_estimate(sf_dir):
+    """Exact join-cardinality profile (orders x events on custkey):
+    output size, shared keys, hottest key — the planner stat read
+    before broadcast/bucket/salt (georay/relational.py
+    join_size_estimate)."""
+    from georay.relational import join_size_estimate
+
+    return join_size_estimate(sf_dir)
+
+
 def _q_term_drift(sf_dir):
     """Split-drift statistic: smoothed integer rate ratio of each
     term between even/odd doc_id halves (georay/textops.py
@@ -1966,6 +1976,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_band_pairs": _q_price_band_pairs,
         "term_drift": _q_term_drift,
         "key_skew_profile": _q_key_skew_profile,
+        "join_size_estimate": _q_join_size_estimate,
         "user_sessions": _q_user_sessions,
         "asof_last_order": _q_asof_last_order,
         "event_sessions": _q_event_sessions,
@@ -3885,6 +3896,20 @@ def _oracle_sql_raw() -> dict[str, str]:
               ON a.o_orderkey < b.o_orderkey
              AND ABS(CAST(ROUND(a.o_totalprice*1e6) AS BIGINT)
                      - CAST(ROUND(b.o_totalprice*1e6) AS BIGINT)) < 2000000
+        """,
+        "join_size_estimate": """
+            WITH a AS (SELECT o_custkey AS key, COUNT(*)::BIGINT AS na
+                       FROM orders GROUP BY 1),
+            b AS (SELECT user_id AS key, COUNT(*)::BIGINT AS nb
+                  FROM events GROUP BY 1),
+            j AS (SELECT COALESCE(a.na, 0) AS na, COALESCE(b.nb, 0) AS nb
+                  FROM a FULL OUTER JOIN b ON a.key = b.key)
+            SELECT SUM(CASE WHEN na > 0 THEN 1 ELSE 0 END)::BIGINT AS n_keys_a,
+                   SUM(CASE WHEN nb > 0 THEN 1 ELSE 0 END)::BIGINT AS n_keys_b,
+                   SUM(CASE WHEN na > 0 AND nb > 0 THEN 1 ELSE 0 END)::BIGINT AS n_keys_shared,
+                   SUM(na * nb)::BIGINT AS join_rows,
+                   MAX(na * nb)::BIGINT AS max_key_rows
+            FROM j
         """,
         "key_skew_profile": """
             WITH c AS (SELECT user_id, COUNT(*)::BIGINT AS cnt

@@ -111,6 +111,13 @@ def run_bench():
                 if hasattr(res, "count"):
                     res.count()  # consume lazily-built datasets
                 queries[name] = round(time.perf_counter() - t0, 3)
+                # drop the result's object-store refs before the next
+                # query — a sweep that accumulates 150 result datasets
+                # forces spill and inflates later queries' timings
+                del res
+                import gc
+
+                gc.collect()
         except Exception as e:  # bench must still print its line
             queries["_error"] = str(e)[:200]
 

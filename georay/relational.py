@@ -2798,3 +2798,84 @@ def key_skew_profile(sf_dir: str, key_col: str = "user_id"):
             "gini_micro": pa.array([gini], pa.int64()),
         }
     )
+
+
+def join_size_estimate(sf_dir: str):
+    """Join-cardinality profile for orders JOIN events ON custkey =
+    user_id — the planner statistic read before choosing a join
+    strategy (broadcast / bucket / salt): the EXACT join output size
+    |A JOIN B| = sum over shared keys of cntA*cntB, plus per-side key
+    counts, shared-key count, and the max per-key pair product (the
+    single hottest key's contribution — the salting trigger).
+    Companion to key_skew_profile: that op profiles ONE key column,
+    this one profiles the interaction of two.
+
+    Shape: both sides collapse to (key, cnt, side) partials inside
+    map_batches (the shuffle carries one row per batch-distinct key),
+    ONE groupby(key) co-locates the pair, a vectorized pass emits
+    per-partition (sum, max, counts) partials, and a tree-mergeable
+    global aggregate folds them to one row. The join itself is never
+    materialized — at 100 TB this runs at dimension cost while the
+    real join would be output-bound."""
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+    events = _read(sf_dir, "events", columns=["user_id"])
+
+    def side_partial(col, flag):
+        def f(t: pa.Table) -> pa.Table:
+            keys = t[col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            uniq, counts = np.unique(keys, return_counts=True)
+            z = np.zeros(len(uniq), np.int64)
+            c = counts.astype(np.int64)
+            return pa.table(
+                {
+                    "key": pa.array(uniq, pa.int64()),
+                    "na": pa.array(c if flag == 0 else z, pa.int64()),
+                    "nb": pa.array(z if flag == 0 else c, pa.int64()),
+                }
+            )
+
+        return f
+
+    both = orders.map_batches(
+        side_partial("o_custkey", 0), batch_format="pyarrow"
+    ).union(events.map_batches(side_partial("user_id", 1), batch_format="pyarrow"))
+    per_key = both.groupby("key").aggregate(
+        Sum("na", alias_name="na"), Sum("nb", alias_name="nb")
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        na = t["na"].to_numpy(zero_copy_only=False)
+        nb = t["nb"].to_numpy(zero_copy_only=False)
+        prod = na * nb
+        shared = prod > 0
+        return pa.table(
+            {
+                "n_keys_a": pa.array([int((na > 0).sum())], pa.int64()),
+                "n_keys_b": pa.array([int((nb > 0).sum())], pa.int64()),
+                "n_keys_shared": pa.array([int(shared.sum())], pa.int64()),
+                "join_rows": pa.array([int(prod.sum())], pa.int64()),
+                "max_key_rows": pa.array(
+                    [int(prod.max()) if len(prod) else 0], pa.int64()
+                ),
+            }
+        )
+
+    agg = per_key.map_batches(fold, batch_format="pyarrow").aggregate(
+        Sum("n_keys_a", alias_name="n_keys_a"),
+        Sum("n_keys_b", alias_name="n_keys_b"),
+        Sum("n_keys_shared", alias_name="n_keys_shared"),
+        Sum("join_rows", alias_name="join_rows"),
+        Max("max_key_rows", alias_name="max_key_rows"),
+    )
+    return pa.table(
+        {
+            k: pa.array([int(agg[k])], pa.int64())
+            for k in (
+                "n_keys_a",
+                "n_keys_b",
+                "n_keys_shared",
+                "join_rows",
+                "max_key_rows",
+            )
+        }
+    )

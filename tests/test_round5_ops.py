@@ -231,3 +231,41 @@ def test_key_skew_profile_exact_gini(ray_session, tmp_path):
     # p50 rank = (4-1)*50//100+1 = 2 -> cnt 1; p90 rank = 3 -> cnt 2
     assert row["cnt_p50"] == 1 and row["cnt_p90"] == 2
     assert row["gini_micro"] == (1_000_000 * (2 * 33 - 5 * 10)) // (4 * 10)
+
+
+def test_join_size_estimate_golden(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from georay.relational import join_size_estimate
+
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "o_custkey": pa.array([10, 10, 20, 30], pa.int64()),
+            "o_orderstatus": pa.array(["O"] * 4),
+            "o_totalprice": pa.array([1.0] * 4),
+            "o_orderdate": pa.array([0] * 4, pa.timestamp("us")),
+            "o_orderpriority": pa.array(["5-LOW"] * 4),
+        }
+    )
+    events = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "ts": pa.array([0] * 5, pa.timestamp("us")),
+            "user_id": pa.array([10, 10, 10, 20, 99], pa.int64()),
+            "event_type": pa.array(["a"] * 5),
+            "value": pa.array([0.0] * 5),
+            "props": pa.array([""] * 5),
+        }
+    )
+    pq.write_table(orders, f"{tmp_path}/orders.parquet")
+    pq.write_table(events, f"{tmp_path}/events.parquet")
+    row = join_size_estimate(str(tmp_path)).to_pylist()[0]
+    # key 10: 2x3=6; key 20: 1x1=1; 30 and 99 one-sided
+    assert row == {
+        "n_keys_a": 3,
+        "n_keys_b": 3,
+        "n_keys_shared": 2,
+        "join_rows": 7,
+        "max_key_rows": 6,
+    }
