@@ -93,6 +93,36 @@ def dim_side(sf_dir: str, table: str, columns=None, budget_bytes=None):
     return "bucket", _read(sf_dir, table, columns=columns)
 
 
+def _group_runs(*keys):
+    """Arrow-native per-batch grouping (the user_drawdown idiom,
+    VERDICT r04 #6): lexsort the rows by the key tuple (first key is
+    the primary sort key) and find group boundaries. Returns (order,
+    starts) — order is the permutation, starts indexes group starts in
+    the sorted view; callers take key values at order[starts], run
+    lengths via np.diff(np.r_[starts, n]), and exact int64 aggregates
+    via np.add.reduceat(vals[order], starts). Replaces the pandas
+    round-trip (`t.to_pandas(); df.groupby(...)`) in hot per-batch
+    kernels — no object conversion, no index churn."""
+    order = np.lexsort(tuple(reversed(keys)))
+    n = len(order)
+    if n == 0:
+        return order, np.empty(0, np.int64)
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    for k in keys:
+        ks = k[order]
+        change[1:] |= ks[1:] != ks[:-1]
+    return order, np.flatnonzero(change)
+
+
+def _dict_codes(col):
+    """Dictionary-encode a string column of a pyarrow Table into
+    (int64 codes, value-array) for _group_runs keying; group labels
+    come back via values.take(codes[order][starts])."""
+    d = pc.dictionary_encode(col.combine_chunks())
+    return d.indices.to_numpy(zero_copy_only=False).astype(np.int64), d.dictionary
+
+
 # ---------------------------------------------------------------- q1
 
 
@@ -305,19 +335,53 @@ def region_revenue(sf_dir: str):
         # join shuffle: the bucketed join then moves ~|orderkeys| rows
         # instead of every lineitem (summing before joining is sound —
         # the join key is the aggregation key)
-        df = t.to_pandas()
-        cents = np.rint(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
-        disc_c = np.rint(df["l_discount"].to_numpy() * 100).astype(np.int64)
-        df["revenue_em4"] = cents * (100 - disc_c)
-        g = df.groupby("l_orderkey", as_index=False)["revenue_em4"].sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        disc_c = np.rint(t["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        rev = cents * (100 - disc_c)
+        order, starts = _group_runs(ok)
+        if not len(starts):
+            return pa.table(
+                {
+                    "l_orderkey": pa.array([], pa.int64()),
+                    "revenue_em4": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "l_orderkey": pa.array(ok[order][starts], pa.int64()),
+                "revenue_em4": pa.array(
+                    np.add.reduceat(rev[order], starts), pa.int64()
+                ),
+            }
+        )
 
     li_agg = lineitem.map_batches(li_partial, batch_format="pyarrow")
     joined = bucket_hash_join(li_agg, orders, on="l_orderkey", right_on="o_orderkey")
 
-    def region_partial(df: pd.DataFrame) -> pa.Table:
-        g = df.groupby("r_name", as_index=False)["revenue_em4"].sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+    def region_partial(names: np.ndarray, rev: np.ndarray) -> pa.Table:
+        # per-batch (r_name, sum) fold with no pandas round-trip:
+        # factorize the handful of region names, reduceat the exact
+        # integer revenue over group runs
+        uniq, codes = np.unique(np.asarray(names, dtype=object), return_inverse=True)
+        order, starts = _group_runs(codes.astype(np.int64))
+        if not len(starts):
+            return pa.table(
+                {
+                    "r_name": pa.array([], pa.string()),
+                    "revenue_em4": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "r_name": pa.array(uniq[codes[order][starts]], pa.string()),
+                "revenue_em4": pa.array(np.add.reduceat(rev[order], starts), pa.int64()),
+            }
+        )
 
     if mode == "broadcast":
         c2r_ref = ray.put(
@@ -329,14 +393,7 @@ def region_revenue(sf_dir: str):
 
         def revenue_by_region(t: pa.Table, c2r) -> pa.Table:
             names, _ = c2r.lookup(t["o_custkey"].to_numpy(zero_copy_only=False))
-            return region_partial(
-                pd.DataFrame(
-                    {
-                        "r_name": names,
-                        "revenue_em4": t["revenue_em4"].to_numpy(zero_copy_only=False),
-                    }
-                )
-            )
+            return region_partial(names, t["revenue_em4"].to_numpy(zero_copy_only=False))
 
         partials = broadcast_map_batches(joined, revenue_by_region, c2r_ref)
     else:
@@ -360,12 +417,8 @@ def region_revenue(sf_dir: str):
 
         def part(t: pa.Table) -> pa.Table:
             return region_partial(
-                pd.DataFrame(
-                    {
-                        "r_name": t["r_name"].to_pandas(),
-                        "revenue_em4": t["revenue_em4"].to_numpy(zero_copy_only=False),
-                    }
-                )
+                t["r_name"].to_numpy(zero_copy_only=False),
+                t["revenue_em4"].to_numpy(zero_copy_only=False),
             )
 
         partials = joined2.map_batches(part, batch_format="pyarrow")
@@ -539,12 +592,30 @@ def mktsegment_stats(sf_dir: str):
     ds = _read(sf_dir, "customer", columns=["c_mktsegment", "c_nationkey", "c_acctbal"])
 
     def partial(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        df["neg"] = (df["c_acctbal"] < 0).astype(np.int64)
-        g = df.groupby(["c_mktsegment", "c_nationkey"], as_index=False).agg(
-            n_negative=("neg", "sum"), n_cust=("neg", "size")
+        seg_codes, seg_vals = _dict_codes(t["c_mktsegment"])
+        nat = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        neg = (t["c_acctbal"].to_numpy(zero_copy_only=False) < 0).astype(np.int64)
+        order, starts = _group_runs(seg_codes, nat)
+        if not len(starts):
+            return pa.table(
+                {
+                    "c_mktsegment": pa.array([], pa.string()),
+                    "c_nationkey": pa.array([], pa.int64()),
+                    "n_negative": pa.array([], pa.int64()),
+                    "n_cust": pa.array([], pa.int64()),
+                }
+            )
+        runlen = np.diff(np.r_[starts, len(order)])
+        return pa.table(
+            {
+                "c_mktsegment": seg_vals.take(
+                    pa.array(seg_codes[order][starts], pa.int64())
+                ).cast(pa.string()),
+                "c_nationkey": pa.array(nat[order][starts], pa.int64()),
+                "n_negative": pa.array(np.add.reduceat(neg[order], starts), pa.int64()),
+                "n_cust": pa.array(runlen.astype(np.int64), pa.int64()),
+            }
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
 
     # two-phase exact distinct with no set/list columns in the shuffle
     # (VERDICT r02 #5): the (segment, nation) groupby both sums the
@@ -680,11 +751,33 @@ def top_orders_per_segment(sf_dir: str, k: int = 3):
     mode, cust = dim_side(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
 
-    def seg_topk(df: pd.DataFrame) -> pa.Table:
-        df = df.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
-        df = df.groupby("c_mktsegment", as_index=False, sort=False).head(k)
-        return pa.Table.from_pandas(
-            df[["c_mktsegment", "o_orderkey", "o_totalprice"]], preserve_index=False
+    def seg_topk(segs: np.ndarray, okey: np.ndarray, price: np.ndarray) -> pa.Table:
+        # per-segment top-k by (price desc, orderkey asc) with no
+        # pandas round-trip: factorize the few segment names, lexsort
+        # (seg, -price, okey), keep rows whose rank within their run
+        # is < k
+        if not len(okey):
+            return pa.table(
+                {
+                    "c_mktsegment": pa.array([], pa.string()),
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "o_totalprice": pa.array([], pa.float64()),
+                }
+            )
+        segs = np.asarray(segs, dtype=object)
+        uniq, codes = np.unique(segs, return_inverse=True)
+        order = np.lexsort((okey, -price, codes))
+        c = codes[order]
+        starts = np.r_[0, np.flatnonzero(c[1:] != c[:-1]) + 1]
+        runlen = np.diff(np.r_[starts, len(c)])
+        pos = np.arange(len(c), dtype=np.int64) - np.repeat(starts, runlen)
+        keep = order[pos < k]
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(segs[keep], pa.string()),
+                "o_orderkey": pa.array(okey[keep].astype(np.int64), pa.int64()),
+                "o_totalprice": pa.array(price[keep], pa.float64()),
+            }
         )
 
     if mode == "broadcast":
@@ -693,16 +786,23 @@ def top_orders_per_segment(sf_dir: str, k: int = 3):
         )
 
         def seg_partial(t: pa.Table, seg) -> pa.Table:
-            df = t.to_pandas()
-            segs, _ = seg.lookup(df["o_custkey"].to_numpy())
-            df["c_mktsegment"] = segs
-            return seg_topk(df)
+            segs, _ = seg.lookup(t["o_custkey"].to_numpy(zero_copy_only=False))
+            return seg_topk(
+                segs,
+                t["o_orderkey"].to_numpy(zero_copy_only=False),
+                t["o_totalprice"].to_numpy(zero_copy_only=False),
+            )
 
         partials = broadcast_map_batches(orders, seg_partial, seg_ref)
     else:
         joined = bucket_hash_join(orders, cust, on="o_custkey", right_on="c_custkey")
         partials = joined.map_batches(
-            lambda t: seg_topk(t.to_pandas()), batch_format="pyarrow"
+            lambda t: seg_topk(
+                t["c_mktsegment"].to_numpy(zero_copy_only=False),
+                t["o_orderkey"].to_numpy(zero_copy_only=False),
+                t["o_totalprice"].to_numpy(zero_copy_only=False),
+            ),
+            batch_format="pyarrow",
         )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
@@ -1095,28 +1195,32 @@ def orders_rollup(sf_dir: str):
     ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_orderstatus", "o_totalprice"])
 
     def partial(t: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = pd.DataFrame(
-            {
-                "o_orderpriority": t["o_orderpriority"].to_pandas(),
-                "o_orderstatus": t["o_orderstatus"].to_pandas(),
-                "cents": np.rint(
-                    t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
-                ).astype(np.int64),
-            }
+        pri_codes, pri_vals = _dict_codes(t["o_orderpriority"])
+        st_codes, st_vals = _dict_codes(t["o_orderstatus"])
+        cents = np.rint(t["o_totalprice"].to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
         )
-        g = (
-            df.groupby(["o_orderpriority", "o_orderstatus"], sort=False)
-            .agg(n=("cents", "size"), c=("cents", "sum"))
-            .reset_index()
-        )
+        order, starts = _group_runs(pri_codes, st_codes)
+        if not len(starts):
+            return pa.table(
+                {
+                    "o_orderpriority": pa.array([], pa.string()),
+                    "o_orderstatus": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        runlen = np.diff(np.r_[starts, len(order)])
         return pa.table(
             {
-                "o_orderpriority": pa.array(g["o_orderpriority"], pa.string()),
-                "o_orderstatus": pa.array(g["o_orderstatus"], pa.string()),
-                "n": pa.array(g["n"].to_numpy().astype(np.int64), pa.int64()),
-                "c": pa.array(g["c"].to_numpy().astype(np.int64), pa.int64()),
+                "o_orderpriority": pri_vals.take(
+                    pa.array(pri_codes[order][starts], pa.int64())
+                ).cast(pa.string()),
+                "o_orderstatus": st_vals.take(
+                    pa.array(st_codes[order][starts], pa.int64())
+                ).cast(pa.string()),
+                "n": pa.array(runlen.astype(np.int64), pa.int64()),
+                "c": pa.array(np.add.reduceat(cents[order], starts), pa.int64()),
             }
         )
 
