@@ -479,6 +479,41 @@ def _exact_verify_pairs(
     )
 
 
+def _run_length_df(keys: np.ndarray, docs: np.ndarray | None = None):
+    """Co-located document frequency via run length — the shared trick
+    of jaccard_prefix_join / ngram_novelty / boilerplate_segments
+    (VERDICT r04 #8): every posting of a key is hash-bucketed into ONE
+    partition, so after a sort by key a run length IS the key's global
+    df, with no separate count+join. Returns (order, df) where order
+    sorts the rows by key and df[i] is the df of keys[order][i].
+
+    Without `docs`, df counts rows (correct when postings are per-doc
+    distinct by construction, as the shingle exploders guarantee).
+    With `docs`, df counts DISTINCT docs per key (repeats of a key
+    within one doc don't inflate it — the boilerplate-segment case),
+    still returning one df per input row."""
+    if len(keys) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    if docs is None:
+        order = np.argsort(keys, kind="stable")
+        k = keys[order]
+        starts = np.r_[0, np.flatnonzero(k[1:] != k[:-1]) + 1]
+        runlen = np.diff(np.r_[starts, len(k)])
+        return order, np.repeat(runlen, runlen).astype(np.int64)
+    order = np.lexsort((docs, keys))
+    k, d = keys[order], docs[order]
+    new_key = np.r_[True, k[1:] != k[:-1]]
+    starts = np.flatnonzero(new_key)
+    runlen = np.diff(np.r_[starts, len(k)])
+    # distinct (key, doc) marker; summed within each key run via the
+    # cumsum-difference trick
+    new_pair = np.r_[True, (k[1:] != k[:-1]) | (d[1:] != d[:-1])]
+    cs = np.cumsum(new_pair)
+    ends = np.r_[starts[1:], len(k)] - 1
+    per_key = cs[ends] - cs[starts] + new_pair[starts]
+    return order, np.repeat(per_key, runlen).astype(np.int64)
+
+
 def jaccard_prefix_join(
     docs: ray.data.Dataset,
     threshold: float = 0.6,
@@ -540,17 +575,13 @@ def jaccard_prefix_join(
         )
 
     def attach_df(g: pa.Table) -> pa.Table:
-        # every posting of a shingle lands in this one partition, so a
-        # run length IS the global document frequency (shingle lists
-        # are per-doc distinct by construction)
+        # shared run-length df (shingle lists are per-doc distinct by
+        # construction, so row count == doc count)
         sh = g["sh"].to_numpy(zero_copy_only=False)
         doc = g["doc_id"].to_numpy(zero_copy_only=False)
         size = g["set_size"].to_numpy(zero_copy_only=False)
-        order = np.argsort(sh, kind="stable")
+        order, df = _run_length_df(sh)
         sh, doc, size = sh[order], doc[order], size[order]
-        starts = np.r_[0, np.flatnonzero(sh[1:] != sh[:-1]) + 1]
-        runlen = np.diff(np.r_[starts, len(sh)])
-        df = np.repeat(runlen, runlen).astype(np.int64)
         return pa.table(
             {
                 "sh": pa.array(sh, pa.int64()),
@@ -1875,15 +1906,11 @@ def boilerplate_segments(
     def bucket_flags(g: pa.Table) -> pa.Table:
         seg = g["seg_hash"].to_numpy(zero_copy_only=False)
         doc = g["doc_id"].to_numpy(zero_copy_only=False)
-        # df per segment over DISTINCT (seg, doc) pairs
-        pairs = np.unique(np.stack([seg, doc], axis=1), axis=0)
-        useg, df = np.unique(pairs[:, 0], return_counts=True)
-        boiler_seg = useg[df >= min_df]
-        if len(boiler_seg):
-            pos = np.minimum(np.searchsorted(boiler_seg, seg), len(boiler_seg) - 1)
-            hit = boiler_seg[pos] == seg
-        else:
-            hit = np.zeros(len(seg), bool)
+        # shared run-length df over DISTINCT (seg, doc) pairs: segments
+        # repeat within a doc, so pass docs to dedup them in the count
+        order, df = _run_length_df(seg, doc)
+        hit = df >= min_df
+        doc = doc[order]
         # pre-aggregate to one partial per doc in this bucket
         udoc, inv = np.unique(doc, return_inverse=True)
         n = np.bincount(inv, minlength=len(udoc))
@@ -3808,11 +3835,9 @@ def ngram_novelty(docs: ray.data.Dataset, shingle_n: int = 2):
     def flag_unique(g: pa.Table) -> pa.Table:
         sh = g["sh"].to_numpy(zero_copy_only=False)
         doc = g["doc_id"].to_numpy(zero_copy_only=False)
-        order = np.argsort(sh, kind="stable")
-        sh, doc = sh[order], doc[order]
-        starts = np.r_[0, np.flatnonzero(sh[1:] != sh[:-1]) + 1]
-        runlen = np.diff(np.r_[starts, len(sh)])
-        uniq = np.repeat(runlen == 1, runlen)
+        order, df = _run_length_df(sh)
+        doc = doc[order]
+        uniq = df == 1
         return pa.table(
             {
                 "doc_id": pa.array(doc, pa.int64()),
