@@ -372,6 +372,16 @@ def _q_ngram_novelty(sf_dir):
     return ngram_novelty(_docs(sf_dir))
 
 
+def _q_containment_join(sf_dir):
+    """Exact overlap-coefficient (containment/quote) self-join at
+    tau=0.8: pairs with |A∩B|/min(|A|,|B|) >= t over word bigrams,
+    with exact intersection and min-side counts (georay/textops.py
+    containment_join)."""
+    from georay.textops import containment_join
+
+    return containment_join(_docs(sf_dir), threshold=0.8)
+
+
 def _q_jaccard_prefix_join(sf_dir):
     """Exact AllPairs prefix-filtered Jaccard self-join at tau=0.6
     with exact intersection/union counts (georay/textops.py
@@ -1876,6 +1886,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_counts": _q_quality_counts,
         "ngram_jaccard_dups": _q_ngram_jaccard,
         "jaccard_prefix_join": _q_jaccard_prefix_join,
+        "containment_join": _q_containment_join,
         "ngram_novelty": _q_ngram_novelty,
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash": _q_simhash,
@@ -3860,6 +3871,19 @@ def _oracle_sql_raw() -> dict[str, str]:
             SELECT a, b, i::BIGINT AS n_inter, (ca.n + cb.n - i)::BIGINT AS n_union
             FROM inter JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
             WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= {PREFIX_TAU}
+        """,
+        "containment_join": """
+            WITH t AS (SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') w FROM documents),
+            words AS (SELECT doc_id, i, w[i+1] AS tok FROM t, UNNEST(range(len(w))) AS u(i)),
+            bigrams AS (SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok AS bg
+                        FROM words a JOIN words b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+            cnt AS (SELECT doc_id, COUNT(*) n FROM bigrams GROUP BY 1),
+            inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) i
+                      FROM bigrams x JOIN bigrams y ON x.bg = y.bg AND x.doc_id < y.doc_id
+                      GROUP BY 1, 2)
+            SELECT a, b, i::BIGINT AS n_inter, LEAST(ca.n, cb.n)::BIGINT AS n_min
+            FROM inter JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
+            WHERE CAST(i AS DOUBLE) / LEAST(ca.n, cb.n) >= 0.8
         """,
         # LSH with 32x4 bands catches J >= 0.8 pairs with prob
         # 1-(1-tau^4)^32 (> 1-5e-8 at tau=0.8, ~1-1e-15 at the synthetic

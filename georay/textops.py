@@ -319,14 +319,17 @@ def _exact_verify_pairs(
     shingled: ray.data.Dataset,
     threshold: float,
     with_counts: bool = False,
+    metric: str = "jaccard",
 ):
-    """Exact-Jaccard verification of candidate {a, b} pairs against a
+    """Exact verification of candidate {a, b} pairs against a
     {doc_id, shingles} corpus — the co-partitioned semi-join extracted
     from minhash_near_dups so every candidate generator (LSH bands,
     AllPairs prefix filter) shares it. Duplicate candidate rows
     collapse inside verify_bucket, so callers never need a standalone
-    pair-dedup shuffle. With with_counts=True the output carries the
-    exact intersection/union sizes {a, b, n_inter, n_union}."""
+    pair-dedup shuffle. metric="jaccard" gates on inter/union (counts:
+    {a, b, n_inter, n_union}); metric="overlap" gates on the overlap
+    coefficient inter/min(|a|,|b|) — the containment_join criterion
+    (counts: {a, b, n_inter, n_min})."""
     n_parts = _n_partitions()
     list_ty = pa.list_(pa.int64())
 
@@ -427,7 +430,9 @@ def _exact_verify_pairs(
         empty_cols = {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
         if with_counts:
             empty_cols["n_inter"] = pa.array([], pa.int64())
-            empty_cols["n_union"] = pa.array([], pa.int64())
+            empty_cols["n_union" if metric == "jaccard" else "n_min"] = pa.array(
+                [], pa.int64()
+            )
         if g.num_rows == 0:
             return pa.table(empty_cols)
         a = g["a"].to_numpy(zero_copy_only=False)
@@ -457,11 +462,16 @@ def _exact_verify_pairs(
         match = (fp[1:] == fp[:-1]) & (ft[1:] == ft[:-1])
         inter = np.bincount(fp[1:][match], minlength=npairs)
         union = tot - inter
-        ok = both & (union > 0) & (
-            inter.astype(np.float64) / np.maximum(union, 1).astype(np.float64)
+        heads = np.flatnonzero(new_pair)
+        if metric == "jaccard":
+            denom = union
+        else:  # overlap coefficient: inter / min(|a|, |b|)
+            second = np.minimum(heads + 1, len(lens) - 1)
+            denom = np.where(both, np.minimum(lens[heads], lens[second]), 0)
+        ok = both & (denom > 0) & (
+            inter.astype(np.float64) / np.maximum(denom, 1).astype(np.float64)
             >= threshold
         )
-        heads = np.flatnonzero(new_pair)
         sel_p = np.flatnonzero(ok)
         cols = {
             "a": pa.array(a[heads[sel_p]], pa.int64()),
@@ -469,7 +479,10 @@ def _exact_verify_pairs(
         }
         if with_counts:
             cols["n_inter"] = pa.array(inter[sel_p].astype(np.int64), pa.int64())
-            cols["n_union"] = pa.array(union[sel_p].astype(np.int64), pa.int64())
+            if metric == "jaccard":
+                cols["n_union"] = pa.array(union[sel_p].astype(np.int64), pa.int64())
+            else:
+                cols["n_min"] = pa.array(denom[sel_p].astype(np.int64), pa.int64())
         return pa.table(cols)
 
     return (
@@ -754,6 +767,191 @@ def jaccard_prefix_join(
         shingled.select_columns(["doc_id", "shingles"]),
         threshold,
         with_counts=True,
+    )
+
+
+def containment_join(
+    docs: ray.data.Dataset,
+    threshold: float = 0.8,
+    shingle_n: int = 2,
+):
+    """Exact overlap-coefficient (Szymkiewicz-Simpson) self-join: all
+    doc pairs with |A∩B| / min(|A|,|B|) >= threshold over word
+    shingles — the QUOTE / SUBSET detector a Jaccard join structurally
+    misses (a paragraph fully contained in a 100x longer page has
+    tiny Jaccard but overlap 1.0). Output {a, b, n_inter, n_min}.
+
+    Prefix principle for containment (the set-containment-join
+    adaptation of AllPairs — cf. PRETTI/PIEJoin lineage): orient each
+    pair so x is the canonical smaller side ((size, doc_id) lex);
+    alpha = ceil(t*|x|), so x can miss at most |x| - ceil(t*|x|) <=
+    floor((1-t)|x|) of its own tokens — among x's floor((1-t)|x|)+1
+    RAREST tokens (global df order) at least one is shared. Hence
+    candidates = x-prefix postings x ALL postings of not-smaller docs,
+    per shingle. Unlike the Jaccard join there is NO size filter (a
+    tiny set contained in a huge one qualifies), and the prefix is
+    much shorter (floor((1-t)|d|)+1 vs |d|-ceil(t|d|)+1). The
+    generation side is prefix x all rather than prefix x prefix:
+    hot shingles appear in many docs but in almost no doc's RAREST-
+    token prefix, which is what keeps hot-token groups from going
+    quadratic; the positional upper-bound filter (1 + min remaining
+    >= alpha, valid at the first common token) prunes the rest.
+    Verification is the shared exact co-partitioned semi-join with
+    metric="overlap"."""
+    n_parts = _n_partitions()
+    shingled = (
+        _shingle_rows(docs, shingle_n)
+        .repartition(max(8, n_parts // 16))
+        .materialize()
+    )
+
+    def _bucket64(keys: np.ndarray) -> np.ndarray:
+        mixed = keys.astype(np.int64).view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return (mixed % np.uint64(n_parts)).astype(np.int64)
+
+    def explode(t: pa.Table) -> pa.Table:
+        sizes = t["set_size"].to_numpy(zero_copy_only=False)
+        sh = pc.list_flatten(t["shingles"]).to_numpy(zero_copy_only=False)
+        doc = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), sizes)
+        size = np.repeat(sizes, sizes)
+        return pa.table(
+            {
+                "sh": pa.array(sh, pa.int64()),
+                "doc_id": pa.array(doc, pa.int64()),
+                "set_size": pa.array(size, pa.int64()),
+                "__bucket": pa.array(_bucket64(sh), pa.int64()),
+            }
+        )
+
+    def attach_df(g: pa.Table) -> pa.Table:
+        sh = g["sh"].to_numpy(zero_copy_only=False)
+        doc = g["doc_id"].to_numpy(zero_copy_only=False)
+        size = g["set_size"].to_numpy(zero_copy_only=False)
+        order, df = _run_length_df(sh)
+        sh, doc, size = sh[order], doc[order], size[order]
+        return pa.table(
+            {
+                "sh": pa.array(sh, pa.int64()),
+                "doc_id": pa.array(doc, pa.int64()),
+                "set_size": pa.array(size, pa.int64()),
+                "df": pa.array(df, pa.int64()),
+                "__b2": pa.array(_bucket64(doc), pa.int64()),
+            }
+        )
+
+    def rank_rows(g: pa.Table) -> pa.Table:
+        # per-doc (df, shingle) rank for EVERY posting (the positional
+        # filter needs both sides' ranks); prefix flag only marks the
+        # floor((1-t)|d|)+1 rarest (eps can only LENGTHEN the prefix)
+        sh = g["sh"].to_numpy(zero_copy_only=False)
+        doc = g["doc_id"].to_numpy(zero_copy_only=False)
+        size = g["set_size"].to_numpy(zero_copy_only=False)
+        df = g["df"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((sh, df, doc))
+        sh, doc, size, df = sh[order], doc[order], size[order], df[order]
+        starts = np.r_[0, np.flatnonzero(doc[1:] != doc[:-1]) + 1]
+        runlen = np.diff(np.r_[starts, len(doc)])
+        rank = np.arange(len(doc), dtype=np.int64) - np.repeat(
+            starts.astype(np.int64), runlen
+        )
+        plen = np.floor((1.0 - threshold) * size + 1e-9).astype(np.int64) + 1
+        return pa.table(
+            {
+                "sh": pa.array(sh, pa.int64()),
+                "doc_id": pa.array(doc, pa.int64()),
+                "set_size": pa.array(size, pa.int64()),
+                "pos": pa.array(rank, pa.int64()),
+                "pref": pa.array((rank < plen).astype(np.int8)),
+                "__b3": pa.array(_bucket64(sh), pa.int64()),
+            }
+        )
+
+    def cand_pairs(g: pa.Table) -> pa.Table:
+        sh = g["sh"].to_numpy(zero_copy_only=False)
+        doc = g["doc_id"].to_numpy(zero_copy_only=False)
+        size = g["set_size"].to_numpy(zero_copy_only=False)
+        ppos = g["pos"].to_numpy(zero_copy_only=False)
+        pref = g["pref"].to_numpy(zero_copy_only=False)
+        # sort each shingle group by (size, doc): a prefix row pairs
+        # with every LATER row — later == not-smaller in the canonical
+        # (size, doc_id) orientation, so x (the generator) is always
+        # the min side the alpha bound was derived for
+        order = np.lexsort((doc, size, sh))
+        sh, doc, size, ppos, pref = (
+            sh[order], doc[order], size[order], ppos[order], pref[order]
+        )
+        n = len(sh)
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+        )
+        if n < 2:
+            return empty
+        starts = np.r_[0, np.flatnonzero(sh[1:] != sh[:-1]) + 1]
+        ends = np.r_[starts[1:], n]
+        ends_of = np.repeat(ends, ends - starts)
+        pos = np.arange(n, dtype=np.int64)
+        reps = np.where(pref == 1, ends_of - pos - 1, 0)
+        total = int(reps.sum())
+        if total == 0:
+            return empty
+        i_idx = np.repeat(pos, reps)
+        run0 = np.r_[0, np.cumsum(reps)[:-1]]
+        j_idx = np.arange(total, dtype=np.int64) - np.repeat(run0, reps) + i_idx + 1
+        da, db = doc[i_idx], doc[j_idx]
+        sa, sb = size[i_idx], size[j_idx]
+        # positional filter, exact at the first common token: overlap
+        # <= 1 + min(remaining after the collision on each side) and
+        # must reach alpha = ceil(t * |x|) (x = min side = i by sort)
+        alpha = np.ceil(threshold * sa - 1e-9)
+        ub = 1 + np.minimum(sa - ppos[i_idx] - 1, sb - ppos[j_idx] - 1)
+        ok = (ub >= alpha) & (da != db)
+        a = np.minimum(da, db)[ok]
+        b = np.maximum(da, db)[ok]
+        if len(a) and int(max(a.max(), b.max())) >= (1 << 31):
+            raise ValueError("containment_join: doc_id >= 2^31, widen the pack")
+        key = np.unique((a << np.int64(32)) | b)
+        return pa.table(
+            {
+                "a": pa.array(key >> np.int64(32), pa.int64()),
+                "b": pa.array(key & np.int64(0xFFFFFFFF), pa.int64()),
+            }
+        )
+
+    def pair_b(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        key = (a << np.int64(32)) | b
+        return t.append_column("__b4", pa.array(_bucket64(key), pa.int64()))
+
+    def global_dedup(g: pa.Table) -> pa.Table:
+        a = g["a"].to_numpy(zero_copy_only=False)
+        b = g["b"].to_numpy(zero_copy_only=False)
+        key = np.unique((a << np.int64(32)) | b)
+        return pa.table(
+            {
+                "a": pa.array(key >> np.int64(32), pa.int64()),
+                "b": pa.array(key & np.int64(0xFFFFFFFF), pa.int64()),
+            }
+        )
+
+    cands = (
+        shingled.map_batches(explode, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(attach_df, batch_format="pyarrow")
+        .groupby("__b2")
+        .map_groups(rank_rows, batch_format="pyarrow")
+        .groupby("__b3")
+        .map_groups(cand_pairs, batch_format="pyarrow")
+        .map_batches(pair_b, batch_format="pyarrow")
+        .groupby("__b4")
+        .map_groups(global_dedup, batch_format="pyarrow")
+    )
+    return _exact_verify_pairs(
+        cands,
+        shingled.select_columns(["doc_id", "shingles"]),
+        threshold,
+        with_counts=True,
+        metric="overlap",
     )
 
 

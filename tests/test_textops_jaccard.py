@@ -166,3 +166,88 @@ def test_prefix_join_random_corpus_no_recall_loss(ray_session):
     ds = ray.data.from_arrow(t).repartition(5)
     for tau in (0.4, 0.6):
         assert _run_prefix(ds, tau) == _ref_pairs_counts(texts, tau)
+
+
+def _ref_containment(texts: dict, threshold: float, shingle_n: int = 2):
+    sets = {
+        i: set(int(x) >> 1 for x in word_shingles(t, shingle_n))
+        for i, t in texts.items()
+    }
+    out = set()
+    for a in sets:
+        for b in sets:
+            if a >= b or not sets[a] or not sets[b]:
+                continue
+            inter = len(sets[a] & sets[b])
+            mn = min(len(sets[a]), len(sets[b]))
+            if mn and inter / mn >= threshold:
+                out.add((a, b, inter, mn))
+    return out
+
+
+def test_containment_join_catches_subset_pairs(ray_session):
+    """The defining case: a short doc fully quoted inside a much longer
+    one has tiny Jaccard but overlap coefficient 1.0 — containment_join
+    must find it and jaccard-at-the-same-tau must not."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from georay.textops import containment_join, jaccard_prefix_join
+
+    filler = " ".join(f"w{i}" for i in range(60))
+    texts = {
+        0: "rare quoted sentence here",
+        1: f"{filler} rare quoted sentence here",  # contains doc 0
+        2: "completely unrelated words in this document",
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(texts), pa.int64()),
+            "text": pa.array(list(texts.values()), pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(2)
+    got = {
+        tuple(r)
+        for r in containment_join(ds, threshold=0.8)
+        .to_pandas()[["a", "b", "n_inter", "n_min"]]
+        .to_numpy()
+        .tolist()
+    }
+    assert got == _ref_containment(texts, 0.8) and (0, 1, 3, 3) in got
+    jac = jaccard_prefix_join(ds, threshold=0.8).to_pandas()
+    assert len(jac) == 0 or not ((jac["a"] == 0) & (jac["b"] == 1)).any()
+
+
+def test_containment_join_random_corpus_exact(ray_session):
+    """Randomized mixed-size corpus incl. long docs: the containment
+    prefix generation must lose no pair vs brute force at any tau."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from georay.textops import containment_join
+
+    rng = np.random.default_rng(11)
+    vocab = [f"v{i}" for i in range(12)]
+    texts = {}
+    for i in range(36):
+        size = int(rng.integers(3, 10)) if i % 3 else int(rng.integers(20, 40))
+        texts[i] = " ".join(rng.choice(vocab, size=size))
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(texts), pa.int64()),
+            "text": pa.array(list(texts.values()), pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(5)
+    for tau in (0.5, 0.8):
+        got = {
+            tuple(r)
+            for r in containment_join(ds, threshold=tau)
+            .to_pandas()[["a", "b", "n_inter", "n_min"]]
+            .to_numpy()
+            .tolist()
+        }
+        assert got == _ref_containment(texts, tau)
