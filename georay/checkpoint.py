@@ -75,7 +75,7 @@ def checkpoint_dataset(ds, stage_dir: str, fingerprint: str = "", metadata: dict
     import ray.data
 
     if is_complete(stage_dir, fingerprint or None):
-        return ray.data.read_parquet(_data_files(stage_dir))
+        return read_checkpoint(stage_dir)
 
     tmp = f"{stage_dir}.tmp-{uuid.uuid4().hex[:8]}"
     os.makedirs(tmp, exist_ok=True)
@@ -97,9 +97,28 @@ def checkpoint_dataset(ds, stage_dir: str, fingerprint: str = "", metadata: dict
     if os.path.isdir(stage_dir):
         shutil.rmtree(stage_dir)
     os.replace(tmp, stage_dir)
-    return ray.data.read_parquet(_data_files(stage_dir))
+    return read_checkpoint(stage_dir)
 
 
 def _data_files(stage_dir: str):
     m = load_manifest(stage_dir) or {}
     return [os.path.join(stage_dir, f) for f in m.get("files", [])]
+
+
+def read_checkpoint(stage_dir: str, columns=None):
+    """Re-read a committed checkpoint with a DATA-sized block count.
+
+    A checkpoint written by a 64-block stage holds 64 part files even
+    when the stage produced 4k rows; the default one-block-per-file
+    read then fans every downstream consumer into 64 near-empty tasks
+    whose fixed scheduling cost dominates (measured: the flagship's
+    layer rollup spent ~0.7 s of its 0.9 s isolated wall on 64+58
+    micro-tasks over 280 KB of data). Sizing blocks from total BYTES
+    (~64 MB/block, floor 8) keeps small checkpoints at 8 blocks and
+    converges to the same count as the default for at-scale data."""
+    import ray.data
+
+    files = _data_files(stage_dir)
+    nbytes = sum(os.path.getsize(f) for f in files)
+    blocks = max(8, nbytes // (64 << 20))
+    return ray.data.read_parquet(files, columns=columns, override_num_blocks=blocks)

@@ -98,7 +98,7 @@ def geotag_pipeline(
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from ..checkpoint import _data_files, is_complete
+    from ..checkpoint import _data_files, is_complete, read_checkpoint
     from ..pipeline import _LAYER_KEY
     from concurrent.futures import ThreadPoolExecutor
 
@@ -129,7 +129,7 @@ def geotag_pipeline(
         if out_dir:
             stage_dir = f"{out_dir}/{name}"
             if is_complete(stage_dir, fingerprint or None):
-                return ray.data.read_parquet(_data_files(stage_dir))
+                return read_checkpoint(stage_dir)
             return checkpoint_dataset(ds_lazy, stage_dir, fingerprint)
         return ds_lazy.materialize()
 
@@ -244,9 +244,7 @@ def geotag_pipeline(
                 knn_ref = build_centroid_index_remote(idx_src)
     layer_cols = _LAYER_KEY + ["minx", "miny", "maxx", "maxy", "decode_error"]
     if out_dir:
-        layer_src = ray.data.read_parquet(
-            _data_files(f"{out_dir}/features"), columns=layer_cols
-        )
+        layer_src = read_checkpoint(f"{out_dir}/features", columns=layer_cols)
     else:
         layer_src = feats.select_columns(layer_cols)
     layers = layer_stats(layer_src)
@@ -264,8 +262,8 @@ def geotag_pipeline(
         # key, and the store holds the url <-> key mapping. The url
         # column stays in the in-memory (query) path below, whose
         # result shape the geo_pip_join oracle pins.
-        points = ray.data.read_parquet(
-            _data_files(f"{out_dir}/pages_store"), columns=["page_key", "lon", "lat"]
+        points = read_checkpoint(
+            f"{out_dir}/pages_store", columns=["page_key", "lon", "lat"]
         )
     else:
         points = store.select_columns(["url", "lon", "lat"])
@@ -351,9 +349,7 @@ def geotag_pipeline(
                         fingerprint,
                     )
                 else:  # resumed joined checkpoint: pruned re-read rollup
-                    tile_src = ray.data.read_parquet(
-                        _data_files(f"{out_dir}/joined"), columns=["tile"]
-                    )
+                    tile_src = read_checkpoint(f"{out_dir}/joined", columns=["tile"])
                     tiles = checkpoint_dataset(
                         tile_counts(tile_src), f"{out_dir}/tiles", fingerprint
                     )
