@@ -230,6 +230,25 @@ def _q_join_size_estimate(sf_dir):
     return join_size_estimate(sf_dir)
 
 
+def _q_top_users_by_active_days(sf_dir):
+    """Per event type the top-5 users by DISTINCT active days with
+    rank — exact distinct-count + per-group top-k window in one
+    user-co-located pass (georay/relational.py
+    top_users_by_active_days)."""
+    from georay.relational import top_users_by_active_days
+
+    return top_users_by_active_days(sf_dir)
+
+
+def _q_value_concentration(sf_dir):
+    """Per event type the share of total value contributed by its
+    top-10 users — the Lorenz/iceberg concentration stat, exact
+    integer micro-units (georay/relational.py value_concentration)."""
+    from georay.relational import value_concentration
+
+    return value_concentration(sf_dir)
+
+
 def _q_term_drift(sf_dir):
     """Split-drift statistic: smoothed integer rate ratio of each
     term between even/odd doc_id halves (georay/textops.py
@@ -1988,6 +2007,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_drift": _q_term_drift,
         "key_skew_profile": _q_key_skew_profile,
         "join_size_estimate": _q_join_size_estimate,
+        "top_users_by_active_days": _q_top_users_by_active_days,
+        "value_concentration": _q_value_concentration,
         "user_sessions": _q_user_sessions,
         "asof_last_order": _q_asof_last_order,
         "event_sessions": _q_event_sessions,
@@ -3934,6 +3955,32 @@ def _oracle_sql_raw() -> dict[str, str]:
                    SUM(na * nb)::BIGINT AS join_rows,
                    MAX(na * nb)::BIGINT AS max_key_rows
             FROM j
+        """,
+        "top_users_by_active_days": """
+            WITH d AS (SELECT event_type, user_id,
+                              COUNT(DISTINCT epoch_us(ts) // 86400000000)::BIGINT AS n_days
+                       FROM events GROUP BY 1, 2),
+            r AS (SELECT event_type, user_id, n_days,
+                         ROW_NUMBER() OVER (PARTITION BY event_type
+                                            ORDER BY n_days DESC, user_id ASC) AS rnk
+                  FROM d)
+            SELECT event_type, CAST(rnk AS BIGINT) AS rnk, user_id, n_days
+            FROM r WHERE rnk <= 5
+        """,
+        "value_concentration": """
+            WITH s AS (SELECT event_type, user_id,
+                              SUM(CAST(ROUND(value * 1e6) AS BIGINT)) AS v
+                       FROM events GROUP BY 1, 2),
+            r AS (SELECT event_type, user_id, v,
+                         ROW_NUMBER() OVER (PARTITION BY event_type
+                                            ORDER BY v DESC, user_id ASC) AS rnk
+                  FROM s),
+            t AS (SELECT event_type, SUM(v)::BIGINT AS total_micro FROM s GROUP BY 1),
+            k AS (SELECT event_type, SUM(v)::BIGINT AS topk_micro
+                  FROM r WHERE rnk <= 10 GROUP BY 1)
+            SELECT event_type, total_micro, topk_micro,
+                   (1000000 * topk_micro // total_micro)::BIGINT AS share_micro
+            FROM t JOIN k USING (event_type)
         """,
         "key_skew_profile": """
             WITH c AS (SELECT user_id, COUNT(*)::BIGINT AS cnt

@@ -2983,3 +2983,179 @@ def join_size_estimate(sf_dir: str):
             )
         }
     )
+
+
+def top_users_by_active_days(sf_dir: str, k: int = 5):
+    """Per event type, the top-k users by DISTINCT active days with a
+    dense rank — the combination of an exact distinct-count and a
+    per-group top-k window (ROW_NUMBER() OVER (PARTITION BY type ORDER
+    BY n_days DESC, user) <= k) that neither daily_active_users nor
+    top_orders_per_segment alone expresses.
+
+    Shape: ONE hash(user) bucket shuffle co-locates each user's whole
+    history, so the (type, user) distinct-day count is EXACT inside the
+    partition (lexsort (type, user, day), run-length over triple
+    changes) and already collapses to one row per (type, user); the
+    same pass keeps only its partition-local top-k rows per type, so
+    the second shuffle moves <= k x types rows per partition. Final
+    per-type fold re-ranks the partial top-ks. Ties break by user_id
+    asc — deterministic and SQL-replayable.
+
+    Output: event_type, rnk, user_id, n_days."""
+    n_parts = _n_partitions()
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id", "ts"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        micros = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "user_id": pa.array(uid, pa.int64()),
+                "day": pa.array(micros // 86_400_000_000, pa.int64()),
+                "__bucket": pa.array(_hash_bucket(uid, n_parts), pa.int64()),
+            }
+        )
+
+    def local_topk(g: pa.Table) -> pa.Table:
+        ty_codes, ty_vals = _dict_codes(g["event_type"])
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        day = g["day"].to_numpy(zero_copy_only=False)
+        # exact distinct days per (type, user): run-length over the
+        # distinct-triple markers of the sorted view
+        order = np.lexsort((day, uid, ty_codes))
+        ty, u, d = ty_codes[order], uid[order], day[order]
+        new_pair = np.r_[True, (ty[1:] != ty[:-1]) | (u[1:] != u[:-1])]
+        new_triple = new_pair.copy()
+        new_triple[1:] |= d[1:] != d[:-1]
+        cs = np.cumsum(new_triple)
+        starts = np.flatnonzero(new_pair)
+        ends = np.r_[starts[1:], len(ty)] - 1
+        n_days = cs[ends] - cs[starts] + new_triple[starts]
+        p_ty, p_u = ty[starts], u[starts]
+        # partition-local top-k per type by (n_days desc, user asc)
+        o2 = np.lexsort((p_u, -n_days, p_ty))
+        t2 = p_ty[o2]
+        s2 = np.r_[0, np.flatnonzero(t2[1:] != t2[:-1]) + 1]
+        runlen = np.diff(np.r_[s2, len(t2)])
+        pos = np.arange(len(t2), dtype=np.int64) - np.repeat(s2, runlen)
+        keep = o2[pos < k]
+        return pa.table(
+            {
+                "event_type": ty_vals.take(pa.array(p_ty[keep], pa.int64())).cast(
+                    pa.string()
+                ),
+                "user_id": pa.array(p_u[keep], pa.int64()),
+                "n_days": pa.array(n_days[keep], pa.int64()),
+            }
+        )
+
+    def finish(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        nd = g["n_days"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((uid, -nd))[:k]
+        return pa.table(
+            {
+                "event_type": g["event_type"].take(pa.array(order, pa.int64())),
+                "rnk": pa.array(np.arange(1, len(order) + 1, dtype=np.int64), pa.int64()),
+                "user_id": pa.array(uid[order], pa.int64()),
+                "n_days": pa.array(nd[order], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(local_topk, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
+def value_concentration(sf_dir: str, k: int = 10):
+    """Per event type, how concentrated the value stream is: the share
+    of total value contributed by the top-k users (the Lorenz / iceberg
+    statistic a mixing or rate-limiting policy reads). Exact integer
+    micro-units end to end; share_micro = floor(1e6 * topk / total).
+
+    Shape: the same ONE hash(user) co-location as
+    top_users_by_active_days — per-(type, user) sums are exact inside
+    the partition, which then forwards only its local top-k rows AND
+    one (type, partial-total) row; the per-type fold merges partial
+    tops (correct because (type, user) rows are globally unique after
+    the bucket pass) and sums the totals. The shuffle never moves more
+    than (k+1) x types rows per partition.
+
+    Output: event_type, total_micro, topk_micro, share_micro."""
+    n_parts = _n_partitions()
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id", "value"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        micro = np.rint(
+            t["value"].to_numpy(zero_copy_only=False) * 1e6
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "user_id": pa.array(uid, pa.int64()),
+                "v": pa.array(micro, pa.int64()),
+                "__bucket": pa.array(_hash_bucket(uid, n_parts), pa.int64()),
+            }
+        )
+
+    def local_fold(g: pa.Table) -> pa.Table:
+        ty_codes, ty_vals = _dict_codes(g["event_type"])
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        order, starts = _group_runs(ty_codes, uid)
+        ty, u = ty_codes[order][starts], uid[order][starts]
+        sums = np.add.reduceat(v[order], starts)
+        # per-type: keep the local top-k user rows plus one total row
+        # (user_id = -1 marks the total partial, never a real user)
+        o2 = np.lexsort((u, -sums, ty))
+        t2 = ty[o2]
+        s2 = np.r_[0, np.flatnonzero(t2[1:] != t2[:-1]) + 1]
+        runlen = np.diff(np.r_[s2, len(t2)])
+        pos = np.arange(len(t2), dtype=np.int64) - np.repeat(s2, runlen)
+        keep = o2[pos < k]
+        tot_ty = t2[s2]
+        tot_v = np.add.reduceat(sums[o2], s2)
+        return pa.table(
+            {
+                "event_type": ty_vals.take(
+                    pa.array(np.r_[ty[keep], tot_ty], pa.int64())
+                ).cast(pa.string()),
+                "user_id": pa.array(
+                    np.r_[u[keep], np.full(len(tot_ty), -1, np.int64)], pa.int64()
+                ),
+                "v": pa.array(np.r_[sums[keep], tot_v], pa.int64()),
+            }
+        )
+
+    def finish(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        is_tot = uid == -1
+        total = int(v[is_tot].sum())
+        uv = v[~is_tot]
+        uu = uid[~is_tot]
+        order = np.lexsort((uu, -uv))[:k]
+        topk = int(uv[order].sum())
+        share = (1_000_000 * topk) // total if total else 0
+        return pa.table(
+            {
+                "event_type": g["event_type"].take(pa.array([0], pa.int64())),
+                "total_micro": pa.array([total], pa.int64()),
+                "topk_micro": pa.array([topk], pa.int64()),
+                "share_micro": pa.array([share], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(local_fold, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(finish, batch_format="pyarrow")
+    )

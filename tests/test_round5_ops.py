@@ -269,3 +269,79 @@ def test_join_size_estimate_golden(ray_session, tmp_path):
         "join_rows": 7,
         "max_key_rows": 6,
     }
+
+
+def _write_events(tmp_path, user_ids, days, types, values):
+    import pyarrow.parquet as pq
+
+    n = len(user_ids)
+    t = pa.table(
+        {
+            "event_id": pa.array(list(range(1, n + 1)), pa.int64()),
+            "ts": pa.array(
+                [d * 86_400_000_000 + 1 for d in days], pa.timestamp("us")
+            ),
+            "user_id": pa.array(user_ids, pa.int64()),
+            "event_type": pa.array(types, pa.string()),
+            "value": pa.array(values, pa.float64()),
+            "props": pa.array([""] * n, pa.string()),
+        }
+    )
+    pq.write_table(t, f"{tmp_path}/events.parquet")
+
+
+def test_top_users_by_active_days_golden(ray_session, tmp_path):
+    from georay.relational import top_users_by_active_days
+
+    # user 1: type a on days 0,1,2 (3 distinct, one day repeated);
+    # user 2: type a on days 0,0 (1 distinct); user 3: type a day 5
+    # (1 distinct, ties with user 2 -> user 2 first by id);
+    # user 1: type b day 0
+    _write_events(
+        tmp_path,
+        user_ids=[1, 1, 1, 1, 2, 2, 3, 1],
+        days=[0, 1, 2, 2, 0, 0, 5, 0],
+        types=["a"] * 7 + ["b"],
+        values=[1.0] * 8,
+    )
+    rows = sorted(
+        top_users_by_active_days(str(tmp_path), k=2).take_all(),
+        key=lambda r: (r["event_type"], r["rnk"]),
+    )
+    assert rows == [
+        {"event_type": "a", "rnk": 1, "user_id": 1, "n_days": 3},
+        {"event_type": "a", "rnk": 2, "user_id": 2, "n_days": 1},
+        {"event_type": "b", "rnk": 1, "user_id": 1, "n_days": 1},
+    ]
+
+
+def test_value_concentration_golden(ray_session, tmp_path):
+    from georay.relational import value_concentration
+
+    # type a: user sums 1->30.0, 2->10.0, 3->5.0, 4->5.0; top-2 = 40.0
+    # of 50.0 -> share 800000; type b: one user, share 1000000
+    _write_events(
+        tmp_path,
+        user_ids=[1, 1, 2, 3, 4, 9],
+        days=[0, 1, 0, 0, 0, 0],
+        types=["a", "a", "a", "a", "a", "b"],
+        values=[10.0, 20.0, 10.0, 5.0, 5.0, 7.5],
+    )
+    rows = sorted(
+        value_concentration(str(tmp_path), k=2).take_all(),
+        key=lambda r: r["event_type"],
+    )
+    assert rows == [
+        {
+            "event_type": "a",
+            "total_micro": 50_000_000,
+            "topk_micro": 40_000_000,
+            "share_micro": 800_000,
+        },
+        {
+            "event_type": "b",
+            "total_micro": 7_500_000,
+            "topk_micro": 7_500_000,
+            "share_micro": 1_000_000,
+        },
+    ]
