@@ -391,6 +391,16 @@ def _q_ngram_novelty(sf_dir):
     return ngram_novelty(_docs(sf_dir))
 
 
+def _q_keep_first_shingles(sf_dir):
+    """C4-style 'retain the first copy' dedup accounting at bigram
+    granularity: per doc, how many positional shingle instances are
+    the globally FIRST occurrence of their shingle by (doc_id, pos)
+    (georay/textops.py keep_first_shingles)."""
+    from georay.textops import keep_first_shingles
+
+    return keep_first_shingles(_docs(sf_dir))
+
+
 def _q_containment_join(sf_dir):
     """Exact overlap-coefficient (containment/quote) self-join at
     tau=0.8: pairs with |A∩B|/min(|A|,|B|) >= t over word bigrams,
@@ -1907,6 +1917,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_prefix_join": _q_jaccard_prefix_join,
         "containment_join": _q_containment_join,
         "ngram_novelty": _q_ngram_novelty,
+        "keep_first_shingles": _q_keep_first_shingles,
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash": _q_simhash,
         "simhash_near_dups": _q_simhash_near_dups,
@@ -3878,6 +3889,27 @@ def _oracle_sql_raw() -> dict[str, str]:
                    COALESCE(tot, 0)::BIGINT AS n_shingles,
                    COALESCE(nu, 0)::BIGINT AS n_unique,
                    COALESCE(1000 * nu // tot, 0)::BIGINT AS novelty_permille
+            FROM documents d LEFT JOIN per USING (doc_id)
+        """,
+        "keep_first_shingles": r"""
+            WITH t AS (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS w
+                       FROM documents),
+            words AS (SELECT doc_id, i, w[i+1] AS tok
+                      FROM t, UNNEST(range(len(w))) AS u(i)),
+            bigrams AS (SELECT a.doc_id, a.i AS pos, a.tok || ' ' || b.tok AS bg
+                        FROM words a JOIN words b
+                          ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+            flagged AS (SELECT doc_id, pos,
+                               ROW_NUMBER() OVER (PARTITION BY bg
+                                                  ORDER BY doc_id, pos) AS rn
+                        FROM bigrams),
+            per AS (SELECT doc_id, COUNT(*) AS tot,
+                           COUNT(*) FILTER (WHERE rn = 1) AS kept
+                    FROM flagged GROUP BY 1)
+            SELECT d.doc_id,
+                   COALESCE(tot, 0)::BIGINT AS n_shingles,
+                   COALESCE(kept, 0)::BIGINT AS n_kept,
+                   COALESCE(1000 * kept // tot, 0)::BIGINT AS kept_permille
             FROM documents d LEFT JOIN per USING (doc_id)
         """,
         "jaccard_prefix_join": f"""

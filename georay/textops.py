@@ -4367,3 +4367,143 @@ def term_drift(docs: ray.data.Dataset, min_count: int = 5):
         )
 
     return counted.map_batches(finish, batch_format="pyarrow")
+
+
+def keep_first_shingles(docs: ray.data.Dataset, shingle_n: int = 2):
+    """Exact 'retain the first copy' dedup accounting at shingle
+    granularity — the C4/RefinedWeb line-level-dedup semantics mapped
+    onto word n-grams: every positional shingle INSTANCE survives iff
+    it is the globally FIRST occurrence of that shingle (ordered by
+    (doc_id, pos)), so each distinct shingle keeps exactly one copy
+    corpus-wide and a doc's kept_permille is its surviving share under
+    the dedup pass (reference parity target: the dedup tier of
+    SURVEY.md §2-adjacent training-data ops; no reference-file
+    counterpart — this op is engine-native).
+
+    Differs from ngram_novelty (df == 1 uniqueness): a shingle shared
+    by 50 docs still credits its FIRST doc here, so sum(n_kept) over
+    the corpus equals the global distinct-shingle count.
+
+    Shape: positional postings (sh, doc_id, pos) — all occurrences,
+    not per-doc distinct — hash-bucketed by shingle so the global
+    first occurrence of every shingle is decidable inside ONE
+    partition (lexsort (sh, doc, pos), run starts win); kept flags
+    regroup by doc once; shingle-less docs fold back as zeros. Same
+    two-shuffle plan and O(tokens) postings volume as ngram_novelty.
+
+    Output: doc_id, n_shingles (positional instances), n_kept,
+    kept_permille = floor(1000 * kept / total)."""
+    n_parts = _n_partitions()
+
+    def _bucket64(keys: np.ndarray) -> np.ndarray:
+        mixed = keys.astype(np.int64).view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return (mixed % np.uint64(n_parts)).astype(np.int64)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        d_ids, poss, hs = [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            toks = tokenize(text or "")
+            if len(toks) < shingle_n:
+                continue
+            grams = [
+                " ".join(toks[i : i + shingle_n])
+                for i in range(len(toks) - shingle_n + 1)
+            ]
+            h = _hash64_strings(grams)
+            d_ids.append(np.full(len(grams), doc_id, np.int64))
+            poss.append(np.arange(len(grams), dtype=np.int64))
+            hs.append((h >> np.uint64(1)).astype(np.int64))
+        if not d_ids:
+            return pa.table(
+                {
+                    "sh": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                    "__bucket": pa.array([], pa.int64()),
+                }
+            )
+        sh = np.concatenate(hs)
+        return pa.table(
+            {
+                "sh": pa.array(sh, pa.int64()),
+                "doc_id": pa.array(np.concatenate(d_ids), pa.int64()),
+                "pos": pa.array(np.concatenate(poss), pa.int64()),
+                "__bucket": pa.array(_bucket64(sh), pa.int64()),
+            }
+        )
+
+    def flag_first(g: pa.Table) -> pa.Table:
+        sh = g["sh"].to_numpy(zero_copy_only=False)
+        doc = g["doc_id"].to_numpy(zero_copy_only=False)
+        pos = g["pos"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pos, doc, sh))
+        s, d = sh[order], doc[order]
+        kept = np.r_[True, s[1:] != s[:-1]]
+        return pa.table(
+            {
+                "doc_id": pa.array(d, pa.int64()),
+                "k": pa.array(kept.astype(np.int64), pa.int64()),
+                "__b2": pa.array(_bucket64(d), pa.int64()),
+            }
+        )
+
+    def per_doc(g: pa.Table) -> pa.Table:
+        doc = g["doc_id"].to_numpy(zero_copy_only=False)
+        k = g["k"].to_numpy(zero_copy_only=False)
+        order = np.argsort(doc, kind="stable")
+        doc, k = doc[order], k[order]
+        starts = np.r_[0, np.flatnonzero(doc[1:] != doc[:-1]) + 1]
+        tot = np.diff(np.r_[starts, len(doc)]).astype(np.int64)
+        nk = np.add.reduceat(k, starts).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[starts], pa.int64()),
+                "n_shingles": pa.array(tot, pa.int64()),
+                "n_kept": pa.array(nk, pa.int64()),
+                "kept_permille": pa.array(1000 * nk // tot, pa.int64()),
+            }
+        )
+
+    scored = (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(flag_first, batch_format="pyarrow")
+        .groupby("__b2")
+        .map_groups(per_doc, batch_format="pyarrow")
+    )
+
+    all_ids = docs.select_columns(["doc_id"])
+
+    def zrows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        z = np.zeros(len(ids), np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_shingles": pa.array(z, pa.int64()),
+                "n_kept": pa.array(z, pa.int64()),
+                "kept_permille": pa.array(z, pa.int64()),
+                "__b3": pa.array(_bucket64(ids), pa.int64()),
+            }
+        )
+
+    def add_b3(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("__b3", pa.array(_bucket64(ids), pa.int64()))
+
+    def dedup_doc(g: pa.Table) -> pa.Table:
+        # scored row (n_shingles > 0) wins over the zero placeholder
+        doc = g["doc_id"].to_numpy(zero_copy_only=False)
+        tot = g["n_shingles"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((-tot, doc))
+        first = np.r_[True, doc[order][1:] != doc[order][:-1]]
+        keep = order[first]
+        return g.take(pa.array(keep, pa.int64())).drop_columns(["__b3"])
+
+    return (
+        scored.map_batches(add_b3, batch_format="pyarrow")
+        .union(all_ids.map_batches(zrows, batch_format="pyarrow"))
+        .groupby("__b3")
+        .map_groups(dedup_doc, batch_format="pyarrow")
+    )

@@ -1041,3 +1041,42 @@ def test_grouped_heavy_hitters(ray_session):
             ray.data.from_arrow(t).repartition(blocks), "lang", k=k
         ).to_pandas()
         assert sorted(zip(got["lang"], got["word"], got["n"])) == want
+
+
+def test_keep_first_shingles_golden(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+    from georay.textops import keep_first_shingles
+
+    texts = {
+        0: "a b c a b",      # positions: "a b"(0) "b c"(1) "c a"(2) "a b"(3)
+        1: "a b x y",        # "a b"(0) "b x"(1) "x y"(2)
+        2: "",               # zeros
+        3: "solo",           # zeros
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(sorted(texts), pa.int64()),
+            "text": pa.array([texts[k] for k in sorted(texts)], pa.string()),
+        }
+    )
+    out = (
+        keep_first_shingles(ray.data.from_arrow(t).repartition(3))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    rows = {
+        r.doc_id: (r.n_shingles, r.n_kept, r.kept_permille)
+        for r in out.itertuples()
+    }
+    # doc0 owns the first occurrence of "a b" (pos 0); its repeat at
+    # pos 3 is dropped -> kept 3 of 4; doc1's "a b" loses to doc0 but
+    # "b x","x y" are first -> 2 of 3
+    assert rows[0] == (4, 3, 750)
+    assert rows[1] == (3, 2, 666)
+    assert rows[2] == (0, 0, 0)
+    assert rows[3] == (0, 0, 0)
+    # every distinct shingle keeps exactly one copy corpus-wide
+    assert sum(k for _, k, _ in rows.values()) == 5
