@@ -249,6 +249,17 @@ def _q_value_concentration(sf_dir):
     return value_concentration(sf_dir)
 
 
+def _q_salted_join_sample(sf_dir):
+    """Skew-salted audit sample of the many-to-many events x orders join
+    (user_id = o_custkey): per event type the exact pair count plus the
+    count and price mass of a deterministic hash-sampled pair subset —
+    hot keys get their own salted partition range so the heaviest key
+    fans over n_salts tasks (georay/relational.py salted_join_sample)."""
+    from georay.relational import salted_join_sample
+
+    return salted_join_sample(sf_dir)
+
+
 def _q_term_drift(sf_dir):
     """Split-drift statistic: smoothed integer rate ratio of each
     term between even/odd doc_id halves (georay/textops.py
@@ -2020,6 +2031,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_size_estimate": _q_join_size_estimate,
         "top_users_by_active_days": _q_top_users_by_active_days,
         "value_concentration": _q_value_concentration,
+        "salted_join_sample": _q_salted_join_sample,
         "user_sessions": _q_user_sessions,
         "asof_last_order": _q_asof_last_order,
         "event_sessions": _q_event_sessions,
@@ -3998,6 +4010,19 @@ def _oracle_sql_raw() -> dict[str, str]:
                   FROM d)
             SELECT event_type, CAST(rnk AS BIGINT) AS rnk, user_id, n_days
             FROM r WHERE rnk <= 5
+        """,
+        "salted_join_sample": """
+            SELECT e.event_type,
+                   COUNT(*)::BIGINT AS n_pairs,
+                   SUM(CASE WHEN (e.event_id*2654435761 + o.o_orderkey*40503)
+                                 % 1000 < 125 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_sampled,
+                   COALESCE(SUM(CASE WHEN (e.event_id*2654435761
+                                           + o.o_orderkey*40503) % 1000 < 125
+                            THEN CAST(ROUND(o.o_totalprice*1e6) AS BIGINT)
+                            ELSE 0 END), 0)::BIGINT AS sampled_price_micro
+            FROM events e JOIN orders o ON e.user_id = o.o_custkey
+            GROUP BY 1 ORDER BY 1
         """,
         "value_concentration": """
             WITH s AS (SELECT event_type, user_id,

@@ -3159,3 +3159,204 @@ def value_concentration(sf_dir: str, k: int = 10):
         .groupby("event_type")
         .map_groups(finish, batch_format="pyarrow")
     )
+
+
+_SJS_A = 2654435761
+_SJS_B = 40503
+_SJS_MOD = 1000
+
+
+def salted_join_sample(
+    sf_dir: str,
+    hot_threshold: int = 64,
+    n_salts: int = 4,
+    sample_permille: int = 125,
+    chunk_cells: int = 1 << 22,
+):
+    """Deterministic pair-level audit sample of the skewed many-to-many
+    events x orders join (user_id = o_custkey), WITHOUT materializing
+    the join: per event type, the exact pair count plus the count and
+    price mass of the hash-sampled pair subset
+    ((event_id*A + o_orderkey*B) % 1000 < sample_permille). The sampled
+    stat depends on PAIR IDENTITY, so no per-key pre-aggregation can
+    collapse it — this is the shape where join skew actually bites and
+    the operator exists to demonstrate the cure.
+
+    Skew plan (the 'salt hot keys' pattern): pass 1 counts events per
+    key (partials + one tiny key groupby; driver keeps only keys with
+    cnt >= hot_threshold — at most N/hot_threshold of them, bounded by
+    construction). Cold keys co-locate via hash(key) % P as usual; each
+    hot key i gets its OWN n_salts partitions [P + i*S, P + (i+1)*S):
+    its events scatter uniformly by hash(event_id) % S while its orders
+    rows replicate S times — so the hottest key's pair work spreads
+    over S tasks instead of serializing in one straggler. The hot list
+    ships once via ray.put (broadcast_map_batches), never per batch.
+
+    Per-partition pair enumeration is fully vectorized (searchsorted
+    order ranges per event, repeat/offset index construction) and
+    chunked at chunk_cells pairs so memory stays bounded no matter how
+    hot a key is; price mass accumulates with np.add.at into int64 —
+    exact, no float roundoff. Partials collapse to O(types) rows per
+    partition and tree-reduce on the driver (tiny_key_sum).
+
+    Output: event_type, n_pairs, n_sampled, sampled_price_micro."""
+    n_parts = _n_partitions()
+    if n_salts < 1:
+        raise ValueError("n_salts must be >= 1")
+
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    # ---- pass 1: bounded hot-key set from per-batch count partials
+    def key_counts(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        keys, cnt = np.unique(uid, return_counts=True)
+        return pa.table(
+            {"user_id": pa.array(keys, pa.int64()), "cnt": pa.array(cnt, pa.int64())}
+        )
+
+    counts = tiny_key_sum(
+        events.map_batches(key_counts, batch_format="pyarrow"), ["user_id"], ["cnt"]
+    ).take_all()
+    hot = np.sort(
+        np.array(
+            [r["user_id"] for r in counts if r["cnt"] >= hot_threshold], dtype=np.int64
+        )
+    )
+    hot_ref = ray.put(hot)
+
+    def _hot_idx(keys: np.ndarray, hot_arr: np.ndarray):
+        idx = np.searchsorted(hot_arr, keys)
+        idx = np.clip(idx, 0, max(len(hot_arr) - 1, 0))
+        is_hot = (len(hot_arr) > 0) & (hot_arr[idx] == keys) if len(hot_arr) else np.zeros(len(keys), bool)
+        return is_hot, idx
+
+    def tag_events(t: pa.Table, hot_arr: np.ndarray) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_hot, idx = _hot_idx(uid, hot_arr)
+        salt = (eid.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15) % np.uint64(n_salts)).astype(np.int64)
+        bucket = np.where(
+            is_hot, n_parts + idx * n_salts + salt, _hash_bucket(uid, n_parts)
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(uid, pa.int64()),
+                "event_id": pa.array(eid, pa.int64()),
+                "event_type": t["event_type"].combine_chunks().cast(pa.string()),
+                "o_orderkey": pa.nulls(len(t), pa.int64()),
+                "pm": pa.nulls(len(t), pa.int64()),
+                "__side": pa.array(np.zeros(len(t), np.int8), pa.int8()),
+                "__bucket": pa.array(bucket, pa.int64()),
+            }
+        )
+
+    def tag_orders(t: pa.Table, hot_arr: np.ndarray) -> pa.Table:
+        key = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        okey = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pm = np.rint(t["o_totalprice"].to_numpy(zero_copy_only=False) * 1e6).astype(np.int64)
+        is_hot, idx = _hot_idx(key, hot_arr)
+        cold_bucket = _hash_bucket(key, n_parts)
+        # cold rows once; hot rows replicated across their S partitions
+        reps = np.where(is_hot, n_salts, 1).astype(np.int64)
+        key_r = np.repeat(key, reps)
+        okey_r = np.repeat(okey, reps)
+        pm_r = np.repeat(pm, reps)
+        base = np.repeat(np.where(is_hot, n_parts + idx * n_salts, cold_bucket), reps)
+        starts = np.r_[0, np.cumsum(reps)[:-1]]
+        offs = np.arange(len(key_r), dtype=np.int64) - np.repeat(starts, reps)
+        bucket = base + offs * np.repeat(is_hot.astype(np.int64), reps)
+        return pa.table(
+            {
+                "user_id": pa.array(key_r, pa.int64()),
+                "event_id": pa.nulls(len(key_r), pa.int64()),
+                "event_type": pa.nulls(len(key_r), pa.string()),
+                "o_orderkey": pa.array(okey_r, pa.int64()),
+                "pm": pa.array(pm_r, pa.int64()),
+                "__side": pa.array(np.ones(len(key_r), np.int8), pa.int8()),
+                "__bucket": pa.array(bucket, pa.int64()),
+            }
+        )
+
+    tagged = broadcast_map_batches(events, tag_events, hot_ref).union(
+        broadcast_map_batches(orders, tag_orders, hot_ref)
+    )
+
+    def pair_sample(g: pa.Table) -> pa.Table:
+        side = g["__side"].to_numpy(zero_copy_only=False)
+        ev = g.filter(pa.array(side == 0))
+        od = g.filter(pa.array(side == 1))
+        empty = pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "n_pairs": pa.array([], pa.int64()),
+                "n_sampled": pa.array([], pa.int64()),
+                "sampled_price_micro": pa.array([], pa.int64()),
+            }
+        )
+        if ev.num_rows == 0 or od.num_rows == 0:
+            return empty
+        euid = ev["user_id"].to_numpy(zero_copy_only=False)
+        eid = ev["event_id"].to_numpy(zero_copy_only=False)
+        ety_codes, ety_vals = _dict_codes(ev["event_type"])
+        ouid = od["user_id"].to_numpy(zero_copy_only=False)
+        okey = od["o_orderkey"].to_numpy(zero_copy_only=False)
+        opm = od["pm"].to_numpy(zero_copy_only=False)
+        if len(eid) and len(okey):
+            if int(eid.max()) * _SJS_A + int(okey.max()) * _SJS_B >= 1 << 62:
+                raise ValueError("salted_join_sample: id magnitude would overflow the pair hash")
+        oorder = np.argsort(ouid, kind="stable")
+        ouid_s, okey_s, opm_s = ouid[oorder], okey[oorder], opm[oorder]
+        lo = np.searchsorted(ouid_s, euid, "left")
+        hi = np.searchsorted(ouid_s, euid, "right")
+        cnt = hi - lo
+        keep = cnt > 0
+        if not keep.any():
+            return empty
+        eid, ety, lo, cnt = eid[keep], ety_codes[keep], lo[keep], cnt[keep]
+        n_types = len(ety_vals)
+        n_pairs = np.zeros(n_types, np.int64)
+        np.add.at(n_pairs, ety, cnt)
+        n_sampled = np.zeros(n_types, np.int64)
+        pm_sampled = np.zeros(n_types, np.int64)
+        cum = np.r_[0, np.cumsum(cnt)]
+        total = int(cum[-1])
+        # chunk the pair enumeration by whole events so each slice
+        # holds <= chunk_cells pairs regardless of key heat
+        start_ev = 0
+        while start_ev < len(eid):
+            end_ev = int(np.searchsorted(cum, cum[start_ev] + chunk_cells, "right")) - 1
+            end_ev = max(end_ev, start_ev + 1)
+            sl = slice(start_ev, end_ev)
+            c = cnt[sl]
+            t_chunk = int(c.sum())
+            if t_chunk:
+                rep_ev = np.repeat(np.arange(start_ev, end_ev, dtype=np.int64), c)
+                starts = np.r_[0, np.cumsum(c)[:-1]]
+                offs = np.arange(t_chunk, dtype=np.int64) - np.repeat(starts, c)
+                oidx = np.repeat(lo[sl], c) + offs
+                h = eid[rep_ev] * np.int64(_SJS_A) + okey_s[oidx] * np.int64(_SJS_B)
+                mask = (h % np.int64(_SJS_MOD)) < sample_permille
+                ty_rep = ety[rep_ev[mask]]
+                np.add.at(n_sampled, ty_rep, 1)
+                np.add.at(pm_sampled, ty_rep, opm_s[oidx[mask]])
+            start_ev = end_ev
+        live = n_pairs > 0
+        return pa.table(
+            {
+                "event_type": ety_vals.take(
+                    pa.array(np.flatnonzero(live), pa.int64())
+                ).cast(pa.string()),
+                "n_pairs": pa.array(n_pairs[live], pa.int64()),
+                "n_sampled": pa.array(n_sampled[live], pa.int64()),
+                "sampled_price_micro": pa.array(pm_sampled[live], pa.int64()),
+            }
+        )
+
+    partials = tagged.groupby("__bucket").map_groups(pair_sample, batch_format="pyarrow")
+    return tiny_key_sum(
+        partials,
+        ["event_type"],
+        ["n_pairs", "n_sampled", "sampled_price_micro"],
+        sort_cols=["event_type"],
+    )

@@ -345,3 +345,73 @@ def test_value_concentration_golden(ray_session, tmp_path):
             "share_micro": 1_000_000,
         },
     ]
+
+
+def test_salted_join_sample_brute_parity(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from georay.relational import salted_join_sample, _SJS_A, _SJS_B, _SJS_MOD
+
+    rng = np.random.default_rng(7)
+    n_ev, n_od = 400, 120
+    # user 5 is deliberately hot on both sides
+    ev_user = np.r_[np.full(200, 5), rng.integers(0, 20, n_ev - 200)].astype(np.int64)
+    ev_type = np.array(["a", "b", "c"])[rng.integers(0, 3, n_ev)]
+    ev_id = np.arange(1, n_ev + 1, dtype=np.int64) * 13
+    od_cust = np.r_[np.full(40, 5), rng.integers(0, 20, n_od - 40)].astype(np.int64)
+    od_key = np.arange(1, n_od + 1, dtype=np.int64) * 7
+    od_price = np.round(rng.uniform(10, 5000, n_od), 2)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(ev_id),
+                "ts": pa.array([1_000_000] * n_ev, pa.timestamp("us")),
+                "user_id": pa.array(ev_user),
+                "event_type": pa.array(ev_type, pa.string()),
+                "value": pa.array(np.ones(n_ev)),
+                "props": pa.array([""] * n_ev, pa.string()),
+            }
+        ),
+        f"{tmp_path}/events.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(od_key),
+                "o_custkey": pa.array(od_cust),
+                "o_orderstatus": pa.array(["O"] * n_od, pa.string()),
+                "o_totalprice": pa.array(od_price),
+                "o_orderdate": pa.array([1] * n_od, pa.timestamp("us")),
+                "o_orderpriority": pa.array(["1-URGENT"] * n_od, pa.string()),
+            }
+        ),
+        f"{tmp_path}/orders.parquet",
+    )
+
+    # brute force over the full pair space
+    import collections
+
+    exp = collections.defaultdict(lambda: [0, 0, 0])
+    od_pm = np.rint(od_price * 1e6).astype(np.int64)
+    by_cust = collections.defaultdict(list)
+    for i in range(n_od):
+        by_cust[int(od_cust[i])].append(i)
+    for j in range(n_ev):
+        for i in by_cust.get(int(ev_user[j]), []):
+            e = exp[ev_type[j]]
+            e[0] += 1
+            if (int(ev_id[j]) * _SJS_A + int(od_key[i]) * _SJS_B) % _SJS_MOD < 125:
+                e[1] += 1
+                e[2] += int(od_pm[i])
+
+    got = {
+        r["event_type"]: (r["n_pairs"], r["n_sampled"], r["sampled_price_micro"])
+        for r in salted_join_sample(str(tmp_path), hot_threshold=50, n_salts=3).take_all()
+    }
+    assert got == {k: tuple(v) for k, v in exp.items()}
+    # hot path off (threshold huge) gives identical results
+    got_cold = {
+        r["event_type"]: (r["n_pairs"], r["n_sampled"], r["sampled_price_micro"])
+        for r in salted_join_sample(str(tmp_path), hot_threshold=10**9).take_all()
+    }
+    assert got_cold == got
