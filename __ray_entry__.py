@@ -1192,6 +1192,15 @@ def _q_kwic_snippets(sf_dir):
     return kwic_snippets(_docs(sf_dir), term="vector", window=20)
 
 
+def _q_moss_pairs(sf_dir):
+    """MOSS shared-fingerprint pair detection: document pairs sharing
+    >= 2 distinct winnowed fingerprints (df <= 50 noise filter), exact
+    shared counts (georay/textops.py moss_pairs)."""
+    from georay.textops import moss_pairs
+
+    return moss_pairs(_docs(sf_dir))
+
+
 def _q_rrf_fusion(sf_dir):
     """Hybrid-retrieval reciprocal-rank fusion of the BM25 lexical
     ranking and query-0's dense cosine ranking (georay/textops.py
@@ -2012,6 +2021,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_heavy_hitters": _q_grouped_heavy_hitters,
         "quality_logreg": _q_quality_logreg,
         "rrf_fusion": _q_rrf_fusion,
+        "moss_pairs": _q_moss_pairs,
         "kwic_snippets": _q_kwic_snippets,
         "temperature_mix": _q_temperature_mix,
         "hash_features": _q_hash_features,
@@ -2083,6 +2093,50 @@ def _oracle_sf_dir() -> str:
     import os
 
     return os.environ.get("GEORAY_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+def _fingerprints_ctes() -> str:
+    """Winnowing fingerprint replay (doc_id, ord, fp) as a CTE chain
+    ending in `fpr` — shared by the fingerprints oracle and the
+    moss_pairs stitch."""
+    return """
+t AS (SELECT doc_id, TRIM(text) AS tt,
+             regexp_split_to_array(TRIM(text), '\\s+') AS w FROM documents),
+            words AS (SELECT doc_id, CAST(u.i AS BIGINT) AS i, w[i+1] AS tok
+                      FROM t, UNNEST(range(len(w))) AS u(i) WHERE tt <> ''),
+            g AS (SELECT a.doc_id, a.i,
+                         a.tok || ' ' || b.tok || ' ' || c.tok || ' ' || d.tok || ' ' || e.tok AS gram
+                  FROM words a
+                  JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+                  JOIN words c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+                  JOIN words d ON d.doc_id = a.doc_id AND d.i = a.i + 3
+                  JOIN words e ON e.doc_id = a.doc_id AND e.i = a.i + 4),
+            h AS (SELECT doc_id, i,
+                         CAST(('0x' || substr(sha256(gram), 1, 16)) AS UBIGINT) AS hv FROM g),
+            n AS (SELECT doc_id, COUNT(*) AS nh FROM h GROUP BY 1),
+            small AS (SELECT h.doc_id, CAST(0 AS BIGINT) AS ord,
+                             CAST(MIN(hv) >> 1 AS BIGINT) AS fp
+                      FROM h JOIN n USING (doc_id) WHERE nh <= 4 GROUP BY h.doc_id),
+            w AS (SELECT h.doc_id, h.i,
+                         MIN(hv) OVER (PARTITION BY h.doc_id ORDER BY h.i
+                                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn,
+                         nh
+                  FROM h JOIN n USING (doc_id) WHERE nh > 4),
+            w2 AS (SELECT doc_id, i, mn FROM w WHERE i <= nh - 4),
+            j AS (SELECT w2.doc_id, w2.i, MIN(h2.i) AS jpos
+                  FROM w2 JOIN h h2 ON h2.doc_id = w2.doc_id
+                                   AND h2.i BETWEEN w2.i AND w2.i + 3 AND h2.hv = w2.mn
+                  GROUP BY 1, 2),
+            sel AS (SELECT doc_id, i, jpos,
+                           LAG(jpos) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM j),
+            ev AS (SELECT doc_id, i, jpos FROM sel WHERE prev IS NULL OR jpos <> prev),
+            big AS (SELECT ev.doc_id,
+                           ROW_NUMBER() OVER (PARTITION BY ev.doc_id ORDER BY ev.i) - 1 AS ord,
+                           CAST(h3.hv >> 1 AS BIGINT) AS fp
+                    FROM ev JOIN h h3 ON h3.doc_id = ev.doc_id AND h3.i = ev.jpos),
+fpr AS (SELECT doc_id, ord, fp FROM big
+        UNION ALL
+        SELECT doc_id, ord, fp FROM small)"""
+
 
 def _bm25_topk_sql(k: int) -> str:
     """BM25 top-k replay (terms hash/join/vector, k1=1.2, b=0.75,
@@ -4073,44 +4127,20 @@ def _oracle_sql_raw() -> dict[str, str]:
         """,
         "simhash": _SIMHASH_SQL,
         "simhash_near_dups": _SIMHASH_DUPS_SQL,
-        "fingerprints": """
-            WITH t AS (SELECT doc_id, TRIM(text) AS tt,
-                              regexp_split_to_array(TRIM(text), '\\s+') AS w FROM documents),
-            words AS (SELECT doc_id, CAST(u.i AS BIGINT) AS i, w[i+1] AS tok
-                      FROM t, UNNEST(range(len(w))) AS u(i) WHERE tt <> ''),
-            g AS (SELECT a.doc_id, a.i,
-                         a.tok || ' ' || b.tok || ' ' || c.tok || ' ' || d.tok || ' ' || e.tok AS gram
-                  FROM words a
-                  JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
-                  JOIN words c ON c.doc_id = a.doc_id AND c.i = a.i + 2
-                  JOIN words d ON d.doc_id = a.doc_id AND d.i = a.i + 3
-                  JOIN words e ON e.doc_id = a.doc_id AND e.i = a.i + 4),
-            h AS (SELECT doc_id, i,
-                         CAST(('0x' || substr(sha256(gram), 1, 16)) AS UBIGINT) AS hv FROM g),
-            n AS (SELECT doc_id, COUNT(*) AS nh FROM h GROUP BY 1),
-            small AS (SELECT h.doc_id, CAST(0 AS BIGINT) AS ord,
-                             CAST(MIN(hv) >> 1 AS BIGINT) AS fp
-                      FROM h JOIN n USING (doc_id) WHERE nh <= 4 GROUP BY h.doc_id),
-            w AS (SELECT h.doc_id, h.i,
-                         MIN(hv) OVER (PARTITION BY h.doc_id ORDER BY h.i
-                                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn,
-                         nh
-                  FROM h JOIN n USING (doc_id) WHERE nh > 4),
-            w2 AS (SELECT doc_id, i, mn FROM w WHERE i <= nh - 4),
-            j AS (SELECT w2.doc_id, w2.i, MIN(h2.i) AS jpos
-                  FROM w2 JOIN h h2 ON h2.doc_id = w2.doc_id
-                                   AND h2.i BETWEEN w2.i AND w2.i + 3 AND h2.hv = w2.mn
-                  GROUP BY 1, 2),
-            sel AS (SELECT doc_id, i, jpos,
-                           LAG(jpos) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM j),
-            ev AS (SELECT doc_id, i, jpos FROM sel WHERE prev IS NULL OR jpos <> prev),
-            big AS (SELECT ev.doc_id,
-                           ROW_NUMBER() OVER (PARTITION BY ev.doc_id ORDER BY ev.i) - 1 AS ord,
-                           CAST(h3.hv >> 1 AS BIGINT) AS fp
-                    FROM ev JOIN h h3 ON h3.doc_id = ev.doc_id AND h3.i = ev.jpos)
-            SELECT doc_id, ord, fp FROM big
-            UNION ALL
-            SELECT doc_id, ord, fp FROM small
+        "fingerprints": f"""
+            WITH {_fingerprints_ctes()}
+            SELECT doc_id, ord, fp FROM fpr
+        """,
+        "moss_pairs": f"""
+            WITH {_fingerprints_ctes()},
+            d AS (SELECT DISTINCT doc_id, fp FROM fpr),
+            df AS (SELECT fp FROM d GROUP BY fp HAVING COUNT(*) <= 50),
+            p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         COUNT(*)::BIGINT AS n_shared
+                  FROM d a JOIN d b ON a.fp = b.fp AND a.doc_id < b.doc_id
+                  JOIN df ON df.fp = a.fp GROUP BY 1, 2)
+            SELECT doc_a, doc_b, n_shared FROM p WHERE n_shared >= 2
+            ORDER BY doc_a, doc_b
         """,
         "quality_scores": """
             WITH t AS (SELECT doc_id, text, TRIM(text) AS tt,

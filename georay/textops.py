@@ -1427,6 +1427,116 @@ def fingerprint_rows(docs: ray.data.Dataset):
     return docs.map_batches(fp, batch_format="pyarrow")
 
 
+def moss_pairs(
+    docs: ray.data.Dataset,
+    min_shared: int = 2,
+    max_df: int = 50,
+):
+    """MOSS-style shared-fingerprint pair detection (Schleimer et al.
+    2003 §4 — the cross-document match step the winnowed fingerprints
+    exist FOR): every document pair sharing >= min_shared DISTINCT
+    winnowed fingerprint values, with the exact shared count.
+    Fingerprints appearing in more than max_df documents are excluded
+    as boilerplate noise (the standard MOSS shared-code filter); that
+    parameter is ALSO the scale bound — per-fingerprint pair fan-out
+    never exceeds max_df*(max_df-1)/2, so exactness needs no star-cap
+    recall loss, unlike a raw hot LSH bucket.
+
+    Plan: winnowing rides the doc scan (purely per-doc, zero shuffle);
+    ONE hash(fp) bucket shuffle co-locates every posting of a
+    fingerprint, so the in-partition lexsort dedupes (fp, doc),
+    computes EXACT df per run, drops df > max_df runs, and emits all
+    (a < b) pairs per surviving run (runs bounded by max_df — the
+    per-run triu loop touches only multi-member runs); pair keys pack
+    to (a<<32)|b (2^31 guard) and ONE second bucket shuffle
+    run-length-counts each pair exactly — min_shared filters safely
+    because a pair's rows all land in one partition. Driver holds
+    nothing but the final qualifying pairs.
+
+    Output: doc_a, doc_b, n_shared, sorted (doc_a, doc_b)."""
+    n_parts = _n_partitions()
+    rows = fingerprint_rows(docs)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        fp = t["fp"].to_numpy(zero_copy_only=False)
+        mixed = fp.astype(np.int64).view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        b = (mixed % np.uint64(n_parts)).astype(np.int64)
+        return pa.table(
+            {
+                "fp": pa.array(fp, pa.int64()),
+                "doc_id": t["doc_id"].combine_chunks().cast(pa.int64()),
+                "__bucket": pa.array(b, pa.int64()),
+            }
+        )
+
+    def fp_pairs(g: pa.Table) -> pa.Table:
+        fp = g["fp"].to_numpy(zero_copy_only=False)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        if len(ids) and (ids.min() < 0 or ids.max() >= (1 << 31)):
+            raise ValueError("moss_pairs: doc_id outside [0, 2^31), widen the pack")
+        order = np.lexsort((ids, fp))
+        fp, ids = fp[order], ids[order]
+        keep = np.ones(len(fp), bool)
+        keep[1:] = (np.diff(fp) != 0) | (np.diff(ids) != 0)
+        fp, ids = fp[keep], ids[keep]
+        change = np.nonzero(np.diff(fp))[0] + 1
+        starts = np.r_[0, change].astype(np.int64)
+        ends = np.r_[change, [len(fp)]].astype(np.int64)
+        ln = ends - starts
+        multi = np.nonzero((ln >= 2) & (ln <= max_df))[0]
+        out = []
+        for ri in multi:
+            run = ids[starts[ri] : ends[ri]]
+            iu, ju = np.triu_indices(len(run), k=1)
+            out.append((run[iu] << 32) | run[ju])
+        if not out:
+            return pa.table({"key": pa.array([], pa.int64())})
+        return pa.table({"key": pa.array(np.concatenate(out), pa.int64())})
+
+    keyed = (
+        rows.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(fp_pairs, batch_format="pyarrow")
+    )
+
+    def rekey(t: pa.Table) -> pa.Table:
+        k = t["key"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "key": pa.array(k, pa.int64()),
+                "__bucket": pa.array(_hash_bucket_i64(k, n_parts), pa.int64()),
+            }
+        )
+
+    def count_pairs(g: pa.Table) -> pa.Table:
+        k = np.sort(g["key"].to_numpy(zero_copy_only=False))
+        change = np.nonzero(np.diff(k))[0] + 1
+        starts = np.r_[0, change].astype(np.int64)
+        ends = np.r_[change, [len(k)]].astype(np.int64)
+        n = ends - starts
+        live = n >= min_shared
+        kk, nn = k[starts[live]], n[live]
+        return pa.table(
+            {
+                "doc_a": pa.array(kk >> 32, pa.int64()),
+                "doc_b": pa.array(kk & ((1 << 32) - 1), pa.int64()),
+                "n_shared": pa.array(nn, pa.int64()),
+            }
+        )
+
+    return (
+        keyed.map_batches(rekey, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(count_pairs, batch_format="pyarrow")
+        .sort(["doc_a", "doc_b"])
+    )
+
+
+def _hash_bucket_i64(keys: np.ndarray, n_parts: int) -> np.ndarray:
+    mixed = keys.astype(np.int64).view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    return (mixed % np.uint64(n_parts)).astype(np.int64)
+
+
 # ------------------------------------------------- langid and quality
 
 _LANG_PROFILES = {

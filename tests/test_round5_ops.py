@@ -2,6 +2,7 @@
 (term_drift) — goldens with hand-checkable inputs plus a brute-force
 cross-check, including the band-boundary and strict-epsilon edges."""
 
+import collections
 import itertools
 
 import numpy as np
@@ -415,3 +416,69 @@ def test_salted_join_sample_brute_parity(ray_session, tmp_path):
         for r in salted_join_sample(str(tmp_path), hot_threshold=10**9).take_all()
     }
     assert got_cold == got
+
+
+def test_moss_pairs_brute_parity(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from georay.textops import moss_pairs, winnow_fingerprints
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = []
+    # seeded clones: docs 0/1/2 share a long passage; 3/4 share another
+    base = " ".join(rng.choice(vocab, 40))
+    other = " ".join(rng.choice(vocab, 35))
+    texts.append(base + " alpha beta")
+    texts.append("gamma " + base)
+    texts.append(base)
+    texts.append(other + " delta")
+    texts.append("eps " + other)
+    for _ in range(15):
+        texts.append(" ".join(rng.choice(vocab, 25)))
+    n = len(texts)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * n, pa.string()),
+                "source": pa.array(["s"] * n, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+
+    max_df, min_shared = 50, 2
+    fps = {i: set(winnow_fingerprints(t)) for i, t in enumerate(texts)}
+    df = collections.Counter(f for s in fps.values() for f in s)
+    live = {f for f, c in df.items() if c <= max_df}
+    exp = {}
+    for a, b in itertools.combinations(range(n), 2):
+        c = len(fps[a] & fps[b] & live)
+        if c >= min_shared:
+            exp[(a, b)] = c
+
+    docs = ray.data.read_parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in moss_pairs(docs, min_shared=min_shared, max_df=max_df).take_all()
+    }
+    assert got == exp
+    assert (0, 1) in got and (0, 2) in got and (3, 4) in got
+
+    # the df filter is load-bearing: max_df=2 kills fingerprints shared
+    # by all three clones but keeps the 2-doc passage
+    got2 = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in moss_pairs(docs, min_shared=1, max_df=2).take_all()
+    }
+    live2 = {f for f, c in df.items() if c <= 2}
+    exp2 = {}
+    for a, b in itertools.combinations(range(n), 2):
+        c = len(fps[a] & fps[b] & live2)
+        if c >= 1:
+            exp2[(a, b)] = c
+    assert got2 == exp2
