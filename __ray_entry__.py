@@ -1201,6 +1201,18 @@ def _q_moss_pairs(sf_dir):
     return moss_pairs(_docs(sf_dir))
 
 
+CMS_TERMS = ("data", "hash", "join", "the", "vector", "zzz_absent")
+
+
+def _q_countmin(sf_dir):
+    """Count-Min sketch point queries: CMS estimate vs exact count for
+    a fixed term set, depth=4 width=1024, mergeable sum partials
+    (georay/sketch.py countmin_counts)."""
+    from georay.sketch import countmin_counts
+
+    return countmin_counts(_docs(sf_dir), CMS_TERMS, depth=4, width=1024)
+
+
 def _q_rrf_fusion(sf_dir):
     """Hybrid-retrieval reciprocal-rank fusion of the BM25 lexical
     ranking and query-0's dense cosine ranking (georay/textops.py
@@ -2022,6 +2034,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_logreg": _q_quality_logreg,
         "rrf_fusion": _q_rrf_fusion,
         "moss_pairs": _q_moss_pairs,
+        "countmin": _q_countmin,
         "kwic_snippets": _q_kwic_snippets,
         "temperature_mix": _q_temperature_mix,
         "hash_features": _q_hash_features,
@@ -4130,6 +4143,35 @@ def _oracle_sql_raw() -> dict[str, str]:
         "fingerprints": f"""
             WITH {_fingerprints_ctes()}
             SELECT doc_id, ord, fp FROM fpr
+        """,
+        "countmin": """
+            WITH t AS (SELECT TRIM(text) AS tt,
+                              regexp_split_to_array(TRIM(text), '\\s+') AS w
+                       FROM documents),
+            words AS (SELECT w[i+1] AS tok FROM t, UNNEST(range(len(w))) AS u(i)
+                      WHERE tt <> ''),
+            cnt AS (SELECT tok, COUNT(*)::BIGINT AS n FROM words GROUP BY tok),
+            d AS (SELECT UNNEST(range(4)) AS i),
+            cells AS (SELECT d.i,
+                             CAST(('0x' || substr(sha256(
+                               CAST(d.i AS VARCHAR) || ':' || cnt.tok), 1, 16))
+                               AS UBIGINT) % 1024 AS cell,
+                             SUM(cnt.n)::BIGINT AS cn
+                      FROM cnt CROSS JOIN d GROUP BY 1, 2),
+            q AS (SELECT * FROM (VALUES ('data'),('hash'),('join'),('the'),
+                                        ('vector'),('zzz_absent')) v(term)),
+            qc AS (SELECT q.term, d.i,
+                          CAST(('0x' || substr(sha256(
+                            CAST(d.i AS VARCHAR) || ':' || q.term), 1, 16))
+                            AS UBIGINT) % 1024 AS cell
+                   FROM q CROSS JOIN d),
+            est AS (SELECT qc.term, MIN(COALESCE(cells.cn, 0))::BIGINT AS cms_est
+                    FROM qc LEFT JOIN cells ON cells.i = qc.i AND cells.cell = qc.cell
+                    GROUP BY 1),
+            ex AS (SELECT q.term, COALESCE(cnt.n, 0)::BIGINT AS exact_n
+                   FROM q LEFT JOIN cnt ON cnt.tok = q.term)
+            SELECT est.term, cms_est, exact_n FROM est JOIN ex ON ex.term = est.term
+            ORDER BY est.term
         """,
         "moss_pairs": f"""
             WITH {_fingerprints_ctes()},

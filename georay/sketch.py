@@ -351,3 +351,117 @@ def hll_overlap(
             "approx_overlap": pa.array(ov, pa.int64()),
         }
     )
+
+
+# ----------------------------------------------------------- Count-Min
+
+
+def countmin_counts(
+    docs: ray.data.Dataset,
+    terms: tuple,
+    depth: int = 4,
+    width: int = 1024,
+):
+    """Count-Min sketch point queries (Cormode & Muthukrishnan 2005):
+    per queried term the CMS estimate (min over depth counter rows of
+    the hashed cell) next to the EXACT occurrence count — the one-sided
+    overestimate guarantee (est >= exact, error <= 2N/width w.p.
+    1-2^-depth) visible in the output itself.
+
+    Scale shape (why CMS at 100 TB): an exact per-term count over an
+    unbounded vocabulary shuffles every key; the sketch is a FIXED
+    depth x width int64 matrix per batch partial that merges by
+    elementwise SUM — associative/commutative, safe under any
+    partitioning or retry order. Partials emit only the NONZERO cells
+    as (flat_idx, n) rows, the (<= depth*width)-key fold happens in
+    tiny_key_sum's fan-in tree, and the driver holds one O(depth*width)
+    vector — never a vocabulary. The exact side prunes to the queried
+    terms inside the same scan (bounded |terms| keys).
+
+    Hashing is the repo-standard sha256-first-8-bytes on "{row}:{tok}"
+    (sketch.hash64 / textops._hash64_strings), so the whole sketch
+    replays cell-exactly in DuckDB SQL.
+
+    Output: term, cms_est, exact_n, sorted by term."""
+    from georay.relational import tiny_key_sum
+
+    if depth < 1 or width < 1:
+        raise ValueError("countmin_counts: depth and width must be >= 1")
+    qterms = tuple(terms)
+
+    def partial(t: pa.Table) -> pa.Table:
+        from georay.textops import _hash64_strings, tokenize
+
+        toks = []
+        for text in t["text"].to_pylist():
+            toks.extend(tokenize(text or ""))
+        if not toks:
+            return pa.table(
+                {"flat": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        uniq, cnt = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        mats = np.zeros(depth * width, np.int64)
+        for i in range(depth):
+            cells = (
+                _hash64_strings([f"{i}:{u}" for u in uniq]) % np.uint64(width)
+            ).astype(np.int64)
+            np.add.at(mats, i * width + cells, cnt)
+        nz = np.flatnonzero(mats)
+        return pa.table(
+            {"flat": pa.array(nz, pa.int64()), "n": pa.array(mats[nz], pa.int64())}
+        )
+
+    cells = tiny_key_sum(
+        docs.map_batches(partial, batch_format="pyarrow"), ["flat"], ["n"]
+    ).take_all()
+    mat = np.zeros(depth * width, np.int64)
+    for r in cells:
+        mat[r["flat"]] = r["n"]
+
+    def exact_partial(t: pa.Table) -> pa.Table:
+        from georay.textops import tokenize
+
+        toks = []
+        for text in t["text"].to_pylist():
+            toks.extend(tokenize(text or ""))
+        out_t, out_n = [], []
+        if toks:
+            uniq, cnt = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+            pos = {u: c for u, c in zip(uniq.tolist(), cnt.tolist())}
+            for q in qterms:
+                c = pos.get(q, 0)
+                if c:
+                    out_t.append(q)
+                    out_n.append(c)
+        return pa.table(
+            {
+                "term": pa.array(out_t, pa.string()),
+                "exact_n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    exact = {
+        r["term"]: r["exact_n"]
+        for r in tiny_key_sum(
+            docs.map_batches(exact_partial, batch_format="pyarrow"),
+            ["term"],
+            ["exact_n"],
+        ).take_all()
+    }
+
+    from georay.textops import _hash64_strings
+
+    rows = []
+    for q in sorted(qterms):
+        est = min(
+            int(mat[i * width + int(_hash64_strings([f"{i}:{q}"])[0] % np.uint64(width))])
+            for i in range(depth)
+        )
+        rows.append((q, est, int(exact.get(q, 0))))
+    return pa.table(
+        {
+            "term": pa.array([r[0] for r in rows], pa.string()),
+            "cms_est": pa.array([r[1] for r in rows], pa.int64()),
+            "exact_n": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )

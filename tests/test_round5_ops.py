@@ -482,3 +482,60 @@ def test_moss_pairs_brute_parity(ray_session, tmp_path):
         if c >= 1:
             exp2[(a, b)] = c
     assert got2 == exp2
+
+
+def test_countmin_counts_exact_replay(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from georay.sketch import countmin_counts
+    from georay.textops import _hash64_strings, tokenize
+
+    rng = np.random.default_rng(3)
+    vocab = [f"t{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, rng.integers(5, 30))) for _ in range(60)]
+    texts.append("")  # empty-doc path
+    n = len(texts)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * n, pa.string()),
+                "source": pa.array(["s"] * n, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    depth, width = 2, 16  # tiny sketch => real collisions exercised
+    terms = ("t0", "t7", "t39", "missing")
+
+    # pure-python reference sketch
+    all_toks = [t for x in texts for t in tokenize(x)]
+    exact = collections.Counter(all_toks)
+    mat = np.zeros((depth, width), np.int64)
+    for tok, c in exact.items():
+        for i in range(depth):
+            mat[i, int(_hash64_strings([f"{i}:{tok}"])[0] % np.uint64(width))] += c
+    exp = {}
+    for q in terms:
+        est = min(
+            int(mat[i, int(_hash64_strings([f"{i}:{q}"])[0] % np.uint64(width))])
+            for i in range(depth)
+        )
+        exp[q] = (est, exact.get(q, 0))
+
+    docs = ray.data.read_parquet(f"{tmp_path}/documents.parquet").repartition(7)
+    out = countmin_counts(docs, terms, depth=depth, width=width)
+    got = {
+        t: (e, x)
+        for t, e, x in zip(
+            out["term"].to_pylist(), out["cms_est"].to_pylist(), out["exact_n"].to_pylist()
+        )
+    }
+    assert got == exp
+    # the CMS one-sided guarantee
+    assert all(e >= x for e, x in got.values())
+    # collisions actually happened at width=64 (otherwise test is vacuous)
+    assert any(e > x for e, x in got.values())
