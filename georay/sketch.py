@@ -390,6 +390,9 @@ def countmin_counts(
     qterms = tuple(terms)
 
     def partial(t: pa.Table) -> pa.Table:
+        """One scan emits BOTH partial kinds: sketch cells at flat keys
+        [0, depth*width) and exact queried-term counts at flat key
+        -(term_index+1) — the fold stays a single tiny_key_sum."""
         from georay.textops import _hash64_strings, tokenize
 
         toks = []
@@ -407,47 +410,30 @@ def countmin_counts(
             ).astype(np.int64)
             np.add.at(mats, i * width + cells, cnt)
         nz = np.flatnonzero(mats)
-        return pa.table(
-            {"flat": pa.array(nz, pa.int64()), "n": pa.array(mats[nz], pa.int64())}
-        )
-
-    cells = tiny_key_sum(
-        docs.map_batches(partial, batch_format="pyarrow"), ["flat"], ["n"]
-    ).take_all()
-    mat = np.zeros(depth * width, np.int64)
-    for r in cells:
-        mat[r["flat"]] = r["n"]
-
-    def exact_partial(t: pa.Table) -> pa.Table:
-        from georay.textops import tokenize
-
-        toks = []
-        for text in t["text"].to_pylist():
-            toks.extend(tokenize(text or ""))
-        out_t, out_n = [], []
-        if toks:
-            uniq, cnt = np.unique(np.asarray(toks, dtype=object), return_counts=True)
-            pos = {u: c for u, c in zip(uniq.tolist(), cnt.tolist())}
-            for q in qterms:
-                c = pos.get(q, 0)
-                if c:
-                    out_t.append(q)
-                    out_n.append(c)
+        flat = [nz]
+        n = [mats[nz]]
+        pos = {u: c for u, c in zip(uniq.tolist(), cnt.tolist())}
+        tflat = [-(j + 1) for j, q in enumerate(qterms) if pos.get(q, 0)]
+        if tflat:
+            flat.append(np.asarray(tflat, np.int64))
+            n.append(np.asarray([pos[qterms[-(f) - 1]] for f in tflat], np.int64))
         return pa.table(
             {
-                "term": pa.array(out_t, pa.string()),
-                "exact_n": pa.array(out_n, pa.int64()),
+                "flat": pa.array(np.concatenate(flat), pa.int64()),
+                "n": pa.array(np.concatenate(n), pa.int64()),
             }
         )
 
-    exact = {
-        r["term"]: r["exact_n"]
-        for r in tiny_key_sum(
-            docs.map_batches(exact_partial, batch_format="pyarrow"),
-            ["term"],
-            ["exact_n"],
-        ).take_all()
-    }
+    folded = tiny_key_sum(
+        docs.map_batches(partial, batch_format="pyarrow"), ["flat"], ["n"]
+    ).take_all()
+    mat = np.zeros(depth * width, np.int64)
+    exact = {}
+    for r in folded:
+        if r["flat"] >= 0:
+            mat[r["flat"]] = r["n"]
+        else:
+            exact[qterms[-r["flat"] - 1]] = r["n"]
 
     from georay.textops import _hash64_strings
 
