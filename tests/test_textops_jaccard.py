@@ -251,3 +251,38 @@ def test_containment_join_random_corpus_exact(ray_session):
             .tolist()
         }
         assert got == _ref_containment(texts, tau)
+
+
+def test_containment_join_postings_path_matches_fast_path(ray_session):
+    """max_vocab=1 forces the prefix/postings fallback; both engines
+    must produce the identical exact pair set (the fast matmul path is
+    what the small-vocab corpora above exercise by default)."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from georay.textops import containment_join
+
+    rng = np.random.default_rng(17)
+    vocab = [f"v{i}" for i in range(12)]
+    texts = {}
+    for i in range(30):
+        size = int(rng.integers(3, 10)) if i % 3 else int(rng.integers(20, 40))
+        texts[i] = " ".join(rng.choice(vocab, size=size))
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(texts), pa.int64()),
+            "text": pa.array(list(texts.values()), pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    for tau in (0.5, 0.8):
+        ref = _ref_containment(texts, tau)
+        slow = {
+            tuple(r)
+            for r in containment_join(ds, threshold=tau, max_vocab=1)
+            .to_pandas()[["a", "b", "n_inter", "n_min"]]
+            .to_numpy()
+            .tolist()
+        }
+        assert slow == ref
