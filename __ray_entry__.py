@@ -1213,6 +1213,15 @@ def _q_countmin(sf_dir):
     return countmin_counts(_docs(sf_dir), CMS_TERMS, depth=4, width=1024)
 
 
+def _q_bpe_merges(sf_dir):
+    """BPE vocabulary induction (Sennrich et al. 2016): the top-4
+    byte-pair merges over the corpus word-frequency table, distributed
+    pair-count partials per iteration (georay/textops.py bpe_merges)."""
+    from georay.textops import bpe_merges
+
+    return bpe_merges(_docs(sf_dir), k=4)
+
+
 def _q_rrf_fusion(sf_dir):
     """Hybrid-retrieval reciprocal-rank fusion of the BM25 lexical
     ranking and query-0's dense cosine ranking (georay/textops.py
@@ -2035,6 +2044,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_fusion": _q_rrf_fusion,
         "moss_pairs": _q_moss_pairs,
         "countmin": _q_countmin,
+        "bpe_merges": _q_bpe_merges,
         "kwic_snippets": _q_kwic_snippets,
         "temperature_mix": _q_temperature_mix,
         "hash_features": _q_hash_features,
@@ -2149,6 +2159,66 @@ t AS (SELECT doc_id, TRIM(text) AS tt,
 fpr AS (SELECT doc_id, ord, fp FROM big
         UNION ALL
         SELECT doc_id, ord, fp FROM small)"""
+
+
+def _bpe_sql(k: int) -> str:
+    """BPE merge-induction replay: per iteration, pair counts from
+    adjacent (pos, pos+1) symbol rows, argmax by (cnt DESC, l, r),
+    then the greedy left-to-right merge as gaps-and-islands — inside
+    each maximal run of consecutive matching positions the 1st, 3rd,
+    ... matches are taken (identical to the Python scanner), taken
+    positions absorb pos+1, and positions are re-ranked."""
+    ctes = ["""
+t AS (SELECT TRIM(text) AS tt,
+             regexp_split_to_array(TRIM(text), '\\s+') AS w FROM documents),
+words AS (SELECT w[i+1] AS tok FROM t, UNNEST(range(len(w))) AS u(i)
+          WHERE tt <> ''),
+wc AS (SELECT tok AS word, COUNT(*)::BIGINT AS freq FROM words GROUP BY 1),
+s0 AS MATERIALIZED (
+    SELECT word, freq, CAST(u.i AS BIGINT) AS pos,
+           substr(word, CAST(u.i AS INTEGER) + 1, 1) AS sym
+    FROM wc, UNNEST(range(length(word))) AS u(i))"""]
+    for i in range(1, k + 1):
+        p = i - 1
+        ctes.append(f"""
+p{i} AS MATERIALIZED (
+    SELECT a.sym AS l, b.sym AS r, SUM(a.freq)::BIGINT AS cnt
+    FROM s{p} a JOIN s{p} b ON b.word = a.word AND b.pos = a.pos + 1
+    GROUP BY 1, 2),
+m{i} AS MATERIALIZED (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1),
+mm{i} AS MATERIALIZED (
+    SELECT a.word, a.pos
+    FROM s{p} a JOIN s{p} b ON b.word = a.word AND b.pos = a.pos + 1
+    JOIN m{i} m ON a.sym = m.l AND b.sym = m.r),
+ch{i} AS (SELECT word, pos,
+                 pos - ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS isl
+          FROM mm{i}),
+tk{i} AS MATERIALIZED (
+    SELECT word, pos FROM (
+        SELECT word, pos,
+               ROW_NUMBER() OVER (PARTITION BY word, isl ORDER BY pos) AS rn
+        FROM ch{i}) WHERE rn % 2 = 1),
+s{i} AS MATERIALIZED (
+    SELECT word, freq,
+           ROW_NUMBER() OVER (PARTITION BY word ORDER BY opos) - 1 AS pos, sym
+    FROM (SELECT s.word, s.freq, s.pos AS opos,
+                 CASE WHEN tk.pos IS NOT NULL THEN s.sym || nx.sym
+                      ELSE s.sym END AS sym
+          FROM s{p} s
+          LEFT JOIN tk{i} tk ON tk.word = s.word AND tk.pos = s.pos
+          LEFT JOIN s{p} nx ON nx.word = s.word AND nx.pos = s.pos + 1
+          WHERE NOT EXISTS (SELECT 1 FROM tk{i} c
+                            WHERE c.word = s.word AND c.pos = s.pos - 1)))""")
+    unions = "\n            UNION ALL ".join(
+        f'SELECT {i}::BIGINT AS merge_rank, l AS "left", r AS "right", '
+        f"cnt AS pair_count FROM m{i}"
+        for i in range(1, k + 1)
+    )
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"\n            SELECT * FROM ({unions}) ORDER BY merge_rank"
+    )
 
 
 def _bm25_topk_sql(k: int) -> str:
@@ -4144,6 +4214,7 @@ def _oracle_sql_raw() -> dict[str, str]:
             WITH {_fingerprints_ctes()}
             SELECT doc_id, ord, fp FROM fpr
         """,
+        "bpe_merges": _bpe_sql(4),
         "countmin": """
             WITH t AS (SELECT TRIM(text) AS tt,
                               regexp_split_to_array(TRIM(text), '\\s+') AS w

@@ -4776,3 +4776,129 @@ def keep_first_shingles(docs: ray.data.Dataset, shingle_n: int = 2):
         .groupby("__b3")
         .map_groups(dedup_doc, batch_format="pyarrow")
     )
+
+
+# -------------------------------------------------------------- BPE
+
+
+def _bpe_apply(word: str, merges: list) -> list:
+    """Greedy left-to-right application of an ordered merge list to one
+    word's symbol sequence — the classic BPE segmenter step."""
+    syms = list(word)
+    for l, r in merges:
+        if len(syms) < 2:
+            break
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def bpe_merges(docs: ray.data.Dataset, k: int = 3):
+    """BPE vocabulary induction (Sennrich et al. 2016 'Neural Machine
+    Translation of Rare Words with Subword Units', Algorithm 1): learn
+    the top-k byte-pair merges over the corpus's word-frequency table —
+    per iteration, count adjacent symbol pairs weighted by word
+    frequency (overlapping pairs counted, exactly get_stats), pick the
+    max by (count DESC, left ASC, right ASC), merge it greedily
+    left-to-right in every word, repeat. THE canonical LLM-tokenizer
+    training step.
+
+    Scale shape: the corpus collapses ONCE to a distributed distinct-
+    word table (per-batch np.unique partials -> one hash groupby —
+    one row per distinct word, never per token) and is materialized for
+    reuse; each of the k iterations is a map_batches pass over THAT
+    table (per-word work is vocabulary-bounded, not corpus-bounded)
+    emitting (left, right, cnt) partials folded by tiny_key_sum's
+    fan-in tree. Driver state per iteration = the active symbol-pair
+    count table — bounded by |alphabet + learned merges|^2 at char
+    level, independent of corpus size — plus the k-entry merge list
+    that ships to workers inside the closure (a few strings, no
+    ray.put needed).
+
+    Output: merge_rank (1-based), left, right, pair_count (the
+    selected pair's corpus count at selection time)."""
+    from ray.data.aggregate import Sum
+
+    from georay.relational import tiny_key_sum
+
+    def wc_partial(batch: pa.Table) -> pa.Table:
+        toks: list = []
+        for t in batch["text"].to_pylist():
+            toks.extend(tokenize(t or ""))
+        if not toks:
+            return pa.table(
+                {"word": pa.array([], pa.string()), "freq": pa.array([], pa.int64())}
+            )
+        uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        return pa.table(
+            {
+                "word": pa.array(uniq.tolist(), pa.string()),
+                "freq": pa.array(counts, pa.int64()),
+            }
+        )
+
+    words = (
+        docs.map_batches(wc_partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("freq", alias_name="freq"))
+        .materialize()
+    )
+
+    merges: list = []
+    ranks, lefts, rights, cnts = [], [], [], []
+    for it in range(k):
+        cur = list(merges)
+
+        def pair_partial(batch: pa.Table, _m=cur) -> pa.Table:
+            from collections import Counter
+
+            c: Counter = Counter()
+            for w, f in zip(batch["word"].to_pylist(), batch["freq"].to_pylist()):
+                syms = _bpe_apply(w, _m)
+                for i in range(len(syms) - 1):
+                    c[(syms[i], syms[i + 1])] += f
+            if not c:
+                return pa.table(
+                    {
+                        "l": pa.array([], pa.string()),
+                        "r": pa.array([], pa.string()),
+                        "cnt": pa.array([], pa.int64()),
+                    }
+                )
+            ks = list(c.keys())
+            return pa.table(
+                {
+                    "l": pa.array([p[0] for p in ks], pa.string()),
+                    "r": pa.array([p[1] for p in ks], pa.string()),
+                    "cnt": pa.array([c[p] for p in ks], pa.int64()),
+                }
+            )
+
+        pairs = tiny_key_sum(
+            words.map_batches(pair_partial, batch_format="pyarrow"),
+            ["l", "r"],
+            ["cnt"],
+        ).take_all()
+        if not pairs:
+            break
+        best = min(pairs, key=lambda p: (-p["cnt"], p["l"], p["r"]))
+        merges.append((best["l"], best["r"]))
+        ranks.append(it + 1)
+        lefts.append(best["l"])
+        rights.append(best["r"])
+        cnts.append(int(best["cnt"]))
+    return pa.table(
+        {
+            "merge_rank": pa.array(ranks, pa.int64()),
+            "left": pa.array(lefts, pa.string()),
+            "right": pa.array(rights, pa.string()),
+            "pair_count": pa.array(cnts, pa.int64()),
+        }
+    )

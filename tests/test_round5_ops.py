@@ -539,3 +539,63 @@ def test_countmin_counts_exact_replay(ray_session, tmp_path):
     assert all(e >= x for e, x in got.values())
     # collisions actually happened at width=64 (otherwise test is vacuous)
     assert any(e > x for e, x in got.values())
+
+
+def test_bpe_merges_reference_parity(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from georay.textops import bpe_merges, tokenize
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "wide wider widest low newer",
+        "",  # empty-doc path
+        "a ab abc a",  # short words, single-char words
+    ]
+    n = len(texts)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * n, pa.string()),
+                "source": pa.array(["s"] * n, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+
+    # pure-python Sennrich reference
+    wc = collections.Counter(t for x in texts for t in tokenize(x))
+    vocab = {w: list(w) for w in wc}
+    exp = []
+    for _ in range(4):
+        stats = collections.Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += wc[w]
+        if not stats:
+            break
+        (l, r), c = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        exp.append((l, r, c))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+
+    docs = ray.data.read_parquet(f"{tmp_path}/documents.parquet").repartition(3)
+    out = bpe_merges(docs, k=4)
+    got = list(
+        zip(out["left"].to_pylist(), out["right"].to_pylist(), out["pair_count"].to_pylist())
+    )
+    assert got == exp
+    assert out["merge_rank"].to_pylist() == [1, 2, 3, 4]
