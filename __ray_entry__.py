@@ -1222,6 +1222,15 @@ def _q_bpe_merges(sf_dir):
     return bpe_merges(_docs(sf_dir), k=4)
 
 
+def _q_bpe_encode(sf_dir):
+    """Train-then-segment: learn 4 BPE merges distributed, one more
+    corpus pass applies them per doc — doc_id, n_words, n_bpe_tokens
+    (georay/textops.py bpe_encode)."""
+    from georay.textops import bpe_encode
+
+    return bpe_encode(_docs(sf_dir), k=4)
+
+
 def _q_rrf_fusion(sf_dir):
     """Hybrid-retrieval reciprocal-rank fusion of the BM25 lexical
     ranking and query-0's dense cosine ranking (georay/textops.py
@@ -2045,6 +2054,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "moss_pairs": _q_moss_pairs,
         "countmin": _q_countmin,
         "bpe_merges": _q_bpe_merges,
+        "bpe_encode": _q_bpe_encode,
         "kwic_snippets": _q_kwic_snippets,
         "temperature_mix": _q_temperature_mix,
         "hash_features": _q_hash_features,
@@ -2161,7 +2171,7 @@ fpr AS (SELECT doc_id, ord, fp FROM big
         SELECT doc_id, ord, fp FROM small)"""
 
 
-def _bpe_sql(k: int) -> str:
+def _bpe_ctes(k: int):
     """BPE merge-induction replay: per iteration, pair counts from
     adjacent (pos, pos+1) symbol rows, argmax by (cnt DESC, l, r),
     then the greedy left-to-right merge as gaps-and-islands — inside
@@ -2169,9 +2179,9 @@ def _bpe_sql(k: int) -> str:
     ... matches are taken (identical to the Python scanner), taken
     positions absorb pos+1, and positions are re-ranked."""
     ctes = ["""
-t AS (SELECT TRIM(text) AS tt,
+t AS (SELECT doc_id, TRIM(text) AS tt,
              regexp_split_to_array(TRIM(text), '\\s+') AS w FROM documents),
-words AS (SELECT w[i+1] AS tok FROM t, UNNEST(range(len(w))) AS u(i)
+words AS (SELECT doc_id, w[i+1] AS tok FROM t, UNNEST(range(len(w))) AS u(i)
           WHERE tt <> ''),
 wc AS (SELECT tok AS word, COUNT(*)::BIGINT AS freq FROM words GROUP BY 1),
 s0 AS MATERIALIZED (
@@ -2214,10 +2224,29 @@ s{i} AS MATERIALIZED (
         f"cnt AS pair_count FROM m{i}"
         for i in range(1, k + 1)
     )
+    return ",".join(ctes), unions
+
+
+def _bpe_sql(k: int) -> str:
+    ctes, unions = _bpe_ctes(k)
     return (
-        "WITH "
-        + ",".join(ctes)
+        "WITH " + ctes
         + f"\n            SELECT * FROM ({unions}) ORDER BY merge_rank"
+    )
+
+
+def _bpe_encode_sql(k: int) -> str:
+    ctes, _ = _bpe_ctes(k)
+    return (
+        "WITH " + ctes + f""",
+wsym AS (SELECT word, COUNT(*)::BIGINT AS nsym FROM s{k} GROUP BY 1)
+SELECT d.doc_id,
+       COUNT(w.tok)::BIGINT AS n_words,
+       COALESCE(SUM(wsym.nsym), 0)::BIGINT AS n_bpe_tokens
+FROM documents d
+LEFT JOIN words w ON w.doc_id = d.doc_id
+LEFT JOIN wsym ON wsym.word = w.tok
+GROUP BY 1"""
     )
 
 
@@ -4215,6 +4244,7 @@ def _oracle_sql_raw() -> dict[str, str]:
             SELECT doc_id, ord, fp FROM fpr
         """,
         "bpe_merges": _bpe_sql(4),
+        "bpe_encode": _bpe_encode_sql(4),
         "countmin": """
             WITH t AS (SELECT TRIM(text) AS tt,
                               regexp_split_to_array(TRIM(text), '\\s+') AS w

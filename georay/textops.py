@@ -4824,9 +4824,23 @@ def bpe_merges(docs: ray.data.Dataset, k: int = 3):
 
     Output: merge_rank (1-based), left, right, pair_count (the
     selected pair's corpus count at selection time)."""
-    from ray.data.aggregate import Sum
+    words = _word_table(docs)
+    merges, cnts = _learn_bpe_from_words(words, k)
+    return pa.table(
+        {
+            "merge_rank": pa.array(
+                np.arange(1, len(merges) + 1, dtype=np.int64), pa.int64()
+            ),
+            "left": pa.array([m[0] for m in merges], pa.string()),
+            "right": pa.array([m[1] for m in merges], pa.string()),
+            "pair_count": pa.array(cnts, pa.int64()),
+        }
+    )
 
-    from georay.relational import tiny_key_sum
+
+def _word_table(docs: ray.data.Dataset):
+    """Distributed distinct-word frequency table (one row per word)."""
+    from ray.data.aggregate import Sum
 
     def wc_partial(batch: pa.Table) -> pa.Table:
         toks: list = []
@@ -4844,15 +4858,21 @@ def bpe_merges(docs: ray.data.Dataset, k: int = 3):
             }
         )
 
-    words = (
+    return (
         docs.map_batches(wc_partial, batch_format="pyarrow")
         .groupby("word")
         .aggregate(Sum("freq", alias_name="freq"))
         .materialize()
     )
 
+
+def _learn_bpe_from_words(words: ray.data.Dataset, k: int):
+    """The k-iteration merge-selection loop over a materialized word
+    table (see bpe_merges for the scale contract)."""
+    from georay.relational import tiny_key_sum
+
     merges: list = []
-    ranks, lefts, rights, cnts = [], [], [], []
+    cnts: list = []
     for it in range(k):
         cur = list(merges)
 
@@ -4890,15 +4910,44 @@ def bpe_merges(docs: ray.data.Dataset, k: int = 3):
             break
         best = min(pairs, key=lambda p: (-p["cnt"], p["l"], p["r"]))
         merges.append((best["l"], best["r"]))
-        ranks.append(it + 1)
-        lefts.append(best["l"])
-        rights.append(best["r"])
         cnts.append(int(best["cnt"]))
-    return pa.table(
-        {
-            "merge_rank": pa.array(ranks, pa.int64()),
-            "left": pa.array(lefts, pa.string()),
-            "right": pa.array(rights, pa.string()),
-            "pair_count": pa.array(cnts, pa.int64()),
-        }
-    )
+    return merges, cnts
+
+
+def bpe_encode(docs: ray.data.Dataset, k: int = 4):
+    """Train-then-segment: learn the top-k BPE merges (bpe_merges'
+    distributed loop), then ONE more corpus pass applies them to every
+    document — per batch the merge application is memoized per
+    DISTINCT word, so the work is batch-vocabulary-bounded. The merge
+    list is a handful of strings shipped in the closure (no ray.put
+    needed). Output per doc: doc_id, n_words, n_bpe_tokens — the
+    compression-ratio stat a tokenizer-fertility audit reads."""
+    words = _word_table(docs)
+    merges, _ = _learn_bpe_from_words(words, k)
+
+    def encode(batch: pa.Table, _m=tuple(merges)) -> pa.Table:
+        ids, nw, nt = [], [], []
+        memo: dict = {}
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            toks = tokenize(text or "")
+            total = 0
+            for w in toks:
+                c = memo.get(w)
+                if c is None:
+                    c = len(_bpe_apply(w, list(_m)))
+                    memo[w] = c
+                total += c
+            ids.append(doc_id)
+            nw.append(len(toks))
+            nt.append(total)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_words": pa.array(nw, pa.int64()),
+                "n_bpe_tokens": pa.array(nt, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(encode, batch_format="pyarrow")

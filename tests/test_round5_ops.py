@@ -599,3 +599,52 @@ def test_bpe_merges_reference_parity(ray_session, tmp_path):
     )
     assert got == exp
     assert out["merge_rank"].to_pylist() == [1, 2, 3, 4]
+
+
+def test_bpe_encode_reference_parity(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from georay.textops import _bpe_apply, bpe_encode, tokenize
+
+    texts = ["low lower low", "newer newest", "", "a ab"]
+    n = len(texts)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * n, pa.string()),
+                "source": pa.array(["s"] * n, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    # reference: learn merges with the pure-python trainer from the
+    # bpe_merges test, then count symbols per doc
+    wc = collections.Counter(t for x in texts for t in tokenize(x))
+    vocab = {w: list(w) for w in wc}
+    merges = []
+    for _ in range(3):
+        stats = collections.Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += wc[w]
+        if not stats:
+            break
+        (l, r), _c = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((l, r))
+        vocab = {w: _bpe_apply(w, merges) for w in wc}
+    exp = {}
+    for i, x in enumerate(texts):
+        toks = tokenize(x)
+        exp[i] = (len(toks), sum(len(_bpe_apply(w, merges)) for w in toks))
+
+    docs = ray.data.read_parquet(f"{tmp_path}/documents.parquet").repartition(2)
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_encode(docs, k=3).take_all()
+    }
+    assert got == exp
+    assert got[2] == (0, 0)  # empty doc emitted with zeros
