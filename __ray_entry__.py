@@ -1231,6 +1231,15 @@ def _q_bpe_encode(sf_dir):
     return bpe_encode(_docs(sf_dir), k=4)
 
 
+def _q_association_rules(sf_dir):
+    """Association-rule mining over order baskets: directed rules with
+    exact integer support/confidence/lift, top-50 by lift
+    (georay/relational.py association_rules)."""
+    from georay.relational import association_rules
+
+    return association_rules(sf_dir, min_support=3, k=50)
+
+
 def _q_rrf_fusion(sf_dir):
     """Hybrid-retrieval reciprocal-rank fusion of the BM25 lexical
     ranking and query-0's dense cosine ranking (georay/textops.py
@@ -2075,6 +2084,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users_by_active_days": _q_top_users_by_active_days,
         "value_concentration": _q_value_concentration,
         "salted_join_sample": _q_salted_join_sample,
+        "association_rules": _q_association_rules,
         "user_sessions": _q_user_sessions,
         "asof_last_order": _q_asof_last_order,
         "event_sessions": _q_event_sessions,
@@ -4176,6 +4186,29 @@ def _oracle_sql_raw() -> dict[str, str]:
                   FROM d)
             SELECT event_type, CAST(rnk AS BIGINT) AS rnk, user_id, n_days
             FROM r WHERE rnk <= 5
+        """,
+        "association_rules": """
+            WITH dp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                        FROM lineitem),
+            n AS (SELECT COUNT(DISTINCT ok)::BIGINT AS n_orders FROM dp),
+            ps AS (SELECT pk, COUNT(*)::BIGINT AS supp FROM dp GROUP BY 1),
+            pr AS (SELECT a.pk AS p_a, b.pk AS p_b, COUNT(*)::BIGINT AS n_both
+                   FROM dp a JOIN dp b ON a.ok = b.ok AND a.pk < b.pk
+                   GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+            bi AS (SELECT p_a AS antecedent, p_b AS consequent, n_both FROM pr
+                   UNION ALL
+                   SELECT p_b, p_a, n_both FROM pr),
+            r AS (SELECT bi.antecedent, bi.consequent, bi.n_both,
+                         sa.supp AS n_ante,
+                         ((1000000 * bi.n_both) // sa.supp)::BIGINT AS conf_micro,
+                         ((1000000::HUGEINT * bi.n_both * n.n_orders)
+                          // (sa.supp::HUGEINT * sc.supp))::BIGINT AS lift_micro
+                  FROM bi
+                  JOIN ps sa ON sa.pk = bi.antecedent
+                  JOIN ps sc ON sc.pk = bi.consequent
+                  CROSS JOIN n)
+            SELECT antecedent, consequent, n_both, n_ante, conf_micro, lift_micro
+            FROM r ORDER BY lift_micro DESC, antecedent, consequent LIMIT 50
         """,
         "salted_join_sample": """
             SELECT e.event_type,

@@ -3360,3 +3360,104 @@ def salted_join_sample(
         ["n_pairs", "n_sampled", "sampled_price_micro"],
         sort_cols=["event_type"],
     )
+
+
+def association_rules(sf_dir: str, min_support: int = 3, k: int = 50):
+    """Association-rule mining over the order/part basket (Agrawal &
+    Srikant 1994 shapes, single-consequent rules): for every directed
+    rule A -> B whose pair co-occurs in >= min_support orders, the
+    exact support / confidence / lift in integer micro-units —
+    conf_micro = floor(1e6 * n_both / n_ante), lift_micro =
+    floor(1e6 * n_both * N / (n_ante * n_cons)) — top-k by
+    (lift DESC, antecedent, consequent).
+
+    Scale shape: pair supports come from part_pair_counts (ONE
+    orderkey co-location; per-partition distinct-pair pre-count, one
+    pair-key shuffle — fan-out bounded by lines-per-order). Single-item
+    supports and the order total fold in the SAME orderkey partitions
+    (distinct-ness is exact in-partition because an order never
+    splits), then tiny_key_sum — driver state is O(|part dimension|),
+    the side the broadcast needs anyway, never O(corpus). Rules attach
+    via ONE ray.put of the sorted (part, supp) arrays read per worker;
+    int64 lift math is overflow-guarded."""
+    n_parts = _n_partitions()
+    from georay.relational import part_pair_counts  # self-import safe
+
+    pairs = part_pair_counts(sf_dir, min_orders=min_support)
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "ok": pa.array(ok, pa.int64()),
+                "pk": t["l_partkey"].cast(pa.int64()),
+                "__bucket": pa.array(_hash_bucket(ok, n_parts), pa.int64()),
+            }
+        )
+
+    def supp_partial(g: pa.Table) -> pa.Table:
+        ok = g["ok"].to_numpy(zero_copy_only=False)
+        pk = g["pk"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        if len(ok):
+            dup = np.r_[False, (ok[1:] == ok[:-1]) & (pk[1:] == pk[:-1])]
+            ok, pk = ok[~dup], pk[~dup]
+        upk, cnt = np.unique(pk, return_counts=True)
+        n_ok = int(len(np.unique(ok)))
+        return pa.table(
+            {
+                # part -1 carries the distinct-order partial
+                "part": pa.array(np.r_[upk, [-1]], pa.int64()),
+                "supp": pa.array(np.r_[cnt.astype(np.int64), [n_ok]], pa.int64()),
+            }
+        )
+
+    supports = tiny_key_sum(
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(supp_partial, batch_format="pyarrow"),
+        ["part"],
+        ["supp"],
+    ).take_all()
+    s_part = np.array([r["part"] for r in supports], dtype=np.int64)
+    s_supp = np.array([r["supp"] for r in supports], dtype=np.int64)
+    order = np.argsort(s_part)
+    s_part, s_supp = s_part[order], s_supp[order]
+    n_orders = int(s_supp[s_part == -1][0])
+    keep = s_part >= 0
+    s_part, s_supp = s_part[keep], s_supp[keep]
+    supp_ref = ray.put((s_part, s_supp, n_orders))
+
+    def rules(t: pa.Table, bc) -> pa.Table:
+        parts, supp, n_tot = bc
+        a = t["part_a"].to_numpy(zero_copy_only=False)
+        b = t["part_b"].to_numpy(zero_copy_only=False)
+        nb = t["n_orders"].to_numpy(zero_copy_only=False)
+        ante = np.r_[a, b]
+        cons = np.r_[b, a]
+        n_both = np.r_[nb, nb]
+        sa = supp[np.searchsorted(parts, ante)]
+        sc = supp[np.searchsorted(parts, cons)]
+        if len(n_both) and int(n_both.max()) * n_tot * 1_000_000 >= (1 << 62):
+            raise ValueError("association_rules: lift numerator overflows int64")
+        conf = (1_000_000 * n_both) // sa
+        lift = (1_000_000 * n_both * np.int64(n_tot)) // (sa * sc)
+        return pa.table(
+            {
+                "antecedent": pa.array(ante, pa.int64()),
+                "consequent": pa.array(cons, pa.int64()),
+                "n_both": pa.array(n_both, pa.int64()),
+                "n_ante": pa.array(sa, pa.int64()),
+                "conf_micro": pa.array(conf, pa.int64()),
+                "lift_micro": pa.array(lift, pa.int64()),
+            }
+        )
+
+    return (
+        broadcast_map_batches(pairs, rules, supp_ref)
+        .sort(["lift_micro", "antecedent", "consequent"], descending=[True, False, False])
+        .limit(k)
+    )

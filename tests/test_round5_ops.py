@@ -648,3 +648,67 @@ def test_bpe_encode_reference_parity(ray_session, tmp_path):
     }
     assert got == exp
     assert got[2] == (0, 0)  # empty doc emitted with zeros
+
+
+def test_association_rules_brute_parity(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from georay.relational import association_rules
+
+    rng = np.random.default_rng(5)
+    rows_ok, rows_pk = [], []
+    for ok in range(1, 61):
+        g = rng.integers(1, 6)
+        parts = rng.choice(np.arange(1, 15), size=g, replace=True)
+        for p in parts:
+            rows_ok.append(ok)
+            rows_pk.append(int(p))
+    # duplicate lines inside an order must not inflate supports
+    rows_ok.append(1); rows_pk.append(rows_pk[0])
+    n = len(rows_ok)
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(rows_ok, pa.int64()),
+                "l_partkey": pa.array(rows_pk, pa.int64()),
+                "l_suppkey": pa.array([1] * n, pa.int64()),
+                "l_quantity": pa.array([1.0] * n),
+                "l_extendedprice": pa.array([10.0] * n),
+                "l_discount": pa.array([0.0] * n),
+                "l_tax": pa.array([0.0] * n),
+                "l_returnflag": pa.array(["N"] * n, pa.string()),
+                "l_linestatus": pa.array(["O"] * n, pa.string()),
+                "l_shipdate": pa.array([1] * n, pa.timestamp("us")),
+            }
+        ),
+        f"{tmp_path}/lineitem.parquet",
+    )
+
+    baskets = collections.defaultdict(set)
+    for ok, pk in zip(rows_ok, rows_pk):
+        baskets[ok].add(pk)
+    N = len(baskets)
+    supp = collections.Counter(p for s in baskets.values() for p in s)
+    pair = collections.Counter()
+    for s in baskets.values():
+        for a in s:
+            for b in s:
+                if a < b:
+                    pair[(a, b)] += 1
+    exp = []
+    for (a, b), nb in pair.items():
+        if nb < 2:
+            continue
+        for ante, cons in ((a, b), (b, a)):
+            conf = (1_000_000 * nb) // supp[ante]
+            lift = (1_000_000 * nb * N) // (supp[ante] * supp[cons])
+            exp.append((lift, ante, cons, nb, supp[ante], conf))
+    exp.sort(key=lambda r: (-r[0], r[1], r[2]))
+    exp = [(r[1], r[2], r[3], r[4], r[5], r[0]) for r in exp[:10]]
+
+    got = [
+        (r["antecedent"], r["consequent"], r["n_both"], r["n_ante"],
+         r["conf_micro"], r["lift_micro"])
+        for r in association_rules(str(tmp_path), min_support=2, k=10).take_all()
+    ]
+    assert got == exp
